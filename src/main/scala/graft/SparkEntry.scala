@@ -1,13 +1,401 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.AggOps
+import graft.enrich.EnrichOps
+import graft.model.Transcripts
+import graft.parse.ParseOps
+import graft.route.Router
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2), each
+  * with a DuckDB-equivalent oracle over the same parquet tables.
+  *
+  * The transcripts relation is derived deterministically from the driver's
+  * `events` table with pure column arithmetic (Transcripts.fromEvents), so
+  * the oracle reproduces it exactly as a CTE (Transcripts.oracleCte) and
+  * every operator's output is independently checkable.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String): DataFrame =
+    Transcripts.fromEvents(s, dir)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
+    * parse → enrich → route → aggregate pipeline's per-sink counts.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_pipeline_e2e")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL fragments (DuckDB dialect)
+  // ---------------------------------------------------------------------
+
+  /** Row severity over the transcripts CTE `t` — mirrors Router.rowSeverity. */
+  private val sevSql: String = """CASE
+      WHEN regexp_matches(text, '^10\.') THEN
+        CASE WHEN CAST(regexp_extract(text, '" (\d{3}) ', 1) AS INT) >= 500 THEN 17
+             WHEN CAST(regexp_extract(text, '" (\d{3}) ', 1) AS INT) >= 400 THEN 13
+             ELSE 9 END
+      WHEN starts_with(text, '{') THEN
+        CASE json_extract_string(text, '$.level')
+             WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END
+      WHEN regexp_matches(text, '^\d{2}/') THEN
+        CASE string_split(text, ',')[2]
+             WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END
+      WHEN starts_with(text, 'level=') THEN
+        CASE regexp_extract(text, 'level=(\w+)', 1)
+             WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END
+      WHEN starts_with(text, '<') THEN
+        CASE WHEN CAST(regexp_extract(text, '^<(\d+)>', 1) AS INT) % 8 <= 3 THEN 17
+             WHEN CAST(regexp_extract(text, '^<(\d+)>', 1) AS INT) % 8 = 4 THEN 13
+             ELSE 9 END
+      ELSE 9 END"""
+
+  private val sevTextSql: String = """CASE
+      WHEN severity_number >= 17 THEN 'ERROR'
+      WHEN severity_number >= 13 THEN 'WARN'
+      ELSE 'INFO' END"""
+
+  private val routeSql: String = """CASE
+      WHEN severity_number >= 17 THEN 'sink_errors'
+      WHEN tool <> '' THEN 'sink_tools'
+      ELSE 'sink_default' END"""
+
+  /** `WITH t AS (...), tagged AS (t + severity + route)` prefix. */
+  private def withTagged(sql: String): String = Transcripts.withT(
+    s""", tagged AS (
+       SELECT *, ${sevTextSql.replace("severity_number", s"($sevSql)")} AS severity_text,
+              $sevSql AS severity_number,
+              ${routeSql.replace("severity_number", s"($sevSql)")} AS route
+       FROM t
+     ) $sql""")
+
+  // ---------------------------------------------------------------------
+  // Queries + oracles
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------- parse plane -------------------------
+    "q_parse_nginx" -> ((s, d) => ParseOps.parseNginx(t(s, d))),
+    "q_parse_json" -> ((s, d) => ParseOps.parseJson(t(s, d))),
+    "q_parse_csv" -> ((s, d) => ParseOps.parseCsv(t(s, d))),
+    "q_parse_kv" -> ((s, d) => ParseOps.parseKv(t(s, d))),
+    "q_parse_syslog" -> ((s, d) => ParseOps.parseSyslog(t(s, d))),
+    "q_parse_uri" -> ((s, d) => ParseOps.parseUri(t(s, d))),
+    "q_parse_time" -> ((s, d) => ParseOps.parseTime(t(s, d))),
+    "q_parse_severity" -> ((s, d) => ParseOps.parseSeverity(t(s, d))),
+    "q_recombine" -> ((s, d) => ParseOps.recombine(t(s, d))),
+    "q_field_ops" -> ((s, d) => ParseOps.fieldOps(t(s, d))),
+    "q_filter" -> ((s, d) =>
+      ParseOps.filterOp(ParseOps.parseJson(t(s, d)), col("level") === "info")
+        .select(col("conv_id"), col("turn_idx"), col("level"), col("status"))),
+
+    // ------------------------- enrich plane -------------------------
+    "q_lookup_enrich" -> ((s, d) =>
+      EnrichOps.lookupEnrich(s, t(s, d))
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+          col("team"), col("cost_center"), col("vendor"), col("tier"))),
+    "q_mask" -> ((s, d) => EnrichOps.mask(t(s, d))),
+    "q_remove_empty" -> ((s, d) => EnrichOps.removeEmptyValues(t(s, d))),
+    "q_transpose" -> ((s, d) => EnrichOps.transpose(t(s, d))),
+    "q_ocsf" -> ((s, d) => EnrichOps.ocsfStandardize(t(s, d))),
+
+    // ------------------------- route plane -------------------------
+    "q_route_counts" -> ((s, d) =>
+      Router.tagged(t(s, d)).groupBy(col("route")).agg(count(lit(1)).as("n"))),
+    "q_route_errors_rows" -> ((s, d) =>
+      Router.tagged(t(s, d)).filter(col("route") === "sink_errors")
+        .select(col("conv_id"), col("turn_idx"), col("text"),
+          col("severity_number"), col("severity_text"))),
+    "q_sink_schema" -> ((s, d) =>
+      Router.sinkSchema(t(s, d))
+        .select(col("conv_id"), col("turn_idx"), col("Timestamp"),
+          col("SeverityNumber"), col("SeverityText"), col("Body"),
+          col("Attributes"), col("Route"))),
+    "q_chronicle_group" -> ((s, d) => Router.chronicleGroups(t(s, d))),
+
+    // ------------------------- aggregate plane -------------------------
+    "q_logcount" -> ((s, d) => AggOps.logCount(t(s, d))),
+    "q_datapoint_count" -> ((s, d) => AggOps.datapointCount(t(s, d))),
+    "q_metric_extract" -> ((s, d) =>
+      AggOps.metricExtract(t(s, d))
+        .select(col("conv_id"), col("turn_idx"), col("metric_name"),
+          col("value_int"), col("value_double"), col("level"), col("ts"))),
+    "q_metric_stats" -> ((s, d) => AggOps.metricStats(t(s, d))),
+    "q_sampling_dropall" -> ((s, d) =>
+      AggOps.sample(AggOps.metricExtract(t(s, d)), col("level") === "info", 1.0)
+        .select(col("conv_id"), col("turn_idx"), col("level"))),
+    "q_dedup" -> ((s, d) => AggOps.logDedup(t(s, d))),
+    "q_salted_agg" -> ((s, d) => AggOps.saltedCountByConv(t(s, d))),
+    "q_throughput" -> ((s, d) => AggOps.throughput(t(s, d))),
+
+    // ------------------------- flagship pipeline -------------------------
+    "q_pipeline_e2e" -> ((s, d) => {
+      val enriched = EnrichOps.lookupEnrich(s, Router.tagged(t(s, d)))
+      enriched.groupBy(col("route"), col("role"))
+        .agg(count(lit(1)).as("n"),
+          sum(octet_length(col("text"))).as("bytes"),
+          countDistinct(col("conv_id")).as("n_convs"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val nginxPat = """^(\S+) - (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" (\d+) (\d+) "([^"]*)" "([^"]*)"$"""
+    Map(
+      "q_parse_nginx" -> Transcripts.withT(
+        s"""SELECT conv_id, turn_idx,
+           g['remote_addr'] AS remote_addr,
+           g['remote_user'] AS remote_user,
+           g['method'] AS method,
+           g['path'] AS path,
+           CAST(g['status'] AS INT) AS status,
+           CAST(g['body_bytes_sent'] AS BIGINT) AS body_bytes_sent,
+           g['http_user_agent'] AS http_user_agent,
+           g['time_local'] AS time_local
+           FROM (
+             SELECT conv_id, turn_idx, regexp_extract(text, '$nginxPat',
+               ['remote_addr','remote_user','time_local','method','path',
+                'protocol','status','body_bytes_sent','http_referer',
+                'http_user_agent']) AS g
+             FROM t WHERE regexp_matches(text, '^10\\.')
+           )"""),
+
+      "q_parse_json" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           json_extract_string(text, '$.level') AS level,
+           CAST(json_extract(text, '$.status') AS INT) AS status,
+           json_extract_string(text, '$.path') AS path,
+           CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS latency_ms,
+           json_extract_string(text, '$.msg') AS msg
+           FROM t WHERE starts_with(text, '{')"""),
+
+      "q_parse_csv" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           string_split(text, ',')[1] AS time_local,
+           string_split(text, ',')[2] AS level,
+           string_split(text, ',')[3] AS component,
+           CAST(string_split(text, ',')[4] AS INT) AS code,
+           CAST(string_split(text, ',')[5] AS BIGINT) AS latency_ms
+           FROM t WHERE regexp_matches(text, '^\d{2}/')"""),
+
+      "q_parse_kv" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           regexp_extract(text, 'level=(\S+)', 1) AS level,
+           regexp_extract(text, 'component=(\S+)', 1) AS component,
+           CAST(regexp_extract(text, 'code=(\S+)', 1) AS INT) AS code,
+           CAST(regexp_extract(text, 'latency_ms=(\S+)', 1) AS BIGINT) AS latency_ms,
+           regexp_extract(text, 'msg=(\S+)', 1) AS msg
+           FROM t WHERE starts_with(text, 'level=')"""),
+
+      "q_parse_syslog" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CAST(regexp_extract(text, '^<(\d+)>', 1) AS INT) AS pri,
+           CAST(regexp_extract(text, '^<(\d+)>', 1) AS INT) % 8 AS severity,
+           CAST(CAST(regexp_extract(text, '^<(\d+)>', 1) AS INT) // 8 AS INT) AS facility,
+           regexp_extract(text, '^<\d+>(\w{3} \d{2} \d{2}:\d{2}:\d{2})', 1) AS stamp,
+           CAST(regexp_extract(text, ' host(\d+) ', 1) AS INT) AS hostnum,
+           regexp_extract(text, ' host\d+ (\w+)\[', 1) AS app,
+           CAST(regexp_extract(text, '\[(\d+)\]:', 1) AS BIGINT) AS pid,
+           regexp_extract(text, '\]: (.*)$', 1) AS message
+           FROM t WHERE starts_with(text, '<')"""),
+
+      "q_parse_uri" -> Transcripts.withT(
+        s"""SELECT conv_id, turn_idx,
+           'api.example.com' AS host,
+           regexp_extract(text, '$nginxPat', 5) AS uri_path,
+           regexp_extract(text, '$nginxPat', 7) AS q_status
+           FROM t WHERE regexp_matches(text, '^10\\.')"""),
+
+      "q_parse_time" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           strptime(string_split(string_split(text, ',')[1], ' ')[1],
+                    '%d/%b/%Y:%H:%M:%S') AS event_ts
+           FROM t WHERE regexp_matches(text, '^\d{2}/')"""),
+
+      "q_parse_severity" -> Transcripts.withT(
+        s"""SELECT conv_id, turn_idx,
+           CAST(regexp_extract(text, '$nginxPat', 7) AS INT) AS status,
+           CASE WHEN CAST(regexp_extract(text, '$nginxPat', 7) AS INT) >= 500 THEN 17
+                WHEN CAST(regexp_extract(text, '$nginxPat', 7) AS INT) >= 400 THEN 13
+                ELSE 9 END AS severity_number,
+           CASE WHEN CAST(regexp_extract(text, '$nginxPat', 7) AS INT) >= 500 THEN 'ERROR'
+                WHEN CAST(regexp_extract(text, '$nginxPat', 7) AS INT) >= 400 THEN 'WARN'
+                ELSE 'INFO' END AS severity_text
+           FROM t WHERE regexp_matches(text, '^10\\.')"""),
+
+      "q_recombine" -> Transcripts.withT(
+        """SELECT conv_id, session_id, COUNT(*) AS n_parts,
+           MIN(turn_idx) AS first_turn, MAX(turn_idx) AS last_turn,
+           string_agg(text, chr(10) ORDER BY turn_idx) AS combined
+           FROM (
+             SELECT conv_id, turn_idx, text,
+               COALESCE(SUM(CASE WHEN starts_with(text, 'F|') THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS session_id
+             FROM t WHERE regexp_matches(text, '^[PF]\|')
+           ) GROUP BY conv_id, session_id"""),
+
+      "q_field_ops" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           regexp_extract(text, 'level=(\S+)', 1) AS level,
+           regexp_extract(text, 'component=(\S+)', 1) AS service,
+           CAST(regexp_extract(text, 'code=(\S+)', 1) AS INT) AS code,
+           'prod' AS env,
+           regexp_extract(text, 'msg=(\S+)', 1) AS log_record_original
+           FROM t WHERE starts_with(text, 'level=')"""),
+
+      "q_filter" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           json_extract_string(text, '$.level') AS level,
+           CAST(json_extract(text, '$.status') AS INT) AS status
+           FROM t WHERE starts_with(text, '{')
+             AND json_extract_string(text, '$.level') <> 'info'"""),
+
+      "q_lookup_enrich" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx, t.role AS role, t.tool AS tool,
+           r.team AS team, r.cost_center AS cost_center,
+           tl.vendor AS vendor, tl.tier AS tier
+           FROM t
+           LEFT JOIN (VALUES ('user','external','cc-000'),
+                             ('assistant','ml','cc-100'),
+                             ('system','platform','cc-200'),
+                             ('tool','integrations','cc-300'))
+             AS r(role, team, cost_center) ON t.role = r.role
+           LEFT JOIN (VALUES ('search','acme','gold'),
+                             ('code_exec','acme','gold'),
+                             ('browser','other','bronze'))
+             AS tl(tool, vendor, tier) ON t.tool = tl.tool"""),
+
+      "q_mask" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text,
+             '[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}', '[masked_email]', 'g'),
+             '\d{3}-\d{2}-\d{4}', '[masked_ssn]', 'g'),
+             '\d{13,16}', '[masked_credit_card]', 'g'),
+             '\d{3}-\d{3}-\d{4}', '[masked_phone]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[masked_ipv4]', 'g') AS masked
+           FROM t WHERE regexp_matches(text, '^[PF]\|')"""),
+
+      "q_remove_empty" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           'level=' || regexp_extract(text, 'level=(\S+)', 1) ||
+           ',component=' || regexp_extract(text, 'component=(\S+)', 1) AS attrs
+           FROM t WHERE starts_with(text, 'level=')"""),
+
+      "q_transpose" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CASE WHEN role = 'tool' THEN 'tool-' || tool
+                ELSE 'host-' || string_split(conv_id, '-')[1] END AS host
+           FROM t"""),
+
+      "q_ocsf" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           class_uid,
+           CAST(class_uid / 1000 AS INT) AS category_uid,
+           activity_id,
+           class_uid * 100 + activity_id AS type_uid,
+           status_code,
+           '1.1.0' AS metadata_version
+           FROM (
+             SELECT conv_id, turn_idx,
+               CASE WHEN json_extract_string(text, '$.level') = 'error' THEN 4002
+                    WHEN CAST(json_extract(text, '$.latency_ms') AS BIGINT) >= 1000 THEN 6003
+               END AS class_uid,
+               CASE WHEN CAST(json_extract(text, '$.status') AS INT) >= 500 THEN 2 ELSE 1 END AS activity_id,
+               CAST(json_extract(text, '$.status') AS BIGINT) AS status_code
+             FROM t WHERE starts_with(text, '{')
+               AND (json_extract_string(text, '$.level') = 'error'
+                    OR CAST(json_extract(text, '$.latency_ms') AS BIGINT) >= 1000)
+           )"""),
+
+      "q_route_counts" -> withTagged(
+        "SELECT route, COUNT(*) AS n FROM tagged GROUP BY route"),
+
+      "q_route_errors_rows" -> withTagged(
+        """SELECT conv_id, turn_idx, text, severity_number, severity_text
+           FROM tagged WHERE route = 'sink_errors'"""),
+
+      "q_sink_schema" -> withTagged(
+        """SELECT conv_id, turn_idx,
+           ts AS "Timestamp",
+           CAST(severity_number AS VARCHAR) AS "SeverityNumber",
+           severity_text AS "SeverityText",
+           text AS "Body",
+           '{"conv_id":"' || conv_id || '","role":"' || role || '","tool":"' || tool ||
+             '","turn_idx":' || turn_idx || '}' AS "Attributes",
+           route AS "Route"
+           FROM tagged"""),
+
+      "q_chronicle_group" -> Transcripts.withT(
+        """SELECT CASE WHEN tool <> '' THEN tool ELSE 'default_type' END AS log_type,
+           role AS namespace, COUNT(*) AS n,
+           SUM(octet_length(CAST(text AS BLOB))) AS bytes
+           FROM t GROUP BY 1, 2"""),
+
+      "q_logcount" -> Transcripts.withT(
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           role, COUNT(*) AS log_count
+           FROM t GROUP BY 1, 2"""),
+
+      "q_datapoint_count" -> Transcripts.withT(
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           json_extract_string(text, '$.level') AS level,
+           COUNT(*) AS datapoint_count
+           FROM t WHERE starts_with(text, '{') GROUP BY 1, 2"""),
+
+      "q_metric_extract" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           'request.latency_ms' AS metric_name,
+           CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS value_int,
+           CAST(json_extract(text, '$.latency_ms') AS DOUBLE) AS value_double,
+           json_extract_string(text, '$.level') AS level, ts
+           FROM t WHERE starts_with(text, '{')"""),
+
+      "q_metric_stats" -> Transcripts.withT(
+        """SELECT window_start, level,
+           MIN(value_int) AS stat_min, MAX(value_int) AS stat_max,
+           SUM(value_int) // COUNT(*) AS stat_avg_int,
+           CAST(SUM(value_int) AS DOUBLE) / COUNT(*) AS stat_avg_double,
+           arg_min(value_int, arrival) AS stat_first,
+           arg_max(value_int, arrival) AS stat_last,
+           COUNT(*) AS stat_count
+           FROM (
+             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               json_extract_string(text, '$.level') AS level,
+               CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS value_int,
+               printf('%019d|%s|%010d', epoch_us(ts), conv_id, turn_idx) AS arrival
+             FROM t WHERE starts_with(text, '{')
+           ) GROUP BY 1, 2"""),
+
+      "q_sampling_dropall" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx, json_extract_string(text, '$.level') AS level
+           FROM t WHERE starts_with(text, '{')
+             AND json_extract_string(text, '$.level') <> 'info'"""),
+
+      "q_dedup" -> Transcripts.withT(
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           json_extract_string(text, '$.level') AS level,
+           'request.latency_ms' AS metric_name,
+           COUNT(*) AS dedup_count,
+           MIN(printf('%019d|%s|%010d', epoch_us(ts), conv_id, turn_idx)) AS first_arrival
+           FROM t WHERE starts_with(text, '{') GROUP BY 1, 2, 3"""),
+
+      "q_salted_agg" -> Transcripts.withT(
+        "SELECT conv_id, COUNT(*) AS n_turns FROM t GROUP BY conv_id"),
+
+      "q_throughput" -> withTagged(
+        """SELECT route, COUNT(*) AS log_count,
+           SUM(octet_length(CAST(text AS BLOB))) AS log_raw_bytes
+           FROM tagged GROUP BY route"""),
+
+      "q_pipeline_e2e" -> withTagged(
+        """SELECT route, role, COUNT(*) AS n,
+           SUM(octet_length(CAST(text AS BLOB))) AS bytes,
+           COUNT(DISTINCT conv_id) AS n_convs
+           FROM tagged GROUP BY route, role""")
+    )
+  }
 }

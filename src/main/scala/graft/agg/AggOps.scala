@@ -1,0 +1,144 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.parse.ParseOps
+import graft.route.Router
+
+/** The aggregate plane (SURVEY.md §2B/§2E): windowed counts, metric
+  * extraction, windowed stats with int/double fidelity, sampling, dedup,
+  * salted two-phase aggregation for hot keys.
+  *
+  * The reference's interval aggregators are processing-time tumbling windows
+  * flushed by wall-clock tickers (logcountprocessor/processor.go:164-177);
+  * in deterministic batch form they become event-time tumbling windows over
+  * `ts` — `window($"ts", interval)` — with no cross-window state (counter
+  * maps reset on flush, counter/counter.go:47-50).
+  */
+object AggOps {
+
+  /** Tumbling-window start aligned to epoch — equals DuckDB's
+    * time_bucket(INTERVAL, ts) for the same width.
+    */
+  def windowStart(ts: Column, width: String): Column =
+    window(ts, width).getField("start")
+
+  // -------------------------------------------------------------------
+  // logcountprocessor — predicate match → group by extracted attrs →
+  // count per interval, emitted as gauge `log.count`
+  // (processor/logcountprocessor/processor.go:107-132, 197-226)
+  // -------------------------------------------------------------------
+  def logCount(t: DataFrame, interval: String = "1 hour"): DataFrame =
+    t.groupBy(
+        windowStart(col("ts"), interval).as("window_start"),
+        col("role"))
+      .agg(count(lit(1)).as("log_count"))
+
+  // -------------------------------------------------------------------
+  // datapointcountprocessor — same, over metric datapoints
+  // (processor/datapointcountprocessor/processor.go:112-119)
+  // -------------------------------------------------------------------
+  def datapointCount(t: DataFrame, interval: String = "1 hour"): DataFrame =
+    metricExtract(t)
+      .groupBy(windowStart(col("ts"), interval).as("window_start"), col("level"))
+      .agg(count(lit(1)).as("datapoint_count"))
+
+  // -------------------------------------------------------------------
+  // metricextractprocessor — matching records → numeric datapoints with
+  // extracted attrs and the record timestamp
+  // (processor/metricextractprocessor/processor_ottl.go:87-186; ts fallback
+  // chain observed→now at :196-206 — here ts is always present)
+  // -------------------------------------------------------------------
+  def metricExtract(t: DataFrame): DataFrame =
+    t.filter(ParseOps.isJson)
+      .withColumn("p", from_json(col("text"), ParseOps.JsonBodySchema))
+      .select(
+        col("conv_id"), col("turn_idx"),
+        lit("request.latency_ms").as("metric_name"),
+        col("p.latency_ms").cast("long").as("value_int"),
+        col("p.latency_ms").cast("double").as("value_double"),
+        col("p.level").as("level"), col("ts"))
+
+  // -------------------------------------------------------------------
+  // metricstatsprocessor — windowed {min,max,avg,first,last} per (metric,
+  // attrs); avg keeps int math int (stats/avg_statistic.go:49-66: integer
+  // division); first/last by arrival order — batch order = (ts, conv, turn)
+  // (processor/metricstatsprocessor/processor.go:142-199, 237-302)
+  // -------------------------------------------------------------------
+  def metricStats(t: DataFrame, interval: String = "1 hour"): DataFrame = {
+    val dp = metricExtract(t)
+    // lexicographically sortable arrival key: epoch micros | conv | turn
+    val arrival = format_string("%019d|%s|%010d",
+      unix_micros(col("ts").cast("timestamp")), col("conv_id"), col("turn_idx"))
+    dp.withColumn("arrival", arrival)
+      .groupBy(windowStart(col("ts"), interval).as("window_start"), col("level"))
+      .agg(
+        min(col("value_int")).as("stat_min"),
+        max(col("value_int")).as("stat_max"),
+        sum(col("value_int")).as("stat_sum"),
+        count(lit(1)).as("stat_count"),
+        min_by(col("value_int"), col("arrival")).as("stat_first"),
+        max_by(col("value_int"), col("arrival")).as("stat_last"))
+      .select(
+        col("window_start"), col("level"),
+        col("stat_min"), col("stat_max"),
+        // integer-avg fidelity: true integer division, not double promotion
+        expr("stat_sum div stat_count").as("stat_avg_int"),
+        (col("stat_sum").cast("double") / col("stat_count")).as("stat_avg_double"),
+        col("stat_first"), col("stat_last"), col("stat_count"))
+  }
+
+  // -------------------------------------------------------------------
+  // samplingprocessor — drop with prob `drop_ratio` where condition holds;
+  // fast paths ratio∈{0,1} (processor/samplingprocessor/processor.go:122-131;
+  // sampleFunc :79-82). Seeded rand for deterministic tests (SURVEY §4.4).
+  // -------------------------------------------------------------------
+  def sample(t: DataFrame, condition: Column, dropRatio: Double, seed: Long = 42L): DataFrame =
+    if (dropRatio <= 0.0) t // keep-all fast path
+    else if (dropRatio >= 1.0) t.filter(!condition) // drop-all fast path
+    else t.filter(!(condition && rand(seed) <= dropRatio))
+
+  // -------------------------------------------------------------------
+  // logdedupprocessor (manifest.yaml:100) — interval dedup with count attr
+  // -------------------------------------------------------------------
+  /** Dedup identical (role, body-key) within a window, keeping the first
+    * occurrence (by arrival order) and a duplicate count.
+    */
+  def logDedup(t: DataFrame, interval: String = "1 hour"): DataFrame = {
+    val j = metricExtract(t)
+    val arrival = format_string("%019d|%s|%010d",
+      unix_micros(col("ts").cast("timestamp")), col("conv_id"), col("turn_idx"))
+    j.withColumn("arrival", arrival)
+      .groupBy(
+        windowStart(col("ts"), interval).as("window_start"),
+        col("level"), col("metric_name"))
+      .agg(count(lit(1)).as("dedup_count"),
+        min(col("arrival")).as("first_arrival"))
+  }
+
+  // -------------------------------------------------------------------
+  // Salted two-phase aggregation (SURVEY §4.3): hot conv_ids absorbed by a
+  // salt in phase 1; phase 2 merges partials. Result ≡ plain groupBy-count,
+  // but no single reducer sees a whole hot key.
+  // -------------------------------------------------------------------
+  def saltedCountByConv(t: DataFrame, salts: Int = 16): DataFrame =
+    t.withColumn("salt", pmod(hash(col("turn_idx")), lit(salts)))
+      .groupBy(col("conv_id"), col("salt"))
+      .agg(count(lit(1)).as("partial"))
+      .groupBy(col("conv_id"))
+      .agg(sum(col("partial")).as("n_turns"))
+
+  // -------------------------------------------------------------------
+  // throughputmeasurementprocessor — batch byte/record counters
+  // (processor/throughputmeasurementprocessor/processor.go:93-102;
+  // internal/measurements/throughput.go:54-131). Spark-native: `observe` /
+  // aggregate without mutating the data plane.
+  // -------------------------------------------------------------------
+  def throughput(t: DataFrame): DataFrame =
+    Router.tagged(t)
+      .groupBy(col("route"))
+      .agg(
+        count(lit(1)).as("log_count"),
+        sum(octet_length(col("text"))).as("log_raw_bytes"))
+}

@@ -1,0 +1,244 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.RegexExtractStruct
+
+/** The parse plane: stanza-operator semantics re-expressed as declarative
+  * column transforms (SURVEY.md §2A). Each operator is a pure
+  * `DataFrame => DataFrame` (or Column helper), so Catalyst fuses the whole
+  * parse stage into one WholeStageCodegen span over the parquet scan —
+  * filters and column pruning push down to the scan, nothing materializes
+  * between operators (unlike the reference's per-record interpreter hops).
+  */
+object ParseOps {
+
+  // --- scenario discriminators over the transcripts `text` column ---------
+  val isNginx: Column = col("text").rlike("^10\\.")
+  val isJson: Column = col("text").startsWith("{")
+  val isCsv: Column = col("text").rlike("^\\d{2}/")
+  val isKv: Column = col("text").startsWith("level=")
+  val isSyslog: Column = col("text").startsWith("<")
+  val isMultiline: Column = col("text").rlike("^[PF]\\|")
+
+  // -------------------------------------------------------------------
+  // regex_parser (plugins/nginx_logs.yaml:95-106) — nginx combined format
+  // -------------------------------------------------------------------
+  /** One-pass grok over the access-log line; group names follow the plugin's
+    * named capture groups. Uses the custom codegen expression so the pattern
+    * runs once per row for all 10 fields.
+    */
+  val NginxFields = Seq("remote_addr", "remote_user", "time_local", "method",
+    "path", "protocol", "status", "body_bytes_sent", "http_referer", "http_user_agent")
+  val NginxPattern =
+    """^(\S+) - (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" (\d+) (\d+) "([^"]*)" "([^"]*)"$"""
+
+  def parseNginx(t: DataFrame): DataFrame = {
+    val p = RegexExtractStruct.of(col("text"), NginxPattern, NginxFields)
+    t.filter(isNginx)
+      .withColumn("p", p)
+      .select(
+        col("conv_id"), col("turn_idx"),
+        col("p.remote_addr").as("remote_addr"),
+        col("p.remote_user").as("remote_user"),
+        col("p.method").as("method"),
+        col("p.path").as("path"),
+        col("p.status").cast(IntegerType).as("status"),
+        col("p.body_bytes_sent").cast(LongType).as("body_bytes_sent"),
+        col("p.http_user_agent").as("http_user_agent"),
+        col("p.time_local").as("time_local"))
+  }
+
+  // -------------------------------------------------------------------
+  // json_parser (plugins/json_logs.yaml:56, nginx_logs.yaml:110-121)
+  // -------------------------------------------------------------------
+  val JsonBodySchema = StructType(Seq(
+    StructField("level", StringType), StructField("status", IntegerType),
+    StructField("path", StringType), StructField("latency_ms", LongType),
+    StructField("msg", StringType)))
+
+  def parseJson(t: DataFrame): DataFrame =
+    t.filter(isJson)
+      .withColumn("p", from_json(col("text"), JsonBodySchema))
+      .select(col("conv_id"), col("turn_idx"),
+        col("p.level").as("level"), col("p.status").as("status"),
+        col("p.path").as("path"), col("p.latency_ms").as("latency_ms"),
+        col("p.msg").as("msg"))
+
+  // -------------------------------------------------------------------
+  // csv_parser (plugins/csv_logs.yaml:67-68) — headers: known per pipeline
+  // -------------------------------------------------------------------
+  val CsvHeaders = Seq("time_local", "level", "component", "code", "latency_ms")
+
+  def parseCsv(t: DataFrame): DataFrame = {
+    val parts = split(col("text"), ",")
+    t.filter(isCsv).select(
+      col("conv_id"), col("turn_idx"),
+      element_at(parts, 1).as("time_local"),
+      element_at(parts, 2).as("level"),
+      element_at(parts, 3).as("component"),
+      element_at(parts, 4).cast(IntegerType).as("code"),
+      element_at(parts, 5).cast(LongType).as("latency_ms"))
+  }
+
+  // -------------------------------------------------------------------
+  // key_value_parser (upstream stanza operator; `k=v` pairs)
+  // -------------------------------------------------------------------
+  def parseKv(t: DataFrame): DataFrame = {
+    val kv = str_to_map(col("text"), lit(" "), lit("="))
+    t.filter(isKv).select(
+      col("conv_id"), col("turn_idx"),
+      kv.getItem("level").as("level"),
+      kv.getItem("component").as("component"),
+      kv.getItem("code").cast(IntegerType).as("code"),
+      kv.getItem("latency_ms").cast(LongType).as("latency_ms"),
+      kv.getItem("msg").as("msg"))
+  }
+
+  // -------------------------------------------------------------------
+  // syslog_parser (plugins/syslog_logs.yaml:12-18; RFC3164 framing)
+  // priority = facility*8 + severity
+  // -------------------------------------------------------------------
+  val SyslogFields = Seq("pri", "stamp", "hostnum", "app", "pid", "message")
+  val SyslogPattern = """^<(\d+)>(\w{3} \d{2} \d{2}:\d{2}:\d{2}) host(\d+) (\w+)\[(\d+)\]: (.*)$"""
+
+  def parseSyslog(t: DataFrame): DataFrame = {
+    val p = RegexExtractStruct.of(col("text"), SyslogPattern, SyslogFields)
+    t.filter(isSyslog)
+      .withColumn("p", p)
+      .select(
+        col("conv_id"), col("turn_idx"),
+        col("p.pri").cast(IntegerType).as("pri"),
+        (col("p.pri").cast(IntegerType) % 8).as("severity"),
+        (col("p.pri").cast(IntegerType) / 8).cast(IntegerType).as("facility"),
+        col("p.stamp").as("stamp"),
+        col("p.hostnum").cast(IntegerType).as("hostnum"),
+        col("p.app").as("app"),
+        col("p.pid").cast(LongType).as("pid"),
+        col("p.message").as("message"))
+  }
+
+  // -------------------------------------------------------------------
+  // uri_parser (plugins/haproxy_logs.yaml:77-78) — scheme/host/path/query
+  // -------------------------------------------------------------------
+  def parseUri(t: DataFrame): DataFrame = {
+    val path = RegexExtractStruct.of(col("text"), NginxPattern, NginxFields)
+      .getField("path")
+    val url = concat(lit("https://api.example.com"), path, lit("?status="),
+      RegexExtractStruct.of(col("text"), NginxPattern, NginxFields).getField("status"))
+    t.filter(isNginx)
+      .withColumn("url", url)
+      .select(
+        col("conv_id"), col("turn_idx"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("uri_path"),
+        parse_url(col("url"), lit("QUERY"), lit("status")).as("q_status"))
+  }
+
+  // -------------------------------------------------------------------
+  // time_parser (plugins/nginx_logs.yaml:97-99) — strptime layouts
+  // -------------------------------------------------------------------
+  /** strptime → java.time DateTimeFormatter translation for the layouts the
+    * shipped plugins use (`%d/%b/%Y:%H:%M:%S %z` et al.). */
+  val StrptimeTable: Seq[(String, String)] = Seq(
+    "%d/%b/%Y:%H:%M:%S" -> "dd/MMM/yyyy:HH:mm:ss",
+    "%Y-%m-%dT%H:%M:%S" -> "yyyy-MM-dd'T'HH:mm:ss",
+    "%Y-%m-%d %H:%M:%S" -> "yyyy-MM-dd HH:mm:ss",
+    "%b %d %H:%M:%S" -> "MMM dd HH:mm:ss",
+    "%z" -> "Z", "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
+    "%H" -> "HH", "%M" -> "mm", "%S" -> "ss", "%b" -> "MMM")
+
+  def strptimeToJava(layout: String): String = {
+    // longest-first replacement of composite layouts, then single directives
+    StrptimeTable.foldLeft(layout) { case (acc, (from, to)) => acc.replace(from, to) }
+  }
+
+  /** Parse the nginx `time_local` (sans zone — fixture zone is always +0000,
+    * and the session timezone is UTC) back into an event timestamp. */
+  def parseTime(t: DataFrame): DataFrame =
+    parseCsv(t).select(
+      col("conv_id"), col("turn_idx"),
+      to_timestamp(substring_index(col("time_local"), " ", 1),
+        strptimeToJava("%d/%b/%Y:%H:%M:%S")).as("event_ts"))
+
+  // -------------------------------------------------------------------
+  // severity_parser (plugins/nginx_logs.yaml:100-106) — `2xx`..`5xx` HTTP
+  // class aliases + range mappings → OTel severity numbers
+  // -------------------------------------------------------------------
+  /** OTel SeverityNumber dictionary (the reference's severity_enum,
+    * expr/record.go:67-68). */
+  val SevInfo = 9; val SevWarn = 13; val SevError = 17
+
+  def severityFromStatus(status: Column): Column =
+    when(status >= 500, SevError).when(status >= 400, SevWarn).otherwise(SevInfo)
+
+  def severityText(sevNum: Column): Column =
+    when(sevNum >= 21, "FATAL").when(sevNum >= 17, "ERROR")
+      .when(sevNum >= 13, "WARN").when(sevNum >= 9, "INFO")
+      .when(sevNum >= 5, "DEBUG").otherwise("TRACE")
+
+  def severityFromLevel(level: Column): Column =
+    when(level === "error", SevError).when(level === "warn", SevWarn).otherwise(SevInfo)
+
+  def parseSeverity(t: DataFrame): DataFrame = {
+    val n = parseNginx(t)
+    n.select(col("conv_id"), col("turn_idx"), col("status"),
+      severityFromStatus(col("status")).as("severity_number"),
+      severityText(severityFromStatus(col("status"))).as("severity_text"))
+  }
+
+  // -------------------------------------------------------------------
+  // recombine (plugins/container_logs.yaml:111-114) — multiline reassembly:
+  // consecutive rows of a conversation combine until `is_last_entry`.
+  // -------------------------------------------------------------------
+  /** Sessionize partial turns per conv_id ordered by turn_idx: a session ends
+    * at each final (`F|`) row; `session_id` = number of final rows strictly
+    * before this row. At scale this is one shuffle on conv_id (the natural
+    * partitioning key) — no driver-side state, unlike the reference's
+    * in-memory batching.
+    */
+  def recombine(t: DataFrame): DataFrame = {
+    val part = t.filter(isMultiline)
+    val isFinal = when(col("text").startsWith("F|"), 1L).otherwise(0L)
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withSession = part
+      .withColumn("session_id", coalesce(sum(isFinal).over(w), lit(0L)))
+    withSession
+      .groupBy(col("conv_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min(col("turn_idx")).as("first_turn"),
+        max(col("turn_idx")).as("last_turn"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+            x => x.getField("text")),
+          "\n").as("combined"))
+  }
+
+  // -------------------------------------------------------------------
+  // field ops: add / copy / move / remove / retain (SURVEY.md §2A)
+  // -------------------------------------------------------------------
+  /** add: `withColumn(lit/expr)`; copy: duplicate column; move: rename;
+    * remove: drop; retain: project. Composed into one demonstrative
+    * transform over parsed kv rows — in the engine these are plan-time
+    * projections, zero runtime cost beyond the expression itself.
+    */
+  def fieldOps(t: DataFrame): DataFrame =
+    parseKv(t)
+      .withColumn("env", lit("prod")) // add (plugins/postgresql_logs.yaml:127-128)
+      .withColumn("log_record_original", col("msg")) // copy (nginx_logs.yaml:88-91)
+      .withColumnRenamed("component", "service") // move (nginx_logs.yaml:122-125)
+      .drop("latency_ms") // remove (container_logs.yaml:115-116)
+      .select("conv_id", "turn_idx", "level", "service", "code", "env",
+        "log_record_original") // retain (nginx_logs.yaml:136-141)
+
+  // -------------------------------------------------------------------
+  // filter (plugins/nginx_logs.yaml:133-135) — drop records matching expr
+  // -------------------------------------------------------------------
+  def filterOp(t: DataFrame, dropIf: Column): DataFrame = t.filter(!dropIf)
+}

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark 4's package-private Column↔Expression conversions
+  * (org.apache.spark.sql.classic.ExpressionUtils, private[sql]) so the graft
+  * engine's custom Catalyst expressions can expose a `Column` API.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
