@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.AggOps
+import graft.data.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.enrich.EnrichOps
 import graft.model.Transcripts
 import graft.parse.ParseOps
@@ -130,6 +131,57 @@ object SparkEntry {
     "q_dedup" -> ((s, d) => AggOps.logDedup(t(s, d))),
     "q_salted_agg" -> ((s, d) => AggOps.saltedCountByConv(t(s, d))),
     "q_throughput" -> ((s, d) => AggOps.throughput(t(s, d))),
+
+    // --------------- training-data ops (documents/embeddings) ---------------
+    "q_doc_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCounts(TextAnalysis.documents(s, d))),
+    "q_doc_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(TextAnalysis.documents(s, d))),
+    "q_doc_langid" -> ((s, d) =>
+      TextAnalysis.langId(TextAnalysis.documents(s, d))),
+    "q_doc_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(TextAnalysis.documents(s, d))),
+    "q_doc_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(TextAnalysis.documents(s, d))),
+    "q_doc_jaccard_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(TextAnalysis.documents(s, d))),
+    "q_doc_minhash_pairs" -> ((s, d) =>
+      Dedup.minHashDedupPairs(TextAnalysis.documents(s, d))), // rows-only
+    "q_doc_simhash_neardups" -> ((s, d) =>
+      Dedup.simHashNearDups(TextAnalysis.documents(s, d))), // rows-only
+    "q_embed_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Similarity.embeddings(s, d))),
+    "q_embed_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(Similarity.embeddings(s, d))), // rows-only
+    "q_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
+
+    // --------------- relational breadth (events/lineitem/orders) ---------------
+    "q_events_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = s.read.parquet(s"$d/events.parquet")
+        .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+      val brk = when(col("tsu") - lag(col("tsu"), 1).over(w) > 1800000000L, 1L)
+        .otherwise(lit(0L))
+      e.withColumn("session_id", sum(brk).over(
+          Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+    }),
+    "q_tpch_agg" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))),
+    "q_join_orders_customer" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val c = s.read.parquet(s"$d/customer.parquet")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+    }),
 
     // ------------------------- flagship pipeline -------------------------
     "q_pipeline_e2e" -> ((s, d) => {
@@ -390,6 +442,139 @@ object SparkEntry {
         """SELECT route, COUNT(*) AS log_count,
            SUM(octet_length(CAST(text AS BLOB))) AS log_raw_bytes
            FROM tagged GROUP BY route"""),
+
+      "q_doc_token_count" ->
+        """SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish_tokens,
+           length(text) AS n_chars_actual
+           FROM documents""",
+
+      "q_doc_quality" ->
+        """SELECT doc_id, n_tokens, n_punct, n_stopwords, n_upper,
+           CAST(n_punct * 1000 // greatest(n_tokens, 1) AS INT) AS punct_per_1k_tokens,
+           CAST(n_stopwords * 1000 // greatest(n_tokens, 1) AS INT) AS stop_per_1k_tokens,
+           (n_tokens >= 5 AND n_tokens <= 100000 AND n_stopwords >= 1) AS is_quality
+           FROM (
+             SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+               len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS n_stopwords,
+               len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+             FROM documents
+           )""",
+
+      "q_doc_langid" ->
+        """SELECT doc_id, lang AS labeled_lang,
+           score_en, score_es, score_de, score_fr,
+           CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+                WHEN score_de >= score_fr THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+           FROM (
+             SELECT doc_id, lang,
+               len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS score_en,
+               len(regexp_extract_all(text, '\b(el|la|de|los|las)\b')) AS score_es,
+               len(regexp_extract_all(text, '\b(der|die|und|das|ein)\b')) AS score_de,
+               len(regexp_extract_all(text, '\b(le|les|et|une|des)\b')) AS score_fr
+             FROM documents
+           )""",
+
+      "q_doc_fingerprint" ->
+        """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 w -> CAST(length(w) * 17 + ascii(w) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+           FROM documents""",
+
+      "q_doc_exact_dedup" ->
+        """WITH d AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+             UNION ALL SELECT doc_id + 200000, text || ' appended' FROM documents WHERE doc_id % 10 = 1
+           )
+           SELECT md5(text) AS content_md5, COUNT(*) AS n_copies,
+             MIN(doc_id) AS keep_doc_id
+           FROM d GROUP BY 1""",
+
+      "q_doc_jaccard_pairs" ->
+        """WITH sh AS (
+             SELECT doc_id,
+               list_distinct(list_transform(
+                 range(greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+             FROM (
+               SELECT doc_id, text FROM documents WHERE doc_id % 10 = 1
+               UNION ALL
+               SELECT doc_id + 200000, text || ' appended' FROM documents WHERE doc_id % 10 = 1
+             )
+           )
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.s, b.s)) AS n_common,
+             len(list_distinct(list_concat(a.s, b.s))) AS n_union,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+           FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 200000
+           WHERE a.doc_id < 100000""",
+
+      "q_embed_topk" ->
+        """WITH e AS (
+             SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+             FROM embeddings
+           ), q AS (
+             SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10
+           ), s AS (
+             SELECT q_id, e.vec_id AS n_id,
+               CAST(list_sum(list_transform(range(64), i -> q_vec[i+1] * v[i+1])) AS BIGINT) AS d,
+               CAST(list_sum(list_transform(range(64), i -> v[i+1] * v[i+1])) AS BIGINT) AS n2
+             FROM e, q WHERE e.vec_id <> q_id
+           )
+           SELECT q_id, rank, n_id FROM (
+             SELECT q_id, n_id, row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY (CASE WHEN d > 0 THEN 1.0 WHEN d < 0 THEN -1.0 ELSE 0.0 END) * d * d / n2 DESC,
+                        n_id) AS rank
+             FROM s
+           ) WHERE rank <= 3""",
+
+      "q_media_summary" ->
+        """SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           CAST(len(regexp_extract_all(text, '[\x60-\x6f]')) AS BIGINT) AS hist_bin6,
+           CAST(len(regexp_extract_all(text, '[\x70-\x7f]')) AS BIGINT) AS hist_bin7
+           FROM documents""",
+
+      "q_events_sessionize" ->
+        """SELECT user_id, session_id, COUNT(*) AS n_events, SUM(value) AS total_value
+           FROM (
+             SELECT user_id, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             FROM (
+               SELECT user_id, event_id, value, epoch_us(ts) AS tsu,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+               FROM events
+             )
+           ) GROUP BY user_id, session_id""",
+
+      "q_tpch_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+           COUNT(*) AS n
+           FROM lineitem GROUP BY 1, 2""",
+
+      "q_join_orders_customer" ->
+        """SELECT c_mktsegment, COUNT(*) AS n_orders, SUM(o_totalprice) AS total
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1""",
 
       "q_pipeline_e2e" -> withTagged(
         """SELECT route, role, COUNT(*) AS n,

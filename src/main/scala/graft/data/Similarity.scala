@@ -1,0 +1,103 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`vec_id, embedding:
+  * array<float>, label`): brute-force cosine top-k as the exact baseline,
+  * and an LSH-bucketed (random-hyperplane) variant as the 100 TB scale path.
+  */
+object Similarity {
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Quantize to integers (×1000) so dot products are exact int64 math —
+    * deterministic ranking with zero float-summation-order hazards (the
+    * score is a single IEEE division of exact integers). |x|<1 and 64 dims
+    * keep dot² < 2^53.
+    */
+  def quantized(e: Column): Column =
+    transform(e, x => round(x.cast("double") * 1000).cast("long"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Signed comparable cosine proxy: sign(dot)·dot²/|b|² — monotone in
+    * cosine for a fixed query (|a| constant per query group), exact-int
+    * inputs, so cross-engine rank ties break identically on vec_id.
+    */
+  def cosineRankScore(dotCol: Column, bNorm2: Column): Column =
+    (signum(dotCol) * dotCol * dotCol / bNorm2).cast("double")
+
+  /** Brute-force top-k neighbors for the first `nQueries` vectors.
+    * The query side is tiny → broadcast; the corpus side streams — the
+    * exact pattern that scales to a full-corpus scan at 100 TB (one pass,
+    * no shuffle except the per-query top-k).
+    */
+  def bruteForceTopK(emb: DataFrame, k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), quantized(col("embedding")).as("q_vec"))
+    val c = emb.select(col("vec_id").as("n_id"), quantized(col("embedding")).as("n_vec"))
+    val d = dot(col("q_vec"), col("n_vec"))
+    val n2 = dot(col("n_vec"), col("n_vec"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosineRankScore(d, n2).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"))
+  }
+
+  /** Random-hyperplane LSH buckets: sign bits of dot products with
+    * `nPlanes` deterministic pseudo-random hyperplanes (derived from
+    * xxhash64 of (plane, dim) — seeded, no RNG state). At scale, queries
+    * only scan their own bucket ∪ neighboring buckets instead of the
+    * full corpus: candidate generation is a groupBy(bucket), not a cross
+    * join. (IVF-style coarse quantization would swap the hash for k-means
+    * centroids; the plumbing is identical.)
+    */
+  def hyperplaneBucket(vec: Column, nPlanes: Int = 8, dims: Int = 64): Column = {
+    val planeDots = (0 until nPlanes).map { p =>
+      // hyperplane component h(p,d) ∈ {-1,0,1}: deterministic from hash
+      val contrib = zip_with(vec,
+        transform(sequence(lit(0), lit(dims - 1)),
+          d => pmod(xxhash64(lit(p), d), lit(3)) - 1),
+        (x, h) => x * h)
+      aggregate(contrib, lit(0L), (acc, x) => acc + x)
+    }
+    planeDots.zipWithIndex.foldLeft(lit(0L)) { case (acc, (pd, i)) =>
+      acc.bitwiseOR(when(pd > 0, lit(1L << i)).otherwise(lit(0L)))
+    }
+  }
+
+  def lshBuckets(emb: DataFrame, nPlanes: Int = 8): DataFrame =
+    emb.select(col("vec_id"), quantized(col("embedding")).as("v"))
+      .select(col("vec_id"), hyperplaneBucket(col("v"), nPlanes).as("bucket"))
+
+  /** Bucket histogram — the partition-balance diagnostic for the ANN index. */
+  def lshBucketSizes(emb: DataFrame, nPlanes: Int = 8): DataFrame =
+    lshBuckets(emb, nPlanes).groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"))
+
+  /** ANN top-k restricted to same-bucket candidates (recall<1 by design;
+    * the scale path). */
+  def lshTopK(emb: DataFrame, k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val b = lshBuckets(emb)
+    val withVec = emb.select(col("vec_id"), quantized(col("embedding")).as("v"))
+      .join(b, "vec_id")
+    val q = withVec.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"), col("bucket"))
+    val c = withVec.select(col("vec_id").as("n_id"), col("v").as("n_vec"), col("bucket"))
+    val d = dot(col("q_vec"), col("n_vec"))
+    val n2 = dot(col("n_vec"), col("n_vec"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosineRankScore(d, n2).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"))
+  }
+}

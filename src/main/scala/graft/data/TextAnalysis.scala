@@ -1,0 +1,83 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines over the
+  * `documents` table: language ID, quality scoring, token counting,
+  * document fingerprinting. All pure column expressions — codegen'd,
+  * partition-parallel, no UDFs, no shuffles except the final aggregates.
+  */
+object TextAnalysis {
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  // -------------------------------------------------------------------
+  // Token counting: whitespace tokens + a BPE-ish subword regex count
+  // -------------------------------------------------------------------
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+      // BPE-ish: word pieces = runs of letters, digits, or single punct
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .as("n_bpeish_tokens"),
+      length(col("text")).as("n_chars_actual"))
+
+  // -------------------------------------------------------------------
+  // Quality scoring: length / punctuation / stopword / uppercase signals
+  // -------------------------------------------------------------------
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nTokens = size(split(trim(col("text")), "\\s+"))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    val nStop = size(regexp_extract_all(col("text"),
+      lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0)))
+    val nUpper = size(regexp_extract_all(col("text"), lit("[A-Z]"), lit(0)))
+    docs.select(
+      col("doc_id"),
+      nTokens.as("n_tokens"), nPunct.as("n_punct"),
+      nStop.as("n_stopwords"), nUpper.as("n_upper"),
+      // integer ratios scaled by 1000 → no float-compare hazards
+      (nPunct * 1000 / greatest(nTokens, lit(1))).cast("int").as("punct_per_1k_tokens"),
+      (nStop * 1000 / greatest(nTokens, lit(1))).cast("int").as("stop_per_1k_tokens"),
+      (nTokens >= 5 && nTokens <= 100000 && nStop >= 1).as("is_quality"))
+  }
+
+  // -------------------------------------------------------------------
+  // Language ID: n-gram / marker-word heuristic, deterministic argmax
+  // -------------------------------------------------------------------
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and|to)\\b",
+    "es" -> "\\b(el|la|de|los|las)\\b",
+    "de" -> "\\b(der|die|und|das|ein)\\b",
+    "fr" -> "\\b(le|les|et|une|des)\\b")
+
+  def langId(docs: DataFrame): DataFrame = {
+    val scores = LangMarkers.map { case (lang, pat) =>
+      lang -> size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+    }
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    val predicted = when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"),
+      en.as("score_en"), es.as("score_es"), de.as("score_de"), fr.as("score_fr"),
+      predicted.as("predicted_lang"))
+  }
+
+  // -------------------------------------------------------------------
+  // Document fingerprint: word-level polynomial rolling hash (mod prime)
+  // -------------------------------------------------------------------
+  /** acc ← (acc*31 + len(w)*17 + codepoint(w[0])) mod 1e9+7 over the word
+    * sequence — order-sensitive, so re-ordered near-dups get different
+    * prints while exact dups collide. Pure `aggregate` HOF, codegen'd.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val fp = aggregate(words, lit(0L),
+      (acc, w) => pmod(acc * 31 + length(w) * 17 + ascii(w), lit(1000000007L)))
+    docs.select(col("doc_id"), fp.as("fingerprint"))
+  }
+}
