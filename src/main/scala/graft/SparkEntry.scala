@@ -132,6 +132,22 @@ object SparkEntry {
     "q_salted_agg" -> ((s, d) => AggOps.saltedCountByConv(t(s, d))),
     "q_throughput" -> ((s, d) => AggOps.throughput(t(s, d))),
 
+    // ------------------- plugin / expression / snapshot -------------------
+    "q_plugin_nginx" -> ((s, d) =>
+      graft.plugins.Plugins.NginxPlugin(s, Map("data_flow" -> "low"))(t(s, d))),
+    "q_snapshot_search" -> ((s, d) =>
+      graft.plugins.Snapshot.search(t(s, d), "search", "2024-01-10 00:00:00")),
+    "q_expr_filter" -> ((s, d) => {
+      val tt = t(s, d)
+      tt.filter(graft.expr.ExprLang.boolExpr(
+          "role == 'tool' and tool startsWith 'search' or body contains 'latency_ms'",
+          tt.columns.toSet + "body"))
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"))
+    }),
+    "q_groupby_attrs" -> ((s, d) =>
+      EnrichOps.transpose(t(s, d))
+        .groupBy(col("host")).agg(count(lit(1)).as("n_records"))),
+
     // --------------- training-data ops (documents/embeddings) ---------------
     "q_doc_token_count" -> ((s, d) =>
       TextAnalysis.tokenCounts(TextAnalysis.documents(s, d))),
@@ -442,6 +458,45 @@ object SparkEntry {
         """SELECT route, COUNT(*) AS log_count,
            SUM(octet_length(CAST(text AS BLOB))) AS log_raw_bytes
            FROM tagged GROUP BY route"""),
+
+      "q_plugin_nginx" -> Transcripts.withT(
+        s"""SELECT conv_id, turn_idx, tool,
+           g['remote_addr'] AS remote_addr,
+           g['method'] AS method,
+           g['path'] AS path,
+           CAST(g['status'] AS INT) AS status,
+           CAST(g['body_bytes_sent'] AS BIGINT) AS body_bytes_sent,
+           strptime(string_split(g['time_local'], ' ')[1], '%d/%b/%Y:%H:%M:%S') AS event_ts,
+           'nginx' AS log_type,
+           CASE WHEN CAST(g['status'] AS INT) >= 500 THEN 17
+                WHEN CAST(g['status'] AS INT) >= 400 THEN 13 ELSE 9 END AS severity_number,
+           CASE WHEN CAST(g['status'] AS INT) >= 500 THEN 'ERROR'
+                WHEN CAST(g['status'] AS INT) >= 400 THEN 'WARN' ELSE 'INFO' END AS severity_text
+           FROM (
+             SELECT conv_id, turn_idx, tool, regexp_extract(text, '$nginxPat',
+               ['remote_addr','remote_user','time_local','method','path',
+                'protocol','status','body_bytes_sent','http_referer',
+                'http_user_agent']) AS g
+             FROM t WHERE regexp_matches(text, '^10\\.')
+           ) WHERE CAST(g['status'] AS INT) >= 400"""),
+
+      "q_snapshot_search" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx, role, tool, text, ts
+           FROM t WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+             AND (contains(text, 'search') OR contains(role, 'search')
+                  OR contains(tool, 'search') OR contains(conv_id, 'search'))"""),
+
+      "q_expr_filter" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx, role, tool
+           FROM t WHERE (role = 'tool' AND starts_with(tool, 'search'))
+             OR contains(text, 'latency_ms')"""),
+
+      "q_groupby_attrs" -> Transcripts.withT(
+        """SELECT host, COUNT(*) AS n_records FROM (
+             SELECT CASE WHEN role = 'tool' THEN 'tool-' || tool
+                    ELSE 'host-' || string_split(conv_id, '-')[1] END AS host
+             FROM t
+           ) GROUP BY host"""),
 
       "q_doc_token_count" ->
         """SELECT doc_id,

@@ -1,0 +1,175 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Translator for the expr-lang subset the reference's plugins and
+  * processors use (expr/expression.go:129-137 CreateBoolExpression /
+  * CreateValueExpression) into Catalyst `Column` trees.
+  *
+  * Supported (the operators observed across plugins/ and processor
+  * configs): `==  !=  >  >=  <  <=`, `and or not ! && ||`, `matches`
+  * (regex), `contains`, `startsWith`, `endsWith`, `nil` comparisons,
+  * parentheses, string/number/bool literals, identifiers with dotted paths
+  * and `map["key"]` indexing.
+  *
+  * Error semantics parity: expr-lang evaluates with AllowUndefinedVariables
+  * and `ExpressionMap` silently skips failed/nil expressions
+  * (expr/map.go:31-34) — here unresolved identifiers become null columns
+  * (`when(false, ...)`), which Catalyst folds, and comparisons with null
+  * yield null → filtered rows drop, matching Match()'s false-on-error.
+  */
+object ExprLang {
+
+  // ---- lexer ----
+  private sealed trait Tok
+  private case class Ident(s: String) extends Tok
+  private case class Str(s: String) extends Tok
+  private case class Num(s: String) extends Tok
+  private case class Op(s: String) extends Tok
+
+  private def lex(s: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"') {
+        val j = s.indexOf(c, i + 1)
+        require(j > 0, s"unterminated string at $i in: $s")
+        out += Str(s.substring(i + 1, j)); i = j + 1
+      } else if (c.isDigit) {
+        val j = s.indexWhere(ch => !(ch.isDigit || ch == '.'), i)
+        val end = if (j < 0) s.length else j
+        out += Num(s.substring(i, end)); i = end
+      } else if (c.isLetter || c == '_') {
+        val j = s.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_' || ch == '.'), i)
+        val end = if (j < 0) s.length else j
+        out += Ident(s.substring(i, end)); i = end
+      } else {
+        val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
+        if (Set("==", "!=", ">=", "<=", "&&", "||").contains(two)) {
+          out += Op(two); i += 2
+        } else {
+          out += Op(c.toString); i += 1
+        }
+      }
+    }
+    out.toList
+  }
+
+  // ---- parser (recursive descent) ----
+  private class P(var toks: List[Tok], resolve: String => Option[Column]) {
+    def peek: Option[Tok] = toks.headOption
+    def next(): Tok = { val t = toks.head; toks = toks.tail; t }
+    def expect(op: String): Unit = next() match {
+      case Op(`op`) =>
+      case t => throw new IllegalArgumentException(s"expected '$op', got $t")
+    }
+
+    def parseOr(): Column = {
+      var l = parseAnd()
+      while (peek.contains(Op("||")) || peek.contains(Ident("or"))) {
+        next(); l = l || parseAnd()
+      }
+      l
+    }
+
+    def parseAnd(): Column = {
+      var l = parseNot()
+      while (peek.contains(Op("&&")) || peek.contains(Ident("and"))) {
+        next(); l = l && parseNot()
+      }
+      l
+    }
+
+    def parseNot(): Column = peek match {
+      case Some(Op("!")) => next(); !parseNot()
+      case Some(Ident("not")) => next(); !parseNot()
+      case _ => parseCmp()
+    }
+
+    def parseCmp(): Column = {
+      val l = parseTerm()
+      peek match {
+        case Some(Op(o)) if Set("==", "!=", ">", ">=", "<", "<=").contains(o) =>
+          next()
+          val isNil = peek.contains(Ident("nil"))
+          if (isNil) {
+            next()
+            if (o == "==") l.isNull else l.isNotNull
+          } else {
+            val r = parseTerm()
+            o match {
+              case "==" => l === r
+              case "!=" => l =!= r
+              case ">" => l > r
+              case ">=" => l >= r
+              case "<" => l < r
+              case "<=" => l <= r
+            }
+          }
+        case Some(Ident("matches")) => next(); l.rlike(str())
+        case Some(Ident("contains")) => next(); l.contains(lit(str()))
+        case Some(Ident("startsWith")) => next(); l.startsWith(str())
+        case Some(Ident("endsWith")) => next(); l.endsWith(str())
+        case _ => l
+      }
+    }
+
+    private def str(): String = next() match {
+      case Str(s) => s
+      case t => throw new IllegalArgumentException(s"expected string, got $t")
+    }
+
+    def parseTerm(): Column = next() match {
+      case Str(s) => lit(s)
+      case Num(s) => if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
+      case Ident("true") => lit(true)
+      case Ident("false") => lit(false)
+      case Ident("nil") => lit(null)
+      case Ident(name) =>
+        val base = resolve(name).getOrElse(
+          // AllowUndefinedVariables: undefined → null column
+          when(lit(false), lit("")))
+        // optional ["key"] map indexing
+        peek match {
+          case Some(Op("[")) =>
+            next()
+            val k = str()
+            expect("]")
+            base.getItem(k)
+          case _ => base
+        }
+      case Op("(") =>
+        val e = parseOr()
+        expect(")")
+        e
+      case t => throw new IllegalArgumentException(s"unexpected token $t")
+    }
+  }
+
+  /** Default identifier resolution for the transcript row env: the Record
+    * env fields (expr/record.go:39-71) mapped onto our flat schema.
+    */
+  def defaultResolver(columns: Set[String]): String => Option[Column] = {
+    val aliases = Map("body" -> "text", "severity_enum" -> "severity_text",
+      "timestamp" -> "ts")
+    name => {
+      val target = aliases.getOrElse(name, name)
+      val head = target.split("\\.").head
+      if (columns.contains(head)) {
+        Some(target.split("\\.").drop(1)
+          .foldLeft(col(head))((c, f) => c.getField(f)))
+      } else None
+    }
+  }
+
+  /** CreateBoolExpression parity: compile a predicate string to a Column. */
+  def boolExpr(src: String, columns: Set[String]): Column =
+    new P(lex(src), defaultResolver(columns)).parseOr()
+
+  /** CreateValueExpression parity. */
+  def valueExpr(src: String, columns: Set[String]): Column =
+    new P(lex(src), defaultResolver(columns)).parseTerm()
+}

@@ -204,8 +204,10 @@ object Transcripts {
                seed: Long = 42L, hotShare: Double = 0.2): DataFrame = {
     val r = spark.range(0, nTurns, 1)
     val i = col("id")
-    // splitmix-style deterministic scramble for pseudo-randomness without rand()
-    val h = abs(xxhash64(i, lit(seed)))
+    // deterministic scramble for pseudo-randomness without rand(); bounded
+    // below 2^30 so downstream products never overflow int64 under ANSI mode
+    // (and no abs(Long.MinValue) edge at 10^12 rows)
+    val h = pmod(xxhash64(i, lit(seed)), lit(1000000007L))
     val hotCut = lit((hotShare * 100).toLong)
     val convNum = when(h % 100 < hotCut, h % 3) // hot keys: conv 0..2
       .otherwise(h % lit(nConvs))
@@ -229,7 +231,8 @@ object Transcripts {
     // timestamps spread across hour partitions of a fixed day range; monotone
     // in generation index within a conversation (ts derived from id).
     val ts = timestamp_seconds(lit(1704067200L) + i * 3) // 2024-01-01 + 3s/turn
-    val ip = format_string("10.%d.%d.%d", h % 223 + 1, (h / 7) % 256, (h / 11) % 256)
+    val ip = format_string("10.%d.%d.%d", h % 223 + 1,
+      (h / 7).cast("long") % 256, (h / 11).cast("long") % 256)
     val path = format_string("/api/v%d/r/%d", h % 3 + 1, h % 1000)
     val method = when(h % 5 === 2, "POST").otherwise("GET")
     val tl = concat(date_format(ts, "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000"))

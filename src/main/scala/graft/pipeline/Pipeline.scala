@@ -1,0 +1,224 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.enrich.EnrichOps
+import graft.model.Transcripts
+import graft.route.Router
+
+/** Pipeline spec + compiler: the engine's analogue of the collector's
+  * config → component graph lifecycle (SURVEY §3 EP1/EP2).
+  *
+  * A spec is validated at plan time — unknown operators, missing required
+  * params, and undefined routes are plan-time errors, exactly as the
+  * reference rejects configs in Validate() (logcountprocessor/config.go:55-73)
+  * and undefined routes in routereceiver (receiver.go:46). Plugin-parameter
+  * defaulting mirrors pluginreceiver's ApplyDefaults/CheckParameters
+  * (receiver/pluginreceiver/plugin.go:85-101, 146-266).
+  */
+object Pipeline {
+
+  // ---------------------------------------------------------------------
+  // Spec model (the YAML-ish job config, as typed case classes)
+  // ---------------------------------------------------------------------
+  case class ParamSpec(name: String, required: Boolean = false,
+                       default: Option[String] = None,
+                       supported: Option[Seq[String]] = None)
+
+  case class OperatorSpec(opType: String, params: Map[String, String] = Map.empty)
+
+  case class RouteSpec(name: String, predicateSql: String)
+
+  case class PipelineSpec(name: String,
+                          operators: Seq[OperatorSpec],
+                          routes: Seq[RouteSpec],
+                          sinks: Seq[String])
+
+  /** Registry of operator types and their parameter schemas — the factory
+    * set a build manifest would declare (manifests/observIQ/manifest.yaml).
+    */
+  val OperatorParams: Map[String, Seq[ParamSpec]] = Map(
+    "severity_tag" -> Seq.empty,
+    "lookup_enrich" -> Seq.empty,
+    "mask" -> Seq(ParamSpec("rules", default = Some("all"))),
+    "filter" -> Seq(ParamSpec("drop_where", required = true)),
+    "sample" -> Seq(
+      ParamSpec("drop_ratio", required = true),
+      ParamSpec("condition", default = Some("true"))),
+    "add" -> Seq(ParamSpec("field", required = true), ParamSpec("value", required = true)),
+    "retain" -> Seq(ParamSpec("fields", required = true)))
+
+  /** CheckParameters parity: unknown op, missing required, unsupported value
+    * are all plan-time validation errors; defaults are applied here.
+    */
+  def validate(spec: PipelineSpec): Either[Seq[String], PipelineSpec] = {
+    val errs = scala.collection.mutable.ListBuffer[String]()
+    val withDefaults = spec.operators.map { op =>
+      OperatorParams.get(op.opType) match {
+        case None =>
+          errs += s"unknown operator type '${op.opType}'"
+          op
+        case Some(params) =>
+          params.foreach { p =>
+            if (p.required && !op.params.contains(p.name))
+              errs += s"${op.opType}: missing required parameter '${p.name}'"
+            p.supported.foreach { sup =>
+              op.params.get(p.name).filterNot(sup.contains).foreach { v =>
+                errs += s"${op.opType}: unsupported value '$v' for '${p.name}'"
+              }
+            }
+          }
+          val defaults = params.collect {
+            case p if p.default.isDefined && !op.params.contains(p.name) =>
+              p.name -> p.default.get
+          }
+          op.copy(params = op.params ++ defaults)
+      }
+    }
+    if (spec.routes.isEmpty) errs += "pipeline requires at least one route"
+    val routeNames = spec.routes.map(_.name).toSet
+    spec.sinks.filterNot(routeNames.contains).foreach { s =>
+      errs += s"sink '$s' bound to undefined route" // routereceiver.go:46 parity
+    }
+    if (errs.nonEmpty) Left(errs.toList) else Right(spec.copy(operators = withDefaults))
+  }
+
+  /** Compile the validated spec into a DataFrame transform. Operators fold
+    * left→right exactly like the collector's consumer chain; the result is
+    * ONE Catalyst plan (the interpreter hops of the reference disappear into
+    * whole-stage codegen).
+    */
+  def compile(spec: PipelineSpec, spark: SparkSession): DataFrame => DataFrame = {
+    validate(spec) match {
+      case Left(errs) =>
+        throw new IllegalArgumentException(
+          s"invalid pipeline '${spec.name}': ${errs.mkString("; ")}")
+      case Right(v) =>
+        (input: DataFrame) => {
+          val afterOps = v.operators.foldLeft(input) { (df, op) =>
+            op.opType match {
+              case "severity_tag" =>
+                df.withColumn("severity_number", Router.rowSeverity())
+              case "lookup_enrich" => EnrichOps.lookupEnrich(spark, df)
+              case "mask" => df.withColumn("text", EnrichOps.maskString(col("text")))
+              case "filter" => df.filter(not(expr(op.params("drop_where"))))
+              case "sample" =>
+                graft.agg.AggOps.sample(df, expr(op.params("condition")),
+                  op.params("drop_ratio").toDouble)
+              case "add" => df.withColumn(op.params("field"), expr(op.params("value")))
+              case "retain" => df.select(op.params("fields").split(",").map(_.trim)
+                .map(col): _*)
+            }
+          }
+          val routeCol = v.routes.init.foldRight(lit(v.routes.last.name): Column) {
+            (r, acc) => when(expr(r.predicateSql), r.name).otherwise(acc)
+          }
+          afterOps.withColumn("route", routeCol)
+        }
+    }
+  }
+
+  /** The canonical benchmark pipeline: severity-tag → lookup-enrich →
+    * 3-way route (FIXTURES.md §3).
+    */
+  val Canonical: PipelineSpec = PipelineSpec(
+    name = "canonical",
+    operators = Seq(
+      OperatorSpec("severity_tag"),
+      OperatorSpec("lookup_enrich")),
+    routes = Seq(
+      RouteSpec("sink_errors", "severity_number >= 17"),
+      RouteSpec("sink_tools", "tool != ''"),
+      RouteSpec("sink_default", "true")),
+    sinks = Seq("sink_errors", "sink_tools", "sink_default"))
+}
+
+/** The spark-submit batch job: partition-wise parse → enrich → route →
+  * fan-out → aggregate over the hour-partitioned transcripts table, with
+  * per-partition manifest commits and resume.
+  *
+  * Scale design (10^12 turns): partitions are processed in bounded groups —
+  * each group is ONE partition-pruned scan and ONE persisted fan-out (the
+  * input is never re-read per sink), and each hour partition commits to the
+  * manifest independently, so a killed run loses at most the in-flight
+  * group and re-runs idempotently (dynamic partition overwrite).
+  */
+object PipelineRunner {
+
+  case class RunReport(partitionsProcessed: Int, partitionsSkipped: Int,
+                       rowsIn: Long, sinkCounts: Map[String, Long])
+
+  /** Discover hour partitions of a `year=/month=/day=/hour=` table. */
+  def discoverPartitions(spark: SparkSession, inputPath: String): Seq[String] = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def ls(p: HPath): Seq[HPath] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+    for {
+      y <- ls(new HPath(inputPath)) if y.getName.startsWith("year=")
+      m <- ls(y); d <- ls(m); h <- ls(d)
+    } yield s"${y.getName}/${m.getName}/${d.getName}/${h.getName}"
+  }
+
+  def run(spark: SparkSession, spec: Pipeline.PipelineSpec,
+          inputPath: String, outRoot: String,
+          groupSize: Int = 24): RunReport = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val manifest = new Manifest(s"$outRoot/_manifest")
+    val transform = Pipeline.compile(spec, spark)
+    val all = discoverPartitions(spark, inputPath)
+    val committed = manifest.committedPartitions()
+    val todo = all.filterNot(p => committed.contains(sanitize(p)))
+    var rowsIn = 0L
+    val sinkTotals = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+
+    todo.grouped(groupSize).foreach { group =>
+      val t0 = System.nanoTime()
+      // one pruned scan for the whole group
+      val paths = group.map(p => s"$inputPath/$p")
+      val input = spark.read
+        .option("basePath", inputPath)
+        .parquet(paths: _*)
+      val tagged = transform(input)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // single-pass fan-out: per-sink filtered append, partitioned like
+        // the input so resume granularity is preserved sink-side
+        val perSinkPart: Map[String, Map[String, Long]] = {
+          val counts = tagged.groupBy(col("route"), col("year"), col("month"),
+              col("day"), col("hour"))
+            .agg(count(lit(1)).as("n"))
+            .collect()
+            .map(r => (r.getString(0),
+              s"year=${r.get(1)}/month=${r.get(2)}/day=${r.get(3)}/hour=${r.get(4)}",
+              r.getLong(5)))
+          counts.groupBy(_._1).map { case (s, rs) =>
+            s -> rs.map(r => r._2 -> r._3).toMap
+          }
+        }
+        spec.sinks.foreach { sink =>
+          tagged.filter(col("route") === sink)
+            .write.mode("overwrite")
+            .partitionBy("year", "month", "day", "hour")
+            .parquet(s"$outRoot/$sink")
+        }
+        val wallMs = (System.nanoTime() - t0) / 1000000
+        group.foreach { p =>
+          val sinkCounts = spec.sinks.map { s =>
+            s -> perSinkPart.getOrElse(s, Map.empty).getOrElse(p, 0L)
+          }.toMap
+          rowsIn += sinkCounts.values.sum
+          sinkCounts.foreach { case (k, v) => sinkTotals(k) += v }
+          manifest.commit(manifest.PartitionEntry(
+            sanitize(p), "committed", sinkCounts.values.sum, sinkCounts,
+            Seq(s"$inputPath/$p"), wallMs))
+        }
+      } finally tagged.unpersist()
+    }
+    RunReport(todo.size, committed.size, rowsIn, sinkTotals.toMap)
+  }
+
+  private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9=_-]", "_")
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.route.Router
+
+/** Continuous variant of the pipeline: Structured Streaming over the same
+  * partitioned transcripts layout (the reference is a continuous collector;
+  * our batch engine is the deterministic re-expression, this is the faithful
+  * streaming one — SURVEY §1.3, §2E).
+  *
+  * Micro-batches ≙ the collector's batch-at-a-time ConsumeLogs; the
+  * per-interval flush of logcount (processor.go:164-177) becomes an
+  * event-time tumbling window with a watermark (late data: the reference
+  * counts arrivals so late data is impossible; we bound state with a
+  * watermark instead of unbounded counters).
+  */
+object StreamingPipeline {
+
+  val TranscriptSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+    StructField("role", StringType), StructField("text", StringType),
+    StructField("tool", StringType), StructField("ts", TimestampNTZType),
+    StructField("year", IntegerType), StructField("month", IntegerType),
+    StructField("day", IntegerType), StructField("hour", IntegerType)))
+
+  /** readStream → severity/route tagging → watermarked windowed per-route
+    * counts. One file per micro-batch keeps the demo deterministic.
+    */
+  def routedCounts(spark: SparkSession, inputPath: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(TranscriptSchema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(inputPath)
+    Router.tagged(stream)
+      .withColumn("ts_ltz", col("ts").cast("timestamp"))
+      .withWatermark("ts_ltz", "2 hours")
+      .groupBy(window(col("ts_ltz"), "1 hour"), col("route"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("route"), col("n"))
+  }
+
+  /** Drive the stream to completion against a static directory (batch parity
+    * harness: processAllAvailable consumes every file, then the result table
+    * must equal the batch pipeline's counts).
+    */
+  def runToCompletion(spark: SparkSession, inputPath: String,
+                      queryName: String = "routed_counts"): StreamingQuery = {
+    val q = routedCounts(spark, inputPath).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

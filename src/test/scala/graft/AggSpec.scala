@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.agg.AggOps
+import graft.model.Transcripts
+
+class AggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val t = Transcripts.fromEvents(spark, sfDir).cache()
+
+  test("metricstats: integer avg uses integer division (avg_statistic.go:61-66)") {
+    val rows = Seq(
+      ("c1", 0, "{\"level\":\"info\",\"status\":200,\"path\":\"/x\",\"latency_ms\":3,\"msg\":\"m\"}", "", Timestamp.valueOf("2024-01-01 00:01:00")),
+      ("c1", 1, "{\"level\":\"info\",\"status\":200,\"path\":\"/x\",\"latency_ms\":4,\"msg\":\"m\"}", "", Timestamp.valueOf("2024-01-01 00:02:00")))
+      .toDF("conv_id", "turn_idx", "text", "tool", "ts")
+      .withColumn("role", lit("user"))
+    val s = AggOps.metricStats(rows).collect().head
+    assert(s.getAs[Long]("stat_avg_int") == 3L) // (3+4)/2 = 3 int, not 3.5
+    assert(s.getAs[Double]("stat_avg_double") == 3.5)
+  }
+
+  test("metricstats: first/last follow arrival order (ts, conv, turn)") {
+    val rows = Seq(
+      ("c2", 1, "{\"level\":\"warn\",\"status\":400,\"path\":\"/x\",\"latency_ms\":50,\"msg\":\"m\"}", "", Timestamp.valueOf("2024-01-01 00:05:00")),
+      ("c1", 0, "{\"level\":\"warn\",\"status\":400,\"path\":\"/x\",\"latency_ms\":10,\"msg\":\"m\"}", "", Timestamp.valueOf("2024-01-01 00:01:00")),
+      ("c3", 2, "{\"level\":\"warn\",\"status\":400,\"path\":\"/x\",\"latency_ms\":99,\"msg\":\"m\"}", "", Timestamp.valueOf("2024-01-01 00:09:00")))
+      .toDF("conv_id", "turn_idx", "text", "tool", "ts")
+      .withColumn("role", lit("user"))
+    val s = AggOps.metricStats(rows).collect().head
+    assert(s.getAs[Long]("stat_first") == 10L)
+    assert(s.getAs[Long]("stat_last") == 99L)
+  }
+
+  test("sampling fast paths: ratio 0 keeps all, ratio 1 drops all matching") {
+    val n = t.count()
+    assert(AggOps.sample(t, lit(true), 0.0).count() == n)
+    assert(AggOps.sample(t, col("role") === "user", 1.0)
+      .filter(col("role") === "user").count() == 0)
+    // seeded middle path is deterministic across runs
+    val a = AggOps.sample(t, lit(true), 0.5, seed = 7).count()
+    val b = AggOps.sample(t, lit(true), 0.5, seed = 7).count()
+    assert(a == b && a > 0 && a < n)
+  }
+
+  test("salted two-phase aggregation equals plain groupBy count") {
+    val salted = AggOps.saltedCountByConv(t).as[(String, Long)].collect().toMap
+    val plain = t.groupBy(col("conv_id")).count().as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("logcount windows align to epoch hours") {
+    val lc = AggOps.logCount(t)
+    val bad = lc.filter(minute(col("window_start")) =!= 0 ||
+      second(col("window_start")) =!= 0).count()
+    assert(bad == 0)
+    assert(lc.agg(sum(col("log_count"))).collect().head.getLong(0) == t.count())
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.data.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = TextAnalysis.documents(spark, sfDir).cache()
+
+  test("exact dedup finds exactly the planted copies") {
+    val planted = docs.filter($"doc_id" % 10 === 0).count()
+    val dups = Dedup.exactDedup(docs).filter($"n_copies" > 1)
+    assert(dups.count() == planted)
+    assert(dups.filter($"n_copies" =!= 2).count() == 0)
+    // keeper is always the original (min doc_id)
+    assert(dups.filter($"keep_doc_id" >= 100000).count() == 0)
+  }
+
+  test("exactDedupKeep removes one row per planted duplicate") {
+    val all = Dedup.withPlantedDups(docs).count()
+    val kept = Dedup.exactDedupKeep(docs).count()
+    val planted = docs.filter($"doc_id" % 10 === 0).count()
+    assert(all - kept == planted)
+  }
+
+  test("minhash-LSH candidates contain every planted exact pair") {
+    val cands = Dedup.minHashLshCandidates(docs)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val plantedPairs = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 100000)).toSet
+    val missed = plantedPairs -- cands
+    assert(missed.isEmpty, s"LSH missed exact dups: ${missed.take(3)}")
+  }
+
+  test("minhash dedup pairs: planted near-dups verified with jaccard >= 0.8") {
+    val pairs = Dedup.minHashDedupPairs(docs)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val plantedNear = docs.filter($"doc_id" % 10 === 1)
+      .select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 200000)).toSet
+    val found = plantedNear.intersect(pairs)
+    // near dup = one appended token; long docs stay >= 0.8 jaccard
+    assert(found.size >= (plantedNear.size * 8) / 10,
+      s"found only ${found.size}/${plantedNear.size} planted near-dups")
+  }
+
+  test("simhash: exact copies have hamming distance 0") {
+    val near = Dedup.simHashNearDups(docs)
+      .filter($"hamming" === 0)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val plantedPairs = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 100000)).toSet
+    assert((plantedPairs -- near).isEmpty)
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val emb = Similarity.embeddings(spark, sfDir).cache()
+
+  test("brute-force top-k: k neighbors per query, self excluded, ranks dense") {
+    val topk = Similarity.bruteForceTopK(emb, k = 3, nQueries = 5)
+      .as[(Long, Int, Long)].collect()
+    val byQ = topk.groupBy(_._1)
+    assert(byQ.size == 5)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1, 2, 3))
+      assert(!rows.exists(_._3 == q))
+    }
+  }
+
+  test("top-1 neighbor is the true argmax cosine (cross-check in Scala)") {
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val q = (v: Array[Float]) => v.map(x => math.round(x.toDouble * 1000))
+      val qa = q(a); val qb = q(b)
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum.toDouble
+      val n2 = qb.map(x => x * x).sum.toDouble
+      math.signum(dot) * dot * dot / n2
+    }
+    val spark1 = Similarity.bruteForceTopK(emb, k = 1, nQueries = 3)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r._3).toMap
+    (0L until 3L).foreach { q =>
+      val best = vecs.keys.filter(_ != q)
+        .maxBy(n => (cos(vecs(q), vecs(n)), -n))
+      assert(spark1(q) == best, s"query $q")
+    }
+  }
+
+  test("LSH buckets are deterministic and non-degenerate") {
+    val b1 = Similarity.lshBuckets(emb).as[(Long, Long)].collect().toMap
+    val b2 = Similarity.lshBuckets(emb).as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+    assert(b1.values.toSet.size > 1, "all vectors hashed to one bucket")
+  }
+}
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = TextAnalysis.documents(spark, sfDir).cache()
+
+  test("token counts: ws tokens <= bpe-ish tokens, none zero") {
+    val bad = TextAnalysis.tokenCounts(docs)
+      .filter($"n_ws_tokens" === 0 || $"n_bpeish_tokens" < $"n_ws_tokens").count()
+    assert(bad == 0)
+  }
+
+  test("fingerprint: identical text → identical print; appended token changes it") {
+    val fp = TextAnalysis.fingerprint(
+      Dedup.withPlantedDups(docs)).as[(Long, Long)].collect().toMap
+    docs.select($"doc_id").as[Long].collect().foreach { id =>
+      if (id % 10 == 0) assert(fp(id) == fp(id + 100000))
+      if (id % 10 == 1) assert(fp(id) != fp(id + 200000))
+    }
+  }
+
+  test("langid predicts a language for every doc") {
+    val p = TextAnalysis.langId(docs)
+    assert(p.filter($"predicted_lang".isNull).count() == 0)
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("fake codec: histogram mass equals payload size; features L1-normalized") {
+    val feats = Multimodal.extractFeatures(Multimodal.assets(spark, sfDir)).cache()
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    rows.take(50).foreach { f =>
+      assert(f.histogram.sum == f.n_bytes)
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-3)
+      assert(f.feature.length == 16)
+    }
+    assert(rows.map(_.kind).toSet == Set("image", "audio", "video"))
+  }
+
+  test("media pipeline stays distributed: partition count preserved") {
+    val a = Multimodal.assets(spark, sfDir)
+    val f = Multimodal.extractFeatures(a)
+    assert(f.rdd.getNumPartitions == a.rdd.getNumPartitions)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expr.ExprLang
+import graft.model.Transcripts
+import graft.plugins.Plugins
+import graft.route.Router
+import graft.streaming.StreamingPipeline
+
+class ExprLangSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val cols = Set("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  test("comparison, boolean, regex and string operators compile and evaluate") {
+    val df = Seq(
+      ("tool", "search", "GET /x latency_ms=5"),
+      ("user", "", "hello"),
+      ("tool", "shell", "rm -rf")).toDF("role", "tool", "text")
+    def n(src: String) = df.filter(ExprLang.boolExpr(src, cols)).count()
+    assert(n("role == 'tool'") == 2)
+    assert(n("role == 'tool' and tool == 'search'") == 1)
+    assert(n("role != 'tool' or tool == 'shell'") == 2)
+    assert(n("text matches 'latency_ms=\\d+'") == 1)
+    assert(n("text contains 'rm'") == 1)
+    assert(n("tool startsWith 'se'") == 1)
+    assert(n("text endsWith 'hello'") == 1)
+    assert(n("!(role == 'user')") == 2)
+    assert(n("not (role == 'user')") == 2)
+  }
+
+  test("nil semantics: undefined variables are null (AllowUndefinedVariables)") {
+    val df = Seq(("a", "x")).toDF("role", "text")
+    assert(df.filter(ExprLang.boolExpr("no_such_field == nil", cols)).count() == 1)
+    assert(df.filter(ExprLang.boolExpr("no_such_field == 'v'", cols)).count() == 0)
+  }
+
+  test("body alias resolves to text (Record env parity)") {
+    val df = Seq(("hello world", "u")).toDF("text", "role")
+    assert(df.filter(ExprLang.boolExpr("body contains 'world'", cols)).count() == 1)
+  }
+
+  test("numeric comparisons") {
+    val df = Seq((1, 500), (2, 200)).toDF("turn_idx", "status")
+    assert(df.filter(ExprLang.boolExpr("status >= 400", cols + "status")).count() == 1)
+  }
+}
+
+class PluginsSpec extends SparkTestBase {
+
+  test("plugin parameter validation: unknown param / unsupported value rejected") {
+    val t = Transcripts.fromEvents(spark, sfDir)
+    intercept[IllegalArgumentException] {
+      Plugins.NginxPlugin(spark, Map("bogus" -> "1"))(t)
+    }
+    intercept[IllegalArgumentException] {
+      Plugins.NginxPlugin(spark, Map("data_flow" -> "medium"))(t)
+    }
+  }
+
+  test("nginx plugin low data_flow keeps only warn+ records") {
+    val t = Transcripts.fromEvents(spark, sfDir)
+    val low = Plugins.NginxPlugin(spark, Map("data_flow" -> "low"))(t)
+    assert(low.filter(col("severity_number") < 13).count() == 0)
+    val high = Plugins.NginxPlugin(spark)(t)
+    assert(high.count() > low.count())
+  }
+}
+
+/** Streaming/batch parity: the continuous variant must produce exactly the
+  * batch pipeline's per-route windowed counts on the same input.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming routed counts equal batch routed counts") {
+    val base = java.nio.file.Files.createTempDirectory("stream").toString
+    Transcripts.writePartitioned(
+      Transcripts.generate(spark, nTurns = 5000, nConvs = 20), base + "/in")
+
+    val q = StreamingPipeline.runToCompletion(spark, base + "/in", "sp_counts")
+    try {
+      val streamed = spark.table("sp_counts")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      val batch = Router.tagged(Transcripts.readPartitioned(spark, base + "/in"))
+        .groupBy(window(col("ts").cast("timestamp"), "1 hour"), col("route"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("route"), col("n"))
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally {
+      q.stop()
+      Bench.deleteRec(base)
+    }
+  }
+}

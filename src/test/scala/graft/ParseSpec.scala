@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.RegexExtractStruct
+import graft.model.Transcripts
+import graft.parse.ParseOps
+
+class ParseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val t = Transcripts.fromEvents(spark, sfDir).cache()
+
+  test("RegexExtractStruct extracts all nginx groups in one pass") {
+    val line = """10.1.2.3 - user7 [05/Feb/2024:10:11:12 +0000] "GET /api/v1/view/42 HTTP/1.1" 404 123 "-" "agent/3""""
+    val df = Seq(line).toDF("text")
+      .select(RegexExtractStruct.of($"text", ParseOps.NginxPattern, ParseOps.NginxFields).as("p"))
+      .select($"p.remote_addr", $"p.method", $"p.status", $"p.http_user_agent")
+    val r = df.collect().head
+    assert(r.getString(0) == "10.1.2.3")
+    assert(r.getString(1) == "GET")
+    assert(r.getString(2) == "404")
+    assert(r.getString(3) == "agent/3")
+  }
+
+  test("RegexExtractStruct codegen and interpreted paths agree") {
+    val lines = t.filter(ParseOps.isNginx).select($"text").limit(200)
+    val viaStruct = lines.select(
+      RegexExtractStruct.of($"text", ParseOps.NginxPattern, ParseOps.NginxFields)
+        .getField("status").as("s")).collect().map(_.getString(0))
+    val viaBuiltin = lines.select(
+      regexp_extract($"text", ParseOps.NginxPattern, 7).as("s"))
+      .collect().map(_.getString(0))
+    assert(viaStruct.toSeq == viaBuiltin.toSeq)
+  }
+
+  test("RegexExtractStruct returns null struct on no-match (on_error drop parity)") {
+    val df = Seq("not an access log").toDF("text")
+      .select(RegexExtractStruct.of($"text", ParseOps.NginxPattern, ParseOps.NginxFields).as("p"))
+    assert(df.collect().head.isNullAt(0))
+  }
+
+  test("strptime translation covers plugin layouts") {
+    assert(ParseOps.strptimeToJava("%d/%b/%Y:%H:%M:%S %z") == "dd/MMM/yyyy:HH:mm:ss Z")
+    assert(ParseOps.strptimeToJava("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss")
+  }
+
+  test("parseTime round-trips the generated time_local back to the event hour") {
+    val parsed = ParseOps.parseTime(t)
+    assert(parsed.filter($"event_ts".isNull).count() == 0)
+    // times must be within the events table's range
+    val mn = parsed.agg(min($"event_ts")).collect().head.getTimestamp(0)
+    assert(mn.toString.startsWith("2024-01"))
+  }
+
+  test("severity mapping follows 2xx..5xx classes (nginx_logs.yaml:100-106)") {
+    val sev = ParseOps.parseSeverity(t)
+    val bad = sev.filter(
+      ($"status" >= 500 && $"severity_number" =!= 17) ||
+      ($"status" >= 400 && $"status" < 500 && $"severity_number" =!= 13) ||
+      ($"status" < 400 && $"severity_number" =!= 9)).count()
+    assert(bad == 0)
+  }
+
+  test("recombine sessionizes partial turns until final marker") {
+    import org.apache.spark.sql.Row
+    val rows = ParseOps.recombine(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val combined = r.getAs[String]("combined")
+      val parts = combined.split("\n")
+      // every non-last part is partial; sessions are F-terminated or a
+      // trailing unterminated remainder
+      parts.init.foreach(p => assert(p.startsWith("P|"), s"mid-session final: $combined"))
+    }
+  }
+
+  test("field ops: retain projects exactly the listed columns") {
+    val cols = ParseOps.fieldOps(t).columns.toSeq
+    assert(cols == Seq("conv_id", "turn_idx", "level", "service", "code", "env",
+      "log_record_original"))
+  }
+}
