@@ -119,6 +119,7 @@ object SparkEntry {
 
     // ------------------------- aggregate plane -------------------------
     "q_logcount" -> ((s, d) => AggOps.logCount(t(s, d))),
+    "q_logcount_attrs" -> ((s, d) => AggOps.logCountByAttrs(t(s, d))),
     "q_datapoint_count" -> ((s, d) => AggOps.datapointCount(t(s, d))),
     "q_metric_extract" -> ((s, d) =>
       AggOps.metricExtract(t(s, d))
@@ -406,6 +407,13 @@ object SparkEntry {
       "q_logcount" -> Transcripts.withT(
         """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            role, COUNT(*) AS log_count
+           FROM t GROUP BY 1, 2"""),
+
+      "q_logcount_attrs" -> Transcripts.withT(
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           '{"has_tool":"' || CASE WHEN tool <> '' THEN 'true' ELSE 'false' END ||
+             '","role":"' || role || '"}' AS attrs_json,
+           COUNT(*) AS log_count
            FROM t GROUP BY 1, 2"""),
 
       "q_datapoint_count" -> Transcripts.withT(

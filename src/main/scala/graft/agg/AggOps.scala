@@ -141,4 +141,30 @@ object AggOps {
       .agg(
         count(lit(1)).as("log_count"),
         sum(octet_length(col("text"))).as("log_raw_bytes"))
+
+  /** Zero-cost observability tap on any stage — the `observe` variant: the
+    * counters ride the existing action, no extra job, no row mutation
+    * (throughputmeasurementprocessor semantics). Read back via
+    * `df.queryExecution.observedMetrics` after an action.
+    */
+  def withThroughputTap(df: DataFrame, name: String = "throughput"): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("log_count"),
+      sum(octet_length(col("text"))).as("log_raw_bytes"))
+
+  // -------------------------------------------------------------------
+  // counter.TelemetryCounter dimension keys — the reference groups by the
+  // JSON-serialized attribute map (counter/counter.go:114-118); relationally:
+  // canonicalize the map (sorted entries → JSON) and group by that string.
+  // -------------------------------------------------------------------
+  def logCountByAttrs(t: DataFrame, interval: String = "1 hour"): DataFrame = {
+    val attrs = map(
+      lit("role"), col("role"),
+      lit("has_tool"), when(col("tool") =!= "", "true").otherwise("false"))
+    val canonicalKey = to_json(map_from_entries(array_sort(map_entries(attrs))))
+    t.groupBy(
+        windowStart(col("ts"), interval).as("window_start"),
+        canonicalKey.as("attrs_json"))
+      .agg(count(lit(1)).as("log_count"))
+  }
 }

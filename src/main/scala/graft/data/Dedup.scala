@@ -81,13 +81,12 @@ object Dedup {
     * explode(b) + groupBy(band,value) — linear in corpus size, never
     * all-pairs. (Standard MinHash-LSH; Broder '97.)
     */
-  def minHashSignature(text: Column, k: Int): Column = {
-    val sh = shingles(text)
-    array((0 until k).map { i =>
-      aggregate(sh, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(lit(i), s)))
-    }: _*)
-  }
+  def minHashSignature(text: Column, k: Int): Column =
+    // ONE fold over the shingle array maintaining all k minima — shingling
+    // runs once per row (k separate aggregates would re-shingle k times)
+    aggregate(shingles(text), array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => transform(sequence(lit(0), lit(k - 1)),
+        i => least(element_at(acc, i + 1), xxhash64(i, s))))
 
   def minHashLshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val r = k / bands
@@ -99,6 +98,8 @@ object Dedup {
           xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))).as("bucket"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      // self-join below would otherwise recompute every signature twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate pairs: co-bucketed docs (distinct across bands)
     val l = banded.as("l")
     val rr = banded.as("r")
@@ -126,22 +127,42 @@ object Dedup {
   // SimHash: 64-bit sign-of-weighted-bit-sums over token hashes
   // (Charikar '02); near-dups have small hamming distance.
   // -------------------------------------------------------------------
-  def simHash(text: Column): Column = {
+  /** Per-bit vote counts over token hashes. IMPORTANT perf shape: token
+    * hashes are materialized once (`transform` → one xxhash64 per token),
+    * and callers must materialize this column BEFORE folding it into the
+    * 64-bit signature — referencing an aggregate HOF from inside another
+    * fold would re-evaluate the entire token loop per bit (64×).
+    */
+  private def simHashBitCounts(text: Column): Column = {
     import graft.functions.BitOps
-    val tokens = split(text, " ")
-    val bitCounts = aggregate(tokens,
+    val hashes = transform(split(text, " "), tok => xxhash64(tok))
+    aggregate(hashes,
       array_repeat(lit(0), 64),
-      (acc, tok) => zip_with(acc, transform(sequence(lit(0), lit(63)),
-        b => when(BitOps.shiftRU(xxhash64(tok), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)),
-        (a, x) => a + x))
-    aggregate(sequence(lit(0), lit(63)),
+      (acc, h) => transform(sequence(lit(0), lit(63)),
+        b => element_at(acc, b + 1) +
+          when(BitOps.shiftRU(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
+  }
+
+  /** Fold the 64 vote counts into the sign-bit signature. `bits` is the
+    * INPUT ARRAY of the fold (zip with positions), so it is evaluated once
+    * per row even after CollapseProject inlines it — never once per bit.
+    */
+  private def simHashFromBits(bits: Column): Column = {
+    import graft.functions.BitOps
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(63)),
+        (v, b) => struct(v.as("v"), b.as("b"))),
       lit(0L),
-      (acc, b) => when(element_at(bitCounts, b + 1) > 0,
-        acc.bitwiseOR(BitOps.shiftL(lit(1L), b))).otherwise(acc))
+      (acc, e) => when(e.getField("v") > 0,
+        acc.bitwiseOR(BitOps.shiftL(lit(1L), e.getField("b")))).otherwise(acc))
   }
 
   def simHashes(docs: DataFrame): DataFrame =
-    withPlantedDups(docs).select(col("doc_id"), simHash(col("text")).as("simhash"))
+    withPlantedDups(docs)
+      .select(col("doc_id"), simHashFromBits(simHashBitCounts(col("text"))).as("simhash"))
+
+  /** Column API kept for single-expression use in tests. */
+  def simHash(text: Column): Column = simHashFromBits(simHashBitCounts(text))
 
   /** Candidate pairs by 16-bit chunk bucketing (hamming ≤ 3 pairs must share
     * at least one of 4 chunks), verified by bit_count(xor).
@@ -155,6 +176,8 @@ object Dedup {
             .bitwiseAND(lit(0xFFFFL)).as("v"))))
         .as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.v"))
+      // self-join: don't recompute the signatures for each side
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = chunked.as("l")
     val r = chunked.as("r")
     l.join(r, Seq("chunk", "v"))

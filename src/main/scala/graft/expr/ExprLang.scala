@@ -129,17 +129,31 @@ object ExprLang {
       case Ident("false") => lit(false)
       case Ident("nil") => lit(null)
       case Ident(name) =>
-        val base = resolve(name).getOrElse(
-          // AllowUndefinedVariables: undefined → null column
-          when(lit(false), lit("")))
-        // optional ["key"] map indexing
         peek match {
-          case Some(Op("[")) =>
+          // OTTL converter call: Name(arg, ...) (expr/ottl.go:92-143 exposes
+          // the upstream converter set; this is the subset plugins use)
+          case Some(Op("(")) if Converters.contains(name) =>
             next()
-            val k = str()
-            expect("]")
-            base.getItem(k)
-          case _ => base
+            val args = scala.collection.mutable.ListBuffer[Column]()
+            if (!peek.contains(Op(")"))) {
+              args += parseOr()
+              while (peek.contains(Op(","))) { next(); args += parseOr() }
+            }
+            expect(")")
+            Converters(name)(args.toList)
+          case _ =>
+            val base = resolve(name).getOrElse(
+              // AllowUndefinedVariables: undefined → null column
+              when(lit(false), lit("")))
+            // optional ["key"] map indexing
+            peek match {
+              case Some(Op("[")) =>
+                next()
+                val k = str()
+                expect("]")
+                base.getItem(k)
+              case _ => base
+            }
         }
       case Op("(") =>
         val e = parseOr()
@@ -148,6 +162,32 @@ object ExprLang {
       case t => throw new IllegalArgumentException(s"unexpected token $t")
     }
   }
+
+  /** OTTL converter functions ≈ built-in SQL functions (SURVEY §2B): the
+    * "return nil on failure" contract maps to null-propagating casts.
+    */
+  val Converters: Map[String, List[Column] => Column] = Map(
+    "Concat" -> (args => concat_ws("", args: _*)),
+    "Substring" -> { case c :: start :: len :: Nil =>
+      c.substr(start.cast("int") + 1, len.cast("int")) // OTTL start is 0-based
+    },
+    "Int" -> (args => args.head.cast("long")),
+    "Double" -> (args => args.head.cast("double")),
+    "String" -> (args => args.head.cast("string")),
+    "Len" -> (args => length(args.head).cast("long")),
+    "ToLowerCase" -> (args => lower(args.head)),
+    "ToUpperCase" -> (args => upper(args.head)),
+    "Time" -> { case c :: fmt :: Nil =>
+      to_timestamp(c, graft.parse.ParseOps.strptimeToJava(extractLit(fmt)))
+    },
+    "UnixMilli" -> (args => unix_millis(args.head.cast("timestamp"))),
+    "ParseJSON" -> (args => args.head), // parsed lazily by downstream getItem
+    "IsMatch" -> { case c :: pat :: Nil => c.rlike(extractLit(pat)) })
+
+  private def extractLit(c: Column): String =
+    org.apache.spark.sql.GraftBridge.literalValue(c)
+      .map(String.valueOf)
+      .getOrElse(throw new IllegalArgumentException(s"expected literal: $c"))
 
   /** Default identifier resolution for the transcript row env: the Record
     * env fields (expr/record.go:39-71) mapped onto our flat schema.

@@ -201,7 +201,8 @@ object Transcripts {
     * likewise tool calls concentrate on `search`.
     */
   def generate(spark: SparkSession, nTurns: Long, nConvs: Long,
-               seed: Long = 42L, hotShare: Double = 0.2): DataFrame = {
+               seed: Long = 42L, hotShare: Double = 0.2,
+               microsPerTurn: Long = 3000000L): DataFrame = {
     val r = spark.range(0, nTurns, 1)
     val i = col("id")
     // deterministic scramble for pseudo-randomness without rand(); bounded
@@ -230,7 +231,9 @@ object Transcripts {
       .otherwise("")
     // timestamps spread across hour partitions of a fixed day range; monotone
     // in generation index within a conversation (ts derived from id).
-    val ts = timestamp_seconds(lit(1704067200L) + i * 3) // 2024-01-01 + 3s/turn
+    // 2024-01-01 epoch + configurable spacing: the knob that sets turns/hour
+    // and therefore hour-partition sizes at any scale
+    val ts = timestamp_micros(lit(1704067200000000L) + i * microsPerTurn)
     val ip = format_string("10.%d.%d.%d", h % 223 + 1,
       (h / 7).cast("long") % 256, (h / 11).cast("long") % 256)
     val path = format_string("/api/v%d/r/%d", h % 3 + 1, h % 1000)

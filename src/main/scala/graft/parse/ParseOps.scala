@@ -183,6 +183,16 @@ object ParseOps {
   def severityFromLevel(level: Column): Column =
     when(level === "error", SevError).when(level === "warn", SevWarn).otherwise(SevInfo)
 
+  /** Numeric range mapping (plugins/common_event_format_logs.yaml:74-82:
+    * `severity: mapping: error: - min: N max: M`): ordered (min,max,sev)
+    * ranges compiled into one when-chain; no match → default.
+    */
+  def severityFromRanges(value: Column, ranges: Seq[(Int, Int, Int)],
+                         default: Int = SevInfo): Column =
+    ranges.foldRight(lit(default): Column) { case ((lo, hi, sev), acc) =>
+      when(value >= lo && value <= hi, sev).otherwise(acc)
+    }
+
   def parseSeverity(t: DataFrame): DataFrame = {
     val n = parseNginx(t)
     n.select(col("conv_id"), col("turn_idx"), col("status"),

@@ -162,9 +162,22 @@ object PipelineRunner {
     } yield s"${y.getName}/${m.getName}/${d.getName}/${h.getName}"
   }
 
+  /** Path of a sink's table: a `route=<name>` partition of the single
+    * fan-out output — each route directory IS that sink's table.
+    */
+  def sinkPath(outRoot: String, sink: String): String =
+    s"$outRoot/sinks/route=$sink"
+
+  /** @param strategy `"partitioned"` (default): ONE write of the tagged
+    *   stream partitioned by (route, year, month, day, hour) — a single
+    *   compute pass, flat memory, the only shape that survives 10^12 turns
+    *   (no multi-TB cache). `"persist"`: cache the tagged parent and run one
+    *   filtered write per sink — lower write fan-out per task, but the cache
+    *   materialization costs memory bandwidth and capacity.
+    */
   def run(spark: SparkSession, spec: Pipeline.PipelineSpec,
           inputPath: String, outRoot: String,
-          groupSize: Int = 24): RunReport = {
+          groupSize: Int = 24, strategy: String = "partitioned"): RunReport = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val manifest = new Manifest(s"$outRoot/_manifest")
     val transform = Pipeline.compile(spec, spark)
@@ -174,50 +187,92 @@ object PipelineRunner {
     var rowsIn = 0L
     val sinkTotals = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
 
+    val profile = sys.env.contains("SPARK_GRAFT_PROFILE")
+    def phase[T](name: String)(f: => T): T = {
+      val t = System.nanoTime()
+      val r = f
+      if (profile) System.err.println(
+        f"[profile] $name: ${(System.nanoTime() - t) / 1e9}%.2f s")
+      r
+    }
+
     todo.grouped(groupSize).foreach { group =>
       val t0 = System.nanoTime()
       // one pruned scan for the whole group
       val paths = group.map(p => s"$inputPath/$p")
-      val input = spark.read
+      val input = phase("read+list")(spark.read
         .option("basePath", inputPath)
-        .parquet(paths: _*)
-      val tagged = transform(input)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // single-pass fan-out: per-sink filtered append, partitioned like
-        // the input so resume granularity is preserved sink-side
-        val perSinkPart: Map[String, Map[String, Long]] = {
-          val counts = tagged.groupBy(col("route"), col("year"), col("month"),
-              col("day"), col("hour"))
-            .agg(count(lit(1)).as("n"))
-            .collect()
-            .map(r => (r.getString(0),
-              s"year=${r.get(1)}/month=${r.get(2)}/day=${r.get(3)}/hour=${r.get(4)}",
-              r.getLong(5)))
-          counts.groupBy(_._1).map { case (s, rs) =>
-            s -> rs.map(r => r._2 -> r._3).toMap
-          }
+        .parquet(paths: _*))
+      val tagged = phase("plan")(transform(input))
+
+      val perSinkPart: Map[String, Map[String, Long]] =
+        if (strategy == "persist") {
+          val cached = tagged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val counts = countsBySinkPartition(cached)
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.Duration
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val writes = spec.sinks.map { sink => Future {
+              cached.filter(col("route") === sink)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", 5000000)
+                .partitionBy("year", "month", "day", "hour")
+                .parquet(sinkPath(outRoot, sink))
+            }}
+            writes.foreach(Await.result(_, Duration.Inf))
+            counts
+          } finally cached.unpersist()
+        } else {
+          // single pass: route is the leading output partition column —
+          // every row lands in its sink table in the same job that parsed it
+          // (batchprocessor size caps via maxRecordsPerFile, manifest.yaml:86)
+          phase("write")(tagged.write.mode("overwrite")
+            .option("maxRecordsPerFile", 5000000)
+            .partitionBy("route", "year", "month", "day", "hour")
+            .parquet(s"$outRoot/sinks"))
+          // manifest metrics: count the WRITTEN rows — a column-less scan over
+          // the fresh output (footer-bound, cheap) that also double-checks the
+          // write landed
+          phase("count")(countsBySinkPartition(spark.read
+            .option("basePath", s"$outRoot/sinks")
+            .parquet(group.flatMap(p => spec.sinks.map(s =>
+              s"${sinkPath(outRoot, s)}/$p")).filter(pathExists(spark, _)): _*)))
         }
-        spec.sinks.foreach { sink =>
-          tagged.filter(col("route") === sink)
-            .write.mode("overwrite")
-            .partitionBy("year", "month", "day", "hour")
-            .parquet(s"$outRoot/$sink")
-        }
-        val wallMs = (System.nanoTime() - t0) / 1000000
-        group.foreach { p =>
-          val sinkCounts = spec.sinks.map { s =>
-            s -> perSinkPart.getOrElse(s, Map.empty).getOrElse(p, 0L)
-          }.toMap
-          rowsIn += sinkCounts.values.sum
-          sinkCounts.foreach { case (k, v) => sinkTotals(k) += v }
-          manifest.commit(manifest.PartitionEntry(
-            sanitize(p), "committed", sinkCounts.values.sum, sinkCounts,
-            Seq(s"$inputPath/$p"), wallMs))
-        }
-      } finally tagged.unpersist()
+
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      group.foreach { p =>
+        val sinkCounts = spec.sinks.map { s =>
+          s -> perSinkPart.getOrElse(s, Map.empty).getOrElse(p, 0L)
+        }.toMap
+        rowsIn += sinkCounts.values.sum
+        sinkCounts.foreach { case (k, v) => sinkTotals(k) += v }
+        manifest.commit(manifest.PartitionEntry(
+          sanitize(p), "committed", sinkCounts.values.sum, sinkCounts,
+          Seq(s"$inputPath/$p"), wallMs))
+      }
     }
     RunReport(todo.size, committed.size, rowsIn, sinkTotals.toMap)
+  }
+
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    FileSystem.get(spark.sparkContext.hadoopConfiguration).exists(new HPath(p))
+  }
+
+  /** route → (year=/month=/day=/hour= key → row count). */
+  private def countsBySinkPartition(df: org.apache.spark.sql.DataFrame)
+      : Map[String, Map[String, Long]] = {
+    val counts = df.groupBy(col("route"), col("year"), col("month"),
+        col("day"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0),
+        s"year=${r.get(1)}/month=${r.get(2)}/day=${r.get(3)}/hour=${r.get(4)}",
+        r.getLong(5)))
+    counts.groupBy(_._1).map { case (s, rs) =>
+      s -> rs.map(r => r._2 -> r._3).toMap
+    }
   }
 
   private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9=_-]", "_")

@@ -44,6 +44,26 @@ class ExprLangSpec extends SparkTestBase {
     val df = Seq((1, 500), (2, 200)).toDF("turn_idx", "status")
     assert(df.filter(ExprLang.boolExpr("status >= 400", cols + "status")).count() == 1)
   }
+
+  test("OTTL converter calls compile (ottl.go:92-143 subset)") {
+    val df = Seq(("Hello World", "2024")).toDF("text", "y")
+    def v(src: String) = df.select(ExprLang.valueExpr(src, cols).as("v"))
+      .collect().head.get(0)
+    assert(v("ToLowerCase(body)") == "hello world")
+    assert(v("Substring(body, 0, 5)") == "Hello")
+    assert(v("Len(body)") == 11L)
+    assert(v("Concat('a', 'b')") == "ab")
+    assert(df.filter(ExprLang.boolExpr("IsMatch(body, '^Hello')", cols)).count() == 1)
+    assert(v("Int('42')") == 42L)
+  }
+
+  test("severity range mapping (common_event_format parity)") {
+    val df = Seq(3, 7, 11).toDF("v")
+    val sev = graft.parse.ParseOps.severityFromRanges(col("v"),
+      Seq((0, 5, 17), (6, 9, 13)))
+    val got = df.select(sev.as("s")).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(17, 13, 9))
+  }
 }
 
 class PluginsSpec extends SparkTestBase {

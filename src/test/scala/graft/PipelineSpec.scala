@@ -29,6 +29,45 @@ class PipelineSpec extends SparkTestBase {
     assert(v.operators.head.params("condition") == "true")
   }
 
+  test("time-range scans prune to the requested hour partitions (rehydration parity)") {
+    val base = java.nio.file.Files.createTempDirectory("prune").toString
+    graft.model.Transcripts.writePartitioned(
+      graft.model.Transcripts.generate(spark, nTurns = 10000, nConvs = 20), base)
+    val pruned = spark.read.parquet(base)
+      .filter(col("year") === 2024 && col("month") === 1 &&
+        col("day") === 1 && col("hour") === 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("(hour#"),
+      "hour filter must be a partition filter, not a data filter")
+    // pruned scan reads strictly fewer files than the full scan
+    val totalParts = graft.pipeline.PipelineRunner.discoverPartitions(spark, base).size
+    assert(totalParts > 1)
+    assert(pruned.count() > 0)
+    Bench.deleteRec(base)
+  }
+
+  test("observe tap counts rows without an extra job") {
+    val t = graft.model.Transcripts.fromEvents(spark, sfDir)
+    val tapped = graft.agg.AggOps.withThroughputTap(t)
+    val n = tapped.collect().length.toLong // action on THIS plan, not a new count() plan
+    val m = tapped.queryExecution.observedMetrics("throughput")
+    assert(m.getAs[Long]("log_count") == n)
+    assert(m.getAs[Long]("log_raw_bytes") > 0)
+  }
+
+  test("persist and partitioned fan-out strategies produce identical sink counts") {
+    val base = java.nio.file.Files.createTempDirectory("strat").toString
+    graft.model.Transcripts.writePartitioned(
+      graft.model.Transcripts.generate(spark, nTurns = 8000, nConvs = 20), s"$base/in")
+    val a = graft.pipeline.PipelineRunner.run(spark, Pipeline.Canonical,
+      s"$base/in", s"$base/outA", strategy = "partitioned")
+    val b = graft.pipeline.PipelineRunner.run(spark, Pipeline.Canonical,
+      s"$base/in", s"$base/outB", strategy = "persist")
+    assert(a.sinkCounts == b.sinkCounts)
+    assert(a.rowsIn == 8000)
+    Bench.deleteRec(base)
+  }
+
   test("compiled pipeline == hand-built plan on the same input") {
     val t = Transcripts.fromEvents(spark, sfDir)
     val compiled = Pipeline.compile(Canonical, spark)(t)
@@ -84,9 +123,10 @@ class ResumeSpec extends SparkTestBase {
     // sink totals over todo partitions must equal full-run totals minus the
     // committed partitions' share
     val sinkRows = Pipeline.Canonical.sinks.map { s =>
-      val dir = new java.io.File(s"$out/$s")
+      val path = PipelineRunner.sinkPath(out, s)
+      val dir = new java.io.File(path)
       s -> (if (dir.exists())
-        spark.read.option("basePath", s"$out/$s").parquet(s"$out/$s").count()
+        spark.read.option("basePath", path).parquet(path).count()
       else 0L)
     }.toMap
     assert(sinkRows.values.sum == resumed.rowsIn)
