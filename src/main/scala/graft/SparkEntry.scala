@@ -131,6 +131,31 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("level"))),
     "q_dedup" -> ((s, d) => AggOps.logDedup(t(s, d))),
     "q_salted_agg" -> ((s, d) => AggOps.saltedCountByConv(t(s, d))),
+    // webhookexporter extractLogBodies (exporter_logs.go:90-123): the sink
+    // payload is the raw body string per record
+    "q_webhook_bodies" -> ((s, d) =>
+      t(s, d).select(col("conv_id"), col("turn_idx"), col("text").as("body"))),
+    // spancountprocessor (processor.go:186-214): spans ≅ tool-call turns;
+    // span_duration_ms from the json latency; count per (window, tool)
+    "q_span_count" -> ((s, d) =>
+      AggOps.metricExtract(t(s, d))
+        .groupBy(AggOps.windowStart(col("ts"), "1 hour").as("window_start"),
+          (col("value_int") >= 1000).as("is_slow"))
+        .agg(count(lit(1)).as("span_count"))),
+    // metricstats via the typed Aggregator (stats.Statistic parity)
+    "q_metric_stats_agg" -> ((s, d) => {
+      val dp = AggOps.metricExtract(t(s, d))
+        .withColumn("arrival", format_string("%019d|%s|%010d",
+          unix_micros(col("ts").cast("timestamp")), col("conv_id"), col("turn_idx")))
+      dp.groupBy(AggOps.windowStart(col("ts"), "1 hour").as("window_start"),
+          col("level"))
+        .agg(graft.agg.MetricStatsAgg.metricStats(col("value_int"), col("arrival")).as("s"))
+        .select(col("window_start"), col("level"),
+          col("s.stat_min").as("stat_min"), col("s.stat_max").as("stat_max"),
+          col("s.stat_avg_int").as("stat_avg_int"),
+          col("s.stat_first").as("stat_first"), col("s.stat_last").as("stat_last"),
+          col("s.stat_count").as("stat_count"))
+    }),
     "q_throughput" -> ((s, d) => AggOps.throughput(t(s, d))),
 
     // ------------------- plugin / expression / snapshot -------------------
@@ -461,6 +486,30 @@ object SparkEntry {
 
       "q_salted_agg" -> Transcripts.withT(
         "SELECT conv_id, COUNT(*) AS n_turns FROM t GROUP BY conv_id"),
+
+      "q_webhook_bodies" -> Transcripts.withT(
+        "SELECT conv_id, turn_idx, text AS body FROM t"),
+
+      "q_span_count" -> Transcripts.withT(
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           CAST(json_extract(text, '$.latency_ms') AS BIGINT) >= 1000 AS is_slow,
+           COUNT(*) AS span_count
+           FROM t WHERE starts_with(text, '{') GROUP BY 1, 2"""),
+
+      "q_metric_stats_agg" -> Transcripts.withT(
+        """SELECT window_start, level,
+           MIN(value_int) AS stat_min, MAX(value_int) AS stat_max,
+           SUM(value_int) // COUNT(*) AS stat_avg_int,
+           arg_min(value_int, arrival) AS stat_first,
+           arg_max(value_int, arrival) AS stat_last,
+           COUNT(*) AS stat_count
+           FROM (
+             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               json_extract_string(text, '$.level') AS level,
+               CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS value_int,
+               printf('%019d|%s|%010d', epoch_us(ts), conv_id, turn_idx) AS arrival
+             FROM t WHERE starts_with(text, '{')
+           ) GROUP BY 1, 2"""),
 
       "q_throughput" -> withTagged(
         """SELECT route, COUNT(*) AS log_count,

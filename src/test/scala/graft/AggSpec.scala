@@ -50,6 +50,26 @@ class AggSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("typed Aggregator stats == expression-built metricStats") {
+    import graft.agg.MetricStatsAgg
+    val dp = AggOps.metricExtract(t)
+      .withColumn("arrival", format_string("%019d|%s|%010d",
+        unix_micros(col("ts").cast("timestamp")), col("conv_id"), col("turn_idx")))
+    val viaAggregator = dp
+      .groupBy(AggOps.windowStart(col("ts"), "1 hour").as("window_start"), col("level"))
+      .agg(MetricStatsAgg.metricStats(col("value_int"), col("arrival")).as("s"))
+      .select(col("window_start"), col("level"),
+        col("s.stat_min"), col("s.stat_max"), col("s.stat_avg_int"),
+        col("s.stat_first"), col("s.stat_last"), col("s.stat_count"))
+    val viaExprs = AggOps.metricStats(t)
+      .select(col("window_start"), col("level"),
+        col("stat_min"), col("stat_max"), col("stat_avg_int"),
+        col("stat_first"), col("stat_last"), col("stat_count"))
+    val a = viaAggregator.collect().map(_.toSeq).toSet
+    val b = viaExprs.collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("logcount windows align to epoch hours") {
     val lc = AggOps.logCount(t)
     val bad = lc.filter(minute(col("window_start")) =!= 0 ||
