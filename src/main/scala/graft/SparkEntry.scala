@@ -209,13 +209,18 @@ object SparkEntry {
           Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
             .rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+        .agg(count(lit(1)).as("n_events"),
+          // exact integer cents: double sums are summation-order-dependent
+          sum(round(col("value") * 100).cast("long")).as("total_value_cents"))
     }),
     "q_tpch_agg" -> ((s, d) =>
       s.read.parquet(s"$d/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          // per-row double product is IEEE-identical cross-engine; summing
+          // its exact 1e4-scaled rounding keeps the aggregate order-free
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long")).as("revenue_e4"),
           count(lit(1)).as("n"))),
     "q_join_orders_customer" -> ((s, d) => {
       val o = s.read.parquet(s"$d/orders.parquet")
@@ -662,7 +667,8 @@ object SparkEntry {
            FROM documents""",
 
       "q_events_sessionize" ->
-        """SELECT user_id, session_id, COUNT(*) AS n_events, SUM(value) AS total_value
+        """SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
            FROM (
              SELECT user_id, value,
                SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
@@ -679,7 +685,7 @@ object SparkEntry {
       "q_tpch_agg" ->
         """SELECT l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty,
-           SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
            COUNT(*) AS n
            FROM lineitem GROUP BY 1, 2""",
 
