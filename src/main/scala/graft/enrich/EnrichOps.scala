@@ -76,6 +76,19 @@ object EnrichOps {
     t.filter(ParseOps.isMultiline)
       .select(col("conv_id"), col("turn_idx"), maskString(col("text")).as("masked"))
 
+  /** Field exclusion (maskprocessor processor.go:174-178): listed dotted
+    * paths are left unmasked. Schema-directed: exclusion is a plan-time
+    * choice of which columns get the masking projection at all.
+    */
+  def maskColumns(df: DataFrame, exclude: Set[String]): DataFrame = {
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name)
+    stringCols.filterNot(exclude.contains).foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, maskString(col(c)))
+    }
+  }
+
   // -------------------------------------------------------------------
   // removeemptyvaluesprocessor — drop null / "" / configured sentinel values
   // (processor/removeemptyvaluesprocessor/processor.go:170-221, 243-251)
@@ -89,6 +102,16 @@ object EnrichOps {
 
   def isEmptyValue(v: Column): Column =
     v.isNull || lower(v).isin(EmptySentinels: _*)
+
+  /** Map-typed variant: clean a MapType attribute column with higher-order
+    * `map_filter`, honoring prefix-scoped excludes (the reference's dotted
+    * exclude paths trimmed to the map's prefix, processor.go:225-239).
+    */
+  def cleanAttrMap(m: Column, excludeKeys: Set[String] = Set.empty): Column = {
+    val keep = map_filter(m, (k, v) =>
+      excludeKeys.foldLeft(!isEmptyValue(v)) { (acc, ex) => acc || k === ex })
+    keep
+  }
 
   def removeEmptyValues(t: DataFrame): DataFrame = {
     val kv = ParseOps.parseKv(t)

@@ -156,6 +156,15 @@ object ParseOps {
     StrptimeTable.foldLeft(layout) { case (acc, (from, to)) => acc.replace(from, to) }
   }
 
+  /** `layout_type: epoch` variants (stanza time_parser): seconds / millis /
+    * micros integer layouts → timestamp. */
+  def parseEpoch(c: Column, layout: String): Column = layout match {
+    case "s" => timestamp_seconds(c.cast("long"))
+    case "ms" => timestamp_millis(c.cast("long"))
+    case "us" => timestamp_micros(c.cast("long"))
+    case other => throw new IllegalArgumentException(s"epoch layout '$other'")
+  }
+
   /** Parse the nginx `time_local` (sans zone — fixture zone is always +0000,
     * and the session timezone is UTC) back into an event timestamp. */
   def parseTime(t: DataFrame): DataFrame =
