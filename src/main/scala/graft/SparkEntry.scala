@@ -173,6 +173,35 @@ object SparkEntry {
     "q_groupby_attrs" -> ((s, d) =>
       EnrichOps.transpose(t(s, d))
         .groupBy(col("host")).agg(count(lit(1)).as("n_records"))),
+    // regex_parser on_error: send (stanza): unparseable records pass through
+    // with null parsed fields instead of being dropped
+    "q_parse_onerror_send" -> ((s, d) =>
+      t(s, d).withColumn("g", graft.functions.RegexExtractStruct.of(col("text"),
+          ParseOps.NginxPattern, ParseOps.NginxFields))
+        .select(col("conv_id"), col("turn_idx"),
+          col("g").isNotNull.as("parsed"),
+          col("g.status").cast("int").as("status"))),
+    // OCSF type coercion (type_coerce.go:25-42): cast-or-original for ints,
+    // epoch-millis timestamps (:130-152), RFC3339 datetime strings (:154-169)
+    "q_coerce" -> ((s, d) => {
+      val j = ParseOps.parseJson(t(s, d))
+      j.select(col("conv_id"), col("turn_idx"),
+        EnrichOps.coerceLongOrOriginal(col("path")).as("path_or_long"),
+        EnrichOps.coerceLongOrOriginal(col("status").cast("string")).as("status_long_str"),
+        unix_millis(to_timestamp(lit("2024-01-05T10:00:00"),
+          "yyyy-MM-dd'T'HH:mm:ss")).as("ts_epoch_ms"),
+        date_format(timestamp_millis(col("latency_ms") + 1704067200000L),
+          "yyyy-MM-dd'T'HH:mm:ss").as("dt_rfc3339"))
+    }),
+    // googlecloudexporter appendLogHost (exporter.go:79-90)
+    "q_append_host" -> ((s, d) =>
+      Router.appendHost(t(s, d), "default-host")
+        .select(col("conv_id"), col("turn_idx"), col("host"))),
+    // sampling middle path: seeded rand — deterministic within Spark but not
+    // SQL-reproducible → rows-only check
+    "q_sampling_mid" -> ((s, d) =>
+      AggOps.sample(t(s, d), col("role") === "user", 0.5, seed = 42L)
+        .groupBy(col("role")).agg(count(lit(1)).as("n"))),
 
     // --------------- training-data ops (documents/embeddings) ---------------
     "q_doc_token_count" -> ((s, d) =>
@@ -559,6 +588,39 @@ object SparkEntry {
                     ELSE 'host-' || string_split(conv_id, '-')[1] END AS host
              FROM t
            ) GROUP BY host"""),
+
+      "q_parse_onerror_send" -> Transcripts.withT(
+        s"""SELECT conv_id, turn_idx,
+           regexp_matches(text, '$nginxPat') AS parsed,
+           CASE WHEN regexp_matches(text, '$nginxPat')
+                THEN CAST(regexp_extract(text, '$nginxPat',
+                  ['remote_addr','remote_user','time_local','method','path',
+                   'protocol','status','body_bytes_sent','http_referer',
+                   'http_user_agent'])['status'] AS INT)
+           END AS status
+           FROM t"""),
+
+      "q_coerce" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CASE WHEN regexp_matches(path, '^-?\d+$')
+                THEN CAST(CAST(path AS BIGINT) AS VARCHAR) ELSE path END AS path_or_long,
+           CAST(status AS VARCHAR) AS status_long_str,
+           CAST(epoch_ms(TIMESTAMP '2024-01-05 10:00:00') AS BIGINT) AS ts_epoch_ms,
+           strftime(make_timestamp((latency_ms + 1704067200000) * 1000),
+             '%Y-%m-%dT%H:%M:%S') AS dt_rfc3339
+           FROM (
+             SELECT conv_id, turn_idx,
+               json_extract_string(text, '$.path') AS path,
+               CAST(json_extract(text, '$.status') AS INT) AS status,
+               CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS latency_ms
+             FROM t WHERE starts_with(text, '{')
+           )"""),
+
+      "q_append_host" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CASE WHEN role = 'tool' THEN 'tool-' || tool
+                ELSE 'default-host' END AS host
+           FROM t"""),
 
       "q_doc_token_count" ->
         """SELECT doc_id,

@@ -27,6 +27,11 @@ case class RegexExtractStruct(child: Expression, pattern: String, fieldNames: Se
 
   override def nullIntolerant: Boolean = true
 
+  // a non-matching (non-null) input still yields a null struct, so this
+  // expression is nullable regardless of the child's nullability — without
+  // this override the optimizer folds IsNotNull(this) to true
+  override def nullable: Boolean = true
+
   @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
 
   override def dataType: DataType =

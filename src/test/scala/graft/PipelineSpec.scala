@@ -29,6 +29,37 @@ class PipelineSpec extends SparkTestBase {
     assert(v.operators.head.params("condition") == "true")
   }
 
+  test("textual config parses, validates, and compiles (EP1 parity)") {
+    val spec = graft.pipeline.PipelineConfig.load(
+      """# canonical pipeline
+        |pipeline: canonical_from_text
+        |operator: severity_tag
+        |operator: lookup_enrich
+        |operator: sample drop_ratio=0.0
+        |route: sink_errors severity_number >= 17
+        |route: sink_tools tool != ''
+        |route: sink_default true
+        |sink: sink_errors
+        |sink: sink_tools
+        |sink: sink_default
+        |""".stripMargin)
+    assert(spec.name == "canonical_from_text")
+    assert(spec.operators(2).params("condition") == "true") // default applied
+    // compiles to the same routed counts as the programmatic canonical spec
+    val t = graft.model.Transcripts.fromEvents(spark, sfDir)
+    val fromText = Pipeline.compile(spec, spark)(t)
+      .groupBy(col("route")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val programmatic = Pipeline.compile(Canonical, spark)(t)
+      .groupBy(col("route")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromText == programmatic)
+    // bad configs fail at plan time
+    intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineConfig.load("operator: bogus\nroute: r true\nsink: r")
+    }
+  }
+
   test("time-range scans prune to the requested hour partitions (rehydration parity)") {
     val base = java.nio.file.Files.createTempDirectory("prune").toString
     graft.model.Transcripts.writePartitioned(
