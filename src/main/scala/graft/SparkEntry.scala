@@ -89,6 +89,11 @@ object SparkEntry {
     "q_parse_severity" -> ((s, d) => ParseOps.parseSeverity(t(s, d))),
     "q_recombine" -> ((s, d) => ParseOps.recombine(t(s, d))),
     "q_field_ops" -> ((s, d) => ParseOps.fieldOps(t(s, d))),
+    // flatten (upstream stanza op; 1:N generator) — explode kv-row tokens
+    "q_flatten_tokens" -> ((s, d) =>
+      t(s, d).filter(ParseOps.isKv)
+        .select(col("conv_id"), col("turn_idx"),
+          explode(split(col("text"), " ")).as("token"))),
     "q_filter" -> ((s, d) =>
       ParseOps.filterOp(ParseOps.parseJson(t(s, d)), col("level") === "info")
         .select(col("conv_id"), col("turn_idx"), col("level"), col("status"))),
@@ -372,6 +377,10 @@ object SparkEntry {
            CAST(regexp_extract(text, 'code=(\S+)', 1) AS INT) AS code,
            'prod' AS env,
            regexp_extract(text, 'msg=(\S+)', 1) AS log_record_original
+           FROM t WHERE starts_with(text, 'level=')"""),
+
+      "q_flatten_tokens" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx, unnest(string_split(text, ' ')) AS token
            FROM t WHERE starts_with(text, 'level=')"""),
 
       "q_filter" -> Transcripts.withT(
