@@ -85,6 +85,27 @@ object SparkEntry {
     "q_parse_kv" -> ((s, d) => ParseOps.parseKv(t(s, d))),
     "q_parse_syslog" -> ((s, d) => ParseOps.parseSyslog(t(s, d))),
     "q_parse_uri" -> ((s, d) => ParseOps.parseUri(t(s, d))),
+    // RFC5424 over a deterministically framed line (fixture lines are
+    // RFC3164; framing built from row fields in both engines)
+    "q_parse_syslog5424" -> ((s, d) => {
+      val line = format_string(
+        "<%d>1 %s host-%s app-%s %d ID%d [graft@1 team=\"%s\"] turn %d done",
+        (col("turn_idx") % 192), date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        substring_index(col("conv_id"), "-", 1), col("role"),
+        col("turn_idx") % 32768, col("turn_idx") % 100, col("role"), col("turn_idx"))
+      ParseOps.parseSyslog5424(
+        t(s, d).select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
+    // uri query-string → param map (str_to_map over parse_url QUERY)
+    "q_uri_query_map" -> ((s, d) => {
+      val url = format_string("https://api.example.com/c/%s?role=%s&turn=%d",
+        col("conv_id"), col("role"), col("turn_idx"))
+      t(s, d).select(col("conv_id"), col("turn_idx"),
+          str_to_map(parse_url(url, lit("QUERY")), lit("&"), lit("=")).as("q"))
+        .select(col("conv_id"), col("turn_idx"),
+          col("q").getItem("role").as("q_role"),
+          col("q").getItem("turn").cast("int").as("q_turn"))
+    }),
     "q_parse_time" -> ((s, d) => ParseOps.parseTime(t(s, d))),
     "q_parse_severity" -> ((s, d) => ParseOps.parseSeverity(t(s, d))),
     "q_recombine" -> ((s, d) => ParseOps.recombine(t(s, d))),
@@ -340,6 +361,22 @@ object SparkEntry {
            regexp_extract(text, '$nginxPat', 5) AS uri_path,
            regexp_extract(text, '$nginxPat', 7) AS q_status
            FROM t WHERE regexp_matches(text, '^10\\.')"""),
+
+      "q_parse_syslog5424" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CAST(turn_idx % 192 AS INT) AS pri,
+           CAST(turn_idx % 192 AS INT) % 8 AS severity,
+           strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS stamp,
+           'host-' || string_split(conv_id, '-')[1] AS host,
+           'app-' || role AS app,
+           'ID' || CAST(turn_idx % 100 AS VARCHAR) AS msgid,
+           role AS sd_team,
+           'turn ' || CAST(turn_idx AS VARCHAR) || ' done' AS message
+           FROM t"""),
+
+      "q_uri_query_map" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx, role AS q_role, turn_idx AS q_turn
+           FROM t"""),
 
       "q_parse_time" -> Transcripts.withT(
         """SELECT conv_id, turn_idx,

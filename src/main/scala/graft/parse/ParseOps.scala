@@ -121,6 +121,35 @@ object ParseOps {
         col("p.message").as("message"))
   }
 
+  /** RFC5424 framing (syslog receiver `protocol: rfc5424`,
+    * plugins/syslog_logs.yaml:12-18): `<pri>1 TIMESTAMP HOST APP PROCID
+    * MSGID [SD-ID k="v" ...] MSG`, including one structured-data element
+    * parsed to a key/value map.
+    */
+  val Syslog5424Fields = Seq("pri", "ver", "stamp", "host", "app", "procid",
+    "msgid", "sd", "message")
+  val Syslog5424Pattern =
+    """^<(\d+)>(\d) (\S+) (\S+) (\S+) (\S+) (\S+) (?:\[([^\]]*)\]|-) ?(.*)$"""
+
+  def parseSyslog5424(lines: DataFrame): DataFrame = {
+    val p = RegexExtractStruct.of(col("line"), Syslog5424Pattern, Syslog5424Fields)
+    lines
+      .withColumn("p", p)
+      .select(
+        col("conv_id"), col("turn_idx"),
+        col("p.pri").cast(IntegerType).as("pri"),
+        (col("p.pri").cast(IntegerType) % 8).as("severity"),
+        col("p.stamp").as("stamp"),
+        col("p.host").as("host"),
+        col("p.app").as("app"),
+        col("p.msgid").as("msgid"),
+        // structured data `k="v" k2="v2"` → map
+        str_to_map(regexp_replace(
+          regexp_extract(col("p.sd"), """^\S+ (.*)$""", 1), "\"", ""),
+          lit(" "), lit("=")).getItem("team").as("sd_team"),
+        col("p.message").as("message"))
+  }
+
   // -------------------------------------------------------------------
   // uri_parser (plugins/haproxy_logs.yaml:77-78) — scheme/host/path/query
   // -------------------------------------------------------------------
