@@ -250,6 +250,8 @@ object SparkEntry {
       Similarity.bruteForceTopK(Similarity.embeddings(s, d))),
     "q_embed_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Similarity.embeddings(s, d))), // rows-only
+    "q_embed_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(Similarity.embeddings(s, d))), // rows-only
     "q_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
 
     // --------------- relational breadth (events/lineitem/orders) ---------------

@@ -81,6 +81,46 @@ object Similarity {
   def lshBucketSizes(emb: DataFrame, nPlanes: Int = 8): DataFrame =
     lshBuckets(emb, nPlanes).groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"))
 
+  // -------------------------------------------------------------------
+  // IVF (inverted-file) ANN: coarse quantizer cells instead of hash buckets
+  // -------------------------------------------------------------------
+  /** Deterministic coarse quantizer: every `stride`-th vector is a centroid
+    * (k-means would refine these; the partition/probe plumbing is identical).
+    * Assignment = argmax dot(vec, centroid) via broadcast + max_by — one
+    * narrow pass over the corpus, no shuffle until the cell groupBy.
+    */
+  def ivfCells(emb: DataFrame, stride: Int = 31): DataFrame = {
+    val centroids = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("c_id"), quantized(col("embedding")).as("c_vec"))
+    val vecs = emb.select(col("vec_id"), quantized(col("embedding")).as("v"))
+    vecs.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        dot(col("v"), col("c_vec")).as("cscore"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("cscore"), -col("c_id"))).as("cell"),
+        first(col("v")).as("v"))
+  }
+
+  /** IVF top-k with nprobe=1: query searches only its own cell — the
+    * candidate set shrinks by ~|cells|×, trading recall for a full-corpus
+    * scan (the 100 TB path; raise stride/nprobe to tune).
+    */
+  def ivfTopK(emb: DataFrame, k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val cells = ivfCells(emb)
+    val q = cells.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"), col("cell"))
+    val c = cells.select(col("vec_id").as("n_id"), col("v").as("n_vec"), col("cell"))
+    val d = dot(col("q_vec"), col("n_vec"))
+    val n2 = dot(col("n_vec"), col("n_vec"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosineRankScore(d, n2).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"))
+  }
+
   /** ANN top-k restricted to same-bucket candidates (recall<1 by design;
     * the scale path). */
   def lshTopK(emb: DataFrame, k: Int = 3, nQueries: Int = 10): DataFrame = {

@@ -92,6 +92,29 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF cells: every vector assigned; deterministic; top-k well-formed") {
+    val cells = Similarity.ivfCells(emb).select($"vec_id", $"cell")
+      .as[(Long, Long)].collect().toMap
+    assert(cells.size == emb.count())
+    assert(cells.values.toSet.size > 1, "all vectors in one cell")
+    val again = Similarity.ivfCells(emb).select($"vec_id", $"cell")
+      .as[(Long, Long)].collect().toMap
+    assert(cells == again)
+    val topk = Similarity.ivfTopK(emb, k = 3, nQueries = 5)
+      .as[(Long, Int, Long)].collect()
+    topk.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).distinct.size == rows.size) // dense unique ranks
+      assert(!rows.exists(_._3 == q))
+      // nprobe=1: all neighbors share the query's cell
+      rows.foreach(r => assert(cells(r._3) == cells(q)))
+    }
+    // some overlap with the exact answers across queries (loose recall floor)
+    val exact = Similarity.bruteForceTopK(emb, k = 3, nQueries = 5)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val approx = topk.map(r => (r._1, r._3)).toSet
+    assert(exact.intersect(approx).nonEmpty)
+  }
+
   test("LSH buckets are deterministic and non-degenerate") {
     val b1 = Similarity.lshBuckets(emb).as[(Long, Long)].collect().toMap
     val b2 = Similarity.lshBuckets(emb).as[(Long, Long)].collect().toMap
