@@ -156,6 +156,7 @@ object SparkEntry {
       AggOps.sample(AggOps.metricExtract(t(s, d)), col("level") === "info", 1.0)
         .select(col("conv_id"), col("turn_idx"), col("level"))),
     "q_dedup" -> ((s, d) => AggOps.logDedup(t(s, d))),
+    "q_datapoint_first" -> ((s, d) => AggOps.datapointFirst(t(s, d))),
     "q_salted_agg" -> ((s, d) => AggOps.saltedCountByConv(t(s, d))),
     // webhookexporter extractLogBodies (exporter_logs.go:90-123): the sink
     // payload is the raw body string per record
@@ -171,11 +172,11 @@ object SparkEntry {
     // metricstats via the typed Aggregator (stats.Statistic parity)
     "q_metric_stats_agg" -> ((s, d) => {
       val dp = AggOps.metricExtract(t(s, d))
-        .withColumn("arrival", format_string("%019d|%s|%010d",
-          unix_micros(col("ts").cast("timestamp")), col("conv_id"), col("turn_idx")))
       dp.groupBy(AggOps.windowStart(col("ts"), "1 hour").as("window_start"),
           col("level"))
-        .agg(graft.agg.MetricStatsAgg.metricStats(col("value_int"), col("arrival")).as("s"))
+        .agg(graft.agg.MetricStatsAgg.metricStats(col("value_int"),
+          unix_micros(col("ts").cast("timestamp")), col("conv_id"),
+          col("turn_idx")).as("s"))
         .select(col("window_start"), col("level"),
           col("s.stat_min").as("stat_min"), col("s.stat_max").as("stat_max"),
           col("s.stat_avg_int").as("stat_avg_int"),
@@ -403,9 +404,9 @@ object SparkEntry {
            string_agg(text, chr(10) ORDER BY turn_idx) AS combined
            FROM (
              SELECT conv_id, turn_idx, text,
-               COALESCE(SUM(CASE WHEN starts_with(text, 'F|') THEN 1 ELSE 0 END)
+               CAST(COALESCE(SUM(CASE WHEN starts_with(text, 'F|') THEN 1 ELSE 0 END)
                  OVER (PARTITION BY conv_id ORDER BY turn_idx
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS session_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS session_id
              FROM t WHERE regexp_matches(text, '^[PF]\|')
            ) GROUP BY conv_id, session_id"""),
 
@@ -448,11 +449,11 @@ object SparkEntry {
         """SELECT conv_id, turn_idx,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
              text,
-             '[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}', '[masked_email]', 'g'),
-             '\d{3}-\d{2}-\d{4}', '[masked_ssn]', 'g'),
-             '\d{13,16}', '[masked_credit_card]', 'g'),
-             '\d{3}-\d{3}-\d{4}', '[masked_phone]', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[masked_ipv4]', 'g') AS masked
+             '\b[a-z0-9._%\+\-—|]+@[a-z0-9.\-—|]+\.[a-z|]{2,6}\b', '[masked_email]', 'g'),
+             '\b\d{3}[- ]\d{2}[- ]\d{4}\b', '[masked_ssn]', 'g'),
+             '\b(?:(?:(?:\d{4}[- ]?){3}\d{4}|\d{15,16}))\b', '[masked_credit_card]', 'g'),
+             '\b((\+|\b)[1l][\-\. ])?\(?\b[\dOlZSB]{3,5}([\-\. ]|\) ?)[\dOlZSB]{3}[\-\. ][\dOlZSB]{4}\b', '[masked_phone]', 'g'),
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[masked_ipv4]', 'g') AS masked
            FROM t WHERE regexp_matches(text, '^[PF]\|')"""),
 
       "q_remove_empty" -> Transcripts.withT(
@@ -508,7 +509,7 @@ object SparkEntry {
       "q_chronicle_group" -> Transcripts.withT(
         """SELECT CASE WHEN tool <> '' THEN tool ELSE 'default_type' END AS log_type,
            role AS namespace, COUNT(*) AS n,
-           SUM(octet_length(CAST(text AS BLOB))) AS bytes
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes
            FROM t GROUP BY 1, 2"""),
 
       "q_logcount" -> Transcripts.withT(
@@ -540,7 +541,7 @@ object SparkEntry {
       "q_metric_stats" -> Transcripts.withT(
         """SELECT window_start, level,
            MIN(value_int) AS stat_min, MAX(value_int) AS stat_max,
-           SUM(value_int) // COUNT(*) AS stat_avg_int,
+           CAST(SUM(value_int) // COUNT(*) AS BIGINT) AS stat_avg_int,
            CAST(SUM(value_int) AS DOUBLE) / COUNT(*) AS stat_avg_double,
            arg_min(value_int, arrival) AS stat_first,
            arg_max(value_int, arrival) AS stat_last,
@@ -559,6 +560,13 @@ object SparkEntry {
              AND json_extract_string(text, '$.level') <> 'info'"""),
 
       "q_dedup" -> Transcripts.withT(
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           md5(text) AS body_md5, role,
+           COUNT(*) AS dedup_count,
+           MIN(printf('%019d|%s|%010d', epoch_us(ts), conv_id, turn_idx)) AS first_arrival
+           FROM t GROUP BY 1, 2, 3"""),
+
+      "q_datapoint_first" -> Transcripts.withT(
         """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            json_extract_string(text, '$.level') AS level,
            'request.latency_ms' AS metric_name,
@@ -581,7 +589,7 @@ object SparkEntry {
       "q_metric_stats_agg" -> Transcripts.withT(
         """SELECT window_start, level,
            MIN(value_int) AS stat_min, MAX(value_int) AS stat_max,
-           SUM(value_int) // COUNT(*) AS stat_avg_int,
+           CAST(SUM(value_int) // COUNT(*) AS BIGINT) AS stat_avg_int,
            arg_min(value_int, arrival) AS stat_first,
            arg_max(value_int, arrival) AS stat_last,
            COUNT(*) AS stat_count
@@ -595,7 +603,7 @@ object SparkEntry {
 
       "q_throughput" -> withTagged(
         """SELECT route, COUNT(*) AS log_count,
-           SUM(octet_length(CAST(text AS BLOB))) AS log_raw_bytes
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS log_raw_bytes
            FROM tagged GROUP BY route"""),
 
       "q_plugin_nginx" -> Transcripts.withT(
@@ -777,7 +785,7 @@ object SparkEntry {
            FROM documents""",
 
       "q_events_sessionize" ->
-        """SELECT user_id, session_id, COUNT(*) AS n_events,
+        """SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
            FROM (
              SELECT user_id, value,
@@ -806,7 +814,7 @@ object SparkEntry {
 
       "q_pipeline_e2e" -> withTagged(
         """SELECT route, role, COUNT(*) AS n,
-           SUM(octet_length(CAST(text AS BLOB))) AS bytes,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes,
            COUNT(DISTINCT conv_id) AS n_convs
            FROM tagged GROUP BY route, role""")
     )

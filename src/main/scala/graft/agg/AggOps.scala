@@ -66,12 +66,17 @@ object AggOps {
   // division); first/last by arrival order — batch order = (ts, conv, turn)
   // (processor/metricstatsprocessor/processor.go:142-199, 237-302)
   // -------------------------------------------------------------------
+  /** Arrival-order key: orders identically to the oracle's printf string
+    * (zero-padded micros | conv | turn) but allocates nothing per row —
+    * struct comparison is field-wise, and this sits on the 10^12-row path.
+    */
+  def arrivalKey: Column = struct(
+    unix_micros(col("ts").cast("timestamp")).as("tsu"),
+    col("conv_id").as("conv"), col("turn_idx").as("turn"))
+
   def metricStats(t: DataFrame, interval: String = "1 hour"): DataFrame = {
     val dp = metricExtract(t)
-    // lexicographically sortable arrival key: epoch micros | conv | turn
-    val arrival = format_string("%019d|%s|%010d",
-      unix_micros(col("ts").cast("timestamp")), col("conv_id"), col("turn_idx"))
-    dp.withColumn("arrival", arrival)
+    dp.withColumn("arrival", arrivalKey)
       .groupBy(windowStart(col("ts"), interval).as("window_start"), col("level"))
       .agg(
         min(col("value_int")).as("stat_min"),
@@ -100,21 +105,44 @@ object AggOps {
     else t.filter(!(condition && rand(seed) <= dropRatio))
 
   // -------------------------------------------------------------------
-  // logdedupprocessor (manifest.yaml:100) — interval dedup with count attr
+  // logdedupprocessor (manifest.yaml:100) — dedup IDENTICAL log records
+  // (by body digest + attrs) within an interval; the first occurrence is
+  // kept with a duplicate-count attribute
+  // (processor/logdeduplicationprocessor semantics: records equal on
+  // body+attributes within the interval collapse to one + match_count)
   // -------------------------------------------------------------------
-  /** Dedup identical (role, body-key) within a window, keeping the first
-    * occurrence (by arrival order) and a duplicate count.
+  /** Record-identity dedup over the transcripts themselves: group on
+    * (window, md5(text), role), keep the first arrival, attach the count.
+    * Hash-groupBy on the digest — one shuffle on a short key; scales.
     */
-  def logDedup(t: DataFrame, interval: String = "1 hour"): DataFrame = {
+  def logDedup(t: DataFrame, interval: String = "1 hour"): DataFrame =
+    t.withColumn("arrival", arrivalKey)
+      .groupBy(
+        windowStart(col("ts"), interval).as("window_start"),
+        md5(col("text")).as("body_md5"), col("role"))
+      .agg(count(lit(1)).as("dedup_count"),
+        min(col("arrival")).as("first"))
+      .select(col("window_start"), col("body_md5"), col("role"),
+        col("dedup_count"),
+        // formatted once per OUTPUT row (not per input row) for the oracle
+        format_string("%019d|%s|%010d",
+          col("first.tsu"), col("first.conv"), col("first.turn")).as("first_arrival"))
+
+  /** The pre-round-2 q_dedup shape (datapoint family + first arrival),
+    * kept as its own operator: first-arrival tracking per datapoint group.
+    */
+  def datapointFirst(t: DataFrame, interval: String = "1 hour"): DataFrame = {
     val j = metricExtract(t)
-    val arrival = format_string("%019d|%s|%010d",
-      unix_micros(col("ts").cast("timestamp")), col("conv_id"), col("turn_idx"))
-    j.withColumn("arrival", arrival)
+    j.withColumn("arrival", arrivalKey)
       .groupBy(
         windowStart(col("ts"), interval).as("window_start"),
         col("level"), col("metric_name"))
       .agg(count(lit(1)).as("dedup_count"),
-        min(col("arrival")).as("first_arrival"))
+        min(col("arrival")).as("first"))
+      .select(col("window_start"), col("level"), col("metric_name"),
+        col("dedup_count"),
+        format_string("%019d|%s|%010d",
+          col("first.tsu"), col("first.conv"), col("first.turn")).as("first_arrival"))
   }
 
   // -------------------------------------------------------------------

@@ -86,19 +86,33 @@ object Similarity {
   // -------------------------------------------------------------------
   /** Deterministic coarse quantizer: every `stride`-th vector is a centroid
     * (k-means would refine these; the partition/probe plumbing is identical).
-    * Assignment = argmax dot(vec, centroid) via broadcast + max_by — one
-    * narrow pass over the corpus, no shuffle until the cell groupBy.
+    *
+    * Scale shape: an IVF coarse quantizer is bounded driver/broadcast state
+    * (nlist centroids, like a trained FAISS index), so the centroid table is
+    * collected ONCE and shipped as a single array literal; cell assignment is
+    * a per-row argmax fold over that array — zero joins, zero shuffles, one
+    * narrow codegen pass over the corpus. (The previous cross-join shape
+    * shuffled |corpus|·|centroids| rows — a disguised cartesian product.)
+    * Ties break to the smallest centroid id (fold visits centroids in
+    * ascending id order and replaces only on a strictly better score).
     */
   def ivfCells(emb: DataFrame, stride: Int = 31): DataFrame = {
-    val centroids = emb.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("c_id"), quantized(col("embedding")).as("c_vec"))
+    val centroids: Seq[(Long, Seq[Long])] =
+      emb.filter(col("vec_id") % stride === 0)
+        .select(col("vec_id").cast("long"), quantized(col("embedding")))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+        .sortBy(_._1).toSeq
+    val cArr = typedlit(centroids) // array<struct<id, vec>> — one literal object
     val vecs = emb.select(col("vec_id"), quantized(col("embedding")).as("v"))
-    vecs.join(broadcast(centroids), lit(true))
-      .select(col("vec_id"), col("v"), col("c_id"),
-        dot(col("v"), col("c_vec")).as("cscore"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"), struct(col("cscore"), -col("c_id"))).as("cell"),
-        first(col("v")).as("v"))
+    // score every centroid once (transform = input array, evaluated once per
+    // row), then argmax-fold — never reference an aggregate from a lambda
+    val scored = transform(cArr, c =>
+      struct(dot(col("v"), c.getField("_2")).as("score"), c.getField("_1").as("cid")))
+    val best = aggregate(scored,
+      struct(lit(Long.MinValue).as("score"), lit(-1L).as("cid")),
+      (acc, s) => when(s.getField("score") > acc.getField("score"), s).otherwise(acc))
+    vecs.select(col("vec_id"), best.getField("cid").as("cell"), col("v"))
   }
 
   /** IVF top-k with nprobe=1: query searches only its own cell — the

@@ -56,16 +56,19 @@ object EnrichOps {
   // (processor/maskprocessor/processor.go:36-42 default rules; :198-212
   // maskString applies all rules in order; :252-260 token "[masked_<rule>]")
   // -------------------------------------------------------------------
-  /** Rule order matters (the reference iterates rules sequentially over the
-    * same string): ssn before phone (3-2-4 vs 3-3-4 digit groups).
+  /** The reference's default rules verbatim (processor.go:36-42) — anchored
+    * `\b` word boundaries, separator-formatted credit cards (4111-1111-1111-
+    * 1111), space/dash SSNs, OCR-tolerant phone digits. Rule order is fixed
+    * here (Go map iteration is unordered; a deterministic engine needs a
+    * stable order): ssn before phone/credit_card so the 3-2-4 grouping wins.
     * Patterns are literals so codegen compiles each regex once per plan.
     */
   val MaskRules: Seq[(String, String)] = Seq(
-    "email" -> """[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}""",
-    "ssn" -> """\d{3}-\d{2}-\d{4}""",
-    "credit_card" -> """\d{13,16}""",
-    "phone" -> """\d{3}-\d{3}-\d{4}""",
-    "ipv4" -> """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""")
+    "email" -> """\b[a-z0-9._%\+\-—|]+@[a-z0-9.\-—|]+\.[a-z|]{2,6}\b""",
+    "ssn" -> """\b\d{3}[- ]\d{2}[- ]\d{4}\b""",
+    "credit_card" -> """\b(?:(?:(?:\d{4}[- ]?){3}\d{4}|\d{15,16}))\b""",
+    "phone" -> """\b((\+|\b)[1l][\-\. ])?\(?\b[\dOlZSB]{3,5}([\-\. ]|\) ?)[\dOlZSB]{3}[\-\. ][\dOlZSB]{4}\b""",
+    "ipv4" -> """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b""")
 
   def maskString(c: Column): Column =
     MaskRules.foldLeft(c) { case (acc, (name, pattern)) =>

@@ -286,7 +286,11 @@ object ParseOps {
         "log_record_original") // retain (nginx_logs.yaml:136-141)
 
   // -------------------------------------------------------------------
-  // filter (plugins/nginx_logs.yaml:133-135) — drop records matching expr
+  // filter (plugins/nginx_logs.yaml:133-135) — drop records matching expr.
+  // A drop predicate that cannot be evaluated (NULL, e.g. a comparison
+  // against a missing parsed field) keeps the record — the reference's
+  // Match() is false-on-error, so only a definite `true` drops.
   // -------------------------------------------------------------------
-  def filterOp(t: DataFrame, dropIf: Column): DataFrame = t.filter(!dropIf)
+  def filterOp(t: DataFrame, dropIf: Column): DataFrame =
+    t.filter(!coalesce(dropIf, lit(false)))
 }

@@ -25,18 +25,25 @@ final class Manifest(manifestDir: String) {
 
   case class PartitionEntry(partition: String, status: String,
                             rowsIn: Long, sinkCounts: Map[String, Long],
-                            inputFiles: Seq[String], wallMs: Long)
+                            inputFiles: Seq[String], wallMs: Long,
+                            rowsOut: Long = -1L) {
+    /** rows_out defaults to the sink total when not supplied separately. */
+    def rowsWritten: Long = if (rowsOut >= 0) rowsOut else sinkCounts.values.sum
+  }
 
   /** ShouldParse parity: a partition is skipped iff previously committed. */
   def isCommitted(partition: String): Boolean =
     Files.exists(dir.resolve(s"${sanitize(partition)}.json"))
 
-  def committedPartitions(): Set[String] =
-    Files.list(dir).iterator().asScala
+  def committedPartitions(): Set[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json"))
       .toSet
+    finally s.close()
+  }
 
   /** Commit a partition: all-sinks-succeeded is the caller's contract; the
     * write is atomic so a kill mid-commit leaves either no entry (partition
@@ -46,7 +53,7 @@ final class Manifest(manifestDir: String) {
   def commit(e: PartitionEntry): Unit = {
     val json =
       s"""{"partition": ${q(e.partition)}, "status": ${q(e.status)},
-         | "rows_in": ${e.rowsIn},
+         | "rows_in": ${e.rowsIn}, "rows_out": ${e.rowsWritten},
          | "sink_counts": {${e.sinkCounts.map { case (k, v) => s"${q(k)}: $v" }.mkString(", ")}},
          | "input_files": [${e.inputFiles.map(q).mkString(", ")}],
          | "wall_ms": ${e.wallMs}}""".stripMargin
@@ -57,9 +64,11 @@ final class Manifest(manifestDir: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def clear(): Unit =
-    Files.list(dir).iterator().asScala.filter(_.toString.endsWith(".json"))
-      .foreach(Files.delete)
+  def clear(): Unit = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.filter(_.toString.endsWith(".json")).foreach(Files.delete)
+    finally s.close()
+  }
 
   private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9=_-]", "_")
   private def q(s: String): String =

@@ -102,7 +102,9 @@ object Pipeline {
                 df.withColumn("severity_number", Router.rowSeverity())
               case "lookup_enrich" => EnrichOps.lookupEnrich(spark, df)
               case "mask" => df.withColumn("text", EnrichOps.maskString(col("text")))
-              case "filter" => df.filter(not(expr(op.params("drop_where"))))
+              case "filter" =>
+                // false-on-error: a NULL drop predicate keeps the record
+                df.filter(not(coalesce(expr(op.params("drop_where")), lit(false))))
               case "sample" =>
                 graft.agg.AggOps.sample(df, expr(op.params("condition")),
                   op.params("drop_ratio").toDouble)
@@ -147,7 +149,10 @@ object Pipeline {
 object PipelineRunner {
 
   case class RunReport(partitionsProcessed: Int, partitionsSkipped: Int,
-                       rowsIn: Long, sinkCounts: Map[String, Long])
+                       rowsIn: Long, sinkCounts: Map[String, Long],
+                       rowsOut: Long = -1L) {
+    def rowsWritten: Long = if (rowsOut >= 0) rowsOut else sinkCounts.values.sum
+  }
 
   /** Discover hour partitions of a `year=/month=/day=/hour=` table. */
   def discoverPartitions(spark: SparkSession, inputPath: String): Seq[String] = {
@@ -185,6 +190,7 @@ object PipelineRunner {
     val committed = manifest.committedPartitions()
     val todo = all.filterNot(p => committed.contains(sanitize(p)))
     var rowsIn = 0L
+    var rowsOut = 0L
     val sinkTotals = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
 
     val profile = sys.env.contains("SPARK_GRAFT_PROFILE")
@@ -203,6 +209,14 @@ object PipelineRunner {
       val input = phase("read+list")(spark.read
         .option("basePath", inputPath)
         .parquet(paths: _*))
+      // true input volume per partition (filter/sample ops may drop rows
+      // downstream, so rows_in ≠ rows written): a zero-column count grouped
+      // on the partition columns — parquet decodes no data pages for it
+      val inCounts: Map[String, Long] = phase("count-in")(
+        input.groupBy(col("year"), col("month"), col("day"), col("hour"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => (s"year=${r.get(0)}/month=${r.get(1)}/day=${r.get(2)}/hour=${r.get(3)}",
+            r.getLong(4))).toMap)
       val tagged = phase("plan")(transform(input))
 
       val perSinkPart: Map[String, Map[String, Long]] =
@@ -245,14 +259,17 @@ object PipelineRunner {
         val sinkCounts = spec.sinks.map { s =>
           s -> perSinkPart.getOrElse(s, Map.empty).getOrElse(p, 0L)
         }.toMap
-        rowsIn += sinkCounts.values.sum
+        val pIn = inCounts.getOrElse(p, 0L)
+        val pOut = sinkCounts.values.sum
+        rowsIn += pIn
+        rowsOut += pOut
         sinkCounts.foreach { case (k, v) => sinkTotals(k) += v }
         manifest.commit(manifest.PartitionEntry(
-          sanitize(p), "committed", sinkCounts.values.sum, sinkCounts,
-          Seq(s"$inputPath/$p"), wallMs))
+          sanitize(p), "committed", pIn, sinkCounts,
+          Seq(s"$inputPath/$p"), wallMs, rowsOut = pOut))
       }
     }
-    RunReport(todo.size, committed.size, rowsIn, sinkTotals.toMap)
+    RunReport(todo.size, committed.size, rowsIn, sinkTotals.toMap, rowsOut)
   }
 
   private def pathExists(spark: SparkSession, p: String): Boolean = {

@@ -29,9 +29,11 @@ object StatefulRecombine {
   }
 
   def recombineStream(spark: SparkSession, parts: Dataset[PartTurn],
-                      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+                      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+                      forceFlushMs: Long = 30000L)
                      : Dataset[Combined] = {
     import spark.implicits._
+    val armTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
     parts.groupByKey(_.conv_id)
       .flatMapGroupsWithState(OutputMode.Append, timeout) {
         (convId: String, turns: Iterator[PartTurn], state: GroupState[SessionBuf]) =>
@@ -52,7 +54,14 @@ object StatefulRecombine {
                 buf = Nil
               }
             }
-            if (buf.isEmpty) state.remove() else state.update(SessionBuf(buf))
+            if (buf.isEmpty) state.remove()
+            else {
+              state.update(SessionBuf(buf))
+              // force_flush parity (stanza recombine `force_flush_period`):
+              // arm the timeout so an abandoned session flushes via the
+              // hasTimedOut branch instead of pinning keyed state forever
+              if (armTimeout) state.setTimeoutDuration(forceFlushMs)
+            }
             out.iterator
           }
       }

@@ -53,11 +53,11 @@ class AggSpec extends SparkTestBase {
   test("typed Aggregator stats == expression-built metricStats") {
     import graft.agg.MetricStatsAgg
     val dp = AggOps.metricExtract(t)
-      .withColumn("arrival", format_string("%019d|%s|%010d",
-        unix_micros(col("ts").cast("timestamp")), col("conv_id"), col("turn_idx")))
     val viaAggregator = dp
       .groupBy(AggOps.windowStart(col("ts"), "1 hour").as("window_start"), col("level"))
-      .agg(MetricStatsAgg.metricStats(col("value_int"), col("arrival")).as("s"))
+      .agg(MetricStatsAgg.metricStats(col("value_int"),
+        unix_micros(col("ts").cast("timestamp")), col("conv_id"),
+        col("turn_idx")).as("s"))
       .select(col("window_start"), col("level"),
         col("s.stat_min"), col("s.stat_max"), col("s.stat_avg_int"),
         col("s.stat_first"), col("s.stat_last"), col("s.stat_count"))

@@ -21,10 +21,16 @@ def norm(v):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
 
-def canon(cols, rows):
+def norm_type(t):
+    # the driver's hash is insensitive to integer WIDTH (INT vs BIGINT pass)
+    # but breaks on DuckDB's HUGEINT (int128) — keep that one distinct
+    s = str(t)
+    return "INT" if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") else s
+
+def canon(cols, rows, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], out, [norm_type(types[i]) for i in order]
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -35,20 +41,25 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            gcols, grows = canon(got.columns, got.fetchall())
+            gcols, grows, gtypes = canon(got.columns, got.fetchall(), got.types)
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_fail += 1
             continue
         try:
             exp = con.sql(sql)
-            ecols, erows = canon(exp.columns, exp.fetchall())
+            ecols, erows, etypes = canon(exp.columns, exp.fetchall(), exp.types)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
         if gcols != ecols:
             print(f"FAIL {name}: columns {gcols} != {ecols}")
+            n_fail += 1
+        elif gtypes != etypes:
+            # the driver's hash is dtype-sensitive (e.g. DuckDB SUM → HUGEINT)
+            diffs = [(c, g, e) for c, g, e in zip(gcols, gtypes, etypes) if g != e]
+            print(f"FAIL {name}: column types differ: {diffs}")
             n_fail += 1
         elif grows != erows:
             diffs = [(a, b) for a, b in zip(grows, erows) if a != b][:3]
