@@ -224,10 +224,10 @@ object SparkEntry {
     "q_append_host" -> ((s, d) =>
       Router.appendHost(t(s, d), "default-host")
         .select(col("conv_id"), col("turn_idx"), col("host"))),
-    // sampling middle path: seeded rand — deterministic within Spark but not
-    // SQL-reproducible → rows-only check
+    // sampling middle path: hash-gated (md5 of the record key) —
+    // deterministic AND engine-reproducible, so fully oracle-checked
     "q_sampling_mid" -> ((s, d) =>
-      AggOps.sample(t(s, d), col("role") === "user", 0.5, seed = 42L)
+      AggOps.sampleHashed(t(s, d), col("role") === "user", 0.5)
         .groupBy(col("role")).agg(count(lit(1)).as("n"))),
 
     // --------------- training-data ops (documents/embeddings) ---------------
@@ -243,16 +243,19 @@ object SparkEntry {
       Dedup.exactDedup(TextAnalysis.documents(s, d))),
     "q_doc_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(TextAnalysis.documents(s, d))),
+    // portable md5-hash variants: the LSH pipelines are END-TO-END
+    // oracle-checked (DuckDB reproduces signatures, banding, capped pair
+    // generation, and verification bit-for-bit)
     "q_doc_minhash_pairs" -> ((s, d) =>
-      Dedup.minHashDedupPairs(TextAnalysis.documents(s, d))), // rows-only
+      Dedup.minHashDedupPairs(TextAnalysis.documents(s, d), portable = true)),
     "q_doc_simhash_neardups" -> ((s, d) =>
-      Dedup.simHashNearDups(TextAnalysis.documents(s, d))), // rows-only
+      Dedup.simHashNearDups(TextAnalysis.documents(s, d), portable = true)),
     "q_embed_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Similarity.embeddings(s, d))),
     "q_embed_lsh_topk" -> ((s, d) =>
-      Similarity.lshTopK(Similarity.embeddings(s, d))), // rows-only
+      Similarity.lshTopK(Similarity.embeddings(s, d))),
     "q_embed_ivf_topk" -> ((s, d) =>
-      Similarity.ivfTopK(Similarity.embeddings(s, d))), // rows-only
+      Similarity.ivfTopK(Similarity.embeddings(s, d))),
     "q_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
 
     // --------------- relational breadth (events/lineitem/orders) ---------------
@@ -753,6 +756,20 @@ object SparkEntry {
                len(list_distinct(list_concat(a.s, b.s))) AS jaccard
            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 200000
            WHERE a.doc_id < 100000""",
+
+      "q_doc_minhash_pairs" -> Dedup.minHashOracleSql(),
+
+      "q_doc_simhash_neardups" -> Dedup.simHashOracleSql(),
+
+      "q_embed_lsh_topk" -> Similarity.lshTopkOracleSql(),
+
+      "q_embed_ivf_topk" -> Similarity.ivfTopkOracleSql(),
+
+      "q_sampling_mid" -> Transcripts.withT(
+        """SELECT role, COUNT(*) AS n FROM t
+           WHERE NOT (role = 'user' AND
+             (CAST('0x' || substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 15) AS BIGINT) % 100) < 50)
+           GROUP BY role"""),
 
       "q_embed_topk" ->
         """WITH e AS (

@@ -101,8 +101,24 @@ object AggOps {
   // -------------------------------------------------------------------
   def sample(t: DataFrame, condition: Column, dropRatio: Double, seed: Long = 42L): DataFrame =
     if (dropRatio <= 0.0) t // keep-all fast path
-    else if (dropRatio >= 1.0) t.filter(!condition) // drop-all fast path
-    else t.filter(!(condition && rand(seed) <= dropRatio))
+    // false-on-error: an unevaluable (NULL) condition keeps the record
+    else if (dropRatio >= 1.0) t.filter(!coalesce(condition, lit(false)))
+    else t.filter(!coalesce(condition && rand(seed) <= dropRatio, lit(false)))
+
+  /** Hash-gated sampling: the drop decision is md5-derived from the record
+    * key instead of RNG state — deterministic across engines, re-runs, and
+    * partitionings (the reproducible-pipeline variant of the seeded path;
+    * a re-run of a resumed job samples the same records).
+    */
+  def sampleHashed(t: DataFrame, condition: Column, dropRatio: Double): DataFrame =
+    if (dropRatio <= 0.0) t
+    else if (dropRatio >= 1.0) t.filter(!coalesce(condition, lit(false)))
+    else {
+      val gate = pmod(graft.data.Dedup.md5Hash64(
+        concat_ws(":", col("conv_id"), col("turn_idx"))), lit(100L)) <
+        (dropRatio * 100).toLong
+      t.filter(!coalesce(condition && gate, lit(false)))
+    }
 
   // -------------------------------------------------------------------
   // logdedupprocessor (manifest.yaml:100) — dedup IDENTICAL log records

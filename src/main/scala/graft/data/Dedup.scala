@@ -7,9 +7,32 @@ import org.apache.spark.sql.functions._
 /** Deduplication for training-data pipelines: exact (hash groupBy),
   * n-gram Jaccard, MinHash+LSH, SimHash. Designed for the 100 TB case:
   * every method is candidate-generation-by-bucketing (shuffle on a short
-  * key) followed by within-bucket verification — never an all-pairs join.
+  * key) followed by within-bucket verification — never an all-pairs join,
+  * and never an unbounded within-bucket pair blowup (see [[candidatePairs]]).
+  *
+  * Two hash families:
+  *  - fast path (default): xxhash64 — cheapest per-row, Spark-only.
+  *  - portable (`portable = true`): md5-derived 60-bit hashes that DuckDB
+  *    reproduces bit-for-bit (`CAST('0x' || substr(md5(x),1,15) AS BIGINT)`),
+  *    making the LSH pipeline END-TO-END oracle-checkable, not rows-only.
   */
 object Dedup {
+
+  /** 2^60-bounded integer hash computable identically in Spark and DuckDB. */
+  def md5Hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def md5Hash64Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Universal-hash family h_i(x) = (A_i·x + B_i) mod P over md5-bounded
+    * inputs: ONE md5 per shingle, k cheap affine variants (standard MinHash
+    * practice; k md5s per shingle would dominate the scan). P < 2^30 keeps
+    * every product < 2^60 — no int64 overflow under ANSI mode.
+    */
+  val P: Long = 1000000007L
+  def hashA(k: Int): Seq[Long] = (0 until k).map(i => (2L * i + 1) * 104729L % P)
+  def hashB(k: Int): Seq[Long] = (0 until k).map(i => (i + 1) * 179424673L % P)
 
   /** Deterministic corpus-with-duplicates: the driver's `documents` table
     * plus planted exact copies (doc_id%10==0 → +100000) and near-dup
@@ -27,6 +50,12 @@ object Dedup {
     docs.select("doc_id", "text", "lang", "source", "n_chars")
       .unionByName(exact).unionByName(near)
   }
+
+  /** DuckDB CTE for the identical planted corpus (keep in lockstep). */
+  val plantedSql: String =
+    """SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+       UNION ALL SELECT doc_id + 200000, text || ' appended' FROM documents WHERE doc_id % 10 = 1"""
 
   // -------------------------------------------------------------------
   // Exact dedup: hash-groupBy on content digest; keep first, count copies
@@ -54,9 +83,16 @@ object Dedup {
       i => array_join(slice(words, i + 1, lit(n)), " ")))
   }
 
+  /** DuckDB expression producing the identical shingle list for column `c`. */
+  def shinglesSql(c: String, n: Int = 3): String =
+    s"""list_distinct(list_transform(
+       range(greatest(len(string_split($c, ' ')) - $n, 0) + 1),
+       i -> array_to_string(string_split($c, ' ')[i+1:i+$n], ' ')))"""
+
   /** Jaccard similarity of planted near-dup pairs (candidates here come
-    * from the planted id mapping; at scale candidates come from [[minHashLsh]]).
-    * Integer sizes + one exact division → no float-compare hazards.
+    * from the planted id mapping; at scale candidates come from the LSH
+    * bucketing below). Integer sizes + one exact division → no
+    * float-compare hazards.
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     val all = withPlantedDups(docs)
@@ -74,46 +110,107 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
-  // MinHash + LSH: shingle → k minhashes → b bands → bucket-join
+  // Bounded within-bucket pair generation (shared by MinHash-LSH + SimHash)
   // -------------------------------------------------------------------
-  /** k seeded minhash signatures per doc, banded into b buckets of r rows;
-    * docs sharing any band bucket are candidates. Shuffle cost: one
-    * explode(b) + groupBy(band,value) — linear in corpus size, never
-    * all-pairs. (Standard MinHash-LSH; Broder '97.)
+  /** Candidate pairs from bucketed rows `(doc_id, band, bucket)`, BOUNDED:
+    * buckets of ≤ maxBucket members enumerate pairs (≤ maxBucket·B total);
+    * degenerate buckets (boilerplate corpora put thousands of docs in one
+    * bucket — guaranteed at 100 TB) fall back to STAR pairs against the
+    * min-id representative — linear in bucket size, and the cluster root
+    * still links every member for dedup-keep purposes.
     */
-  def minHashSignature(text: Column, k: Int): Column =
-    // ONE fold over the shingle array maintaining all k minima — shingling
-    // runs once per row (k separate aggregates would re-shingle k times)
-    aggregate(shingles(text), array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => transform(sequence(lit(0), lit(k - 1)),
-        i => least(element_at(acc, i + 1), xxhash64(i, s))))
-
-  def minHashLshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
-    val r = k / bands
-    val sigs = withPlantedDups(docs)
-      .select(col("doc_id"), minHashSignature(col("text"), k).as("sig"))
-    val banded = sigs.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))).as("bucket"))))
-        .as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-      // self-join below would otherwise recompute every signature twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // candidate pairs: co-bucketed docs (distinct across bands)
-    val l = banded.as("l")
-    val rr = banded.as("r")
-    l.join(rr, Seq("band", "bucket"))
+  def candidatePairs(banded: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val sized = banded.select(col("doc_id"), col("band"), col("bucket"))
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rep", min(col("doc_id")).over(w))
+    val small = sized.filter(col("bsz") <= maxBucket)
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val pairsSmall = small.as("l").join(small.as("r"), Seq("band", "bucket"))
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
-      .distinct()
+    val pairsBig = sized.filter(col("bsz") > maxBucket && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+    pairsSmall.unionByName(pairsBig).distinct()
   }
 
+  /** DuckDB replication of [[candidatePairs]] given a CTE named `banded`. */
+  def candidatePairsSql(maxBucket: Int = 64): String =
+    s"""sized AS (
+         SELECT doc_id, band, bucket,
+           COUNT(*) OVER (PARTITION BY band, bucket) AS bsz,
+           MIN(doc_id) OVER (PARTITION BY band, bucket) AS rep
+         FROM banded
+       ), pairs AS (
+         SELECT l.doc_id AS a_id, r.doc_id AS b_id
+         FROM sized l JOIN sized r
+           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+         WHERE l.bsz <= $maxBucket
+         UNION
+         SELECT rep AS a_id, doc_id AS b_id FROM sized
+         WHERE bsz > $maxBucket AND doc_id <> rep
+       )"""
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH: shingle → k minhashes → b bands → bucket-join
+  // -------------------------------------------------------------------
+  /** k minhash signatures per doc, banded into b buckets of r rows;
+    * docs sharing any band bucket are candidates. Shuffle cost: one
+    * explode(b) + window over (band,bucket) — linear in corpus size, never
+    * all-pairs. (Standard MinHash-LSH; Broder '97.)
+    */
+  def minHashSignature(text: Column, k: Int, portable: Boolean = false): Column =
+    if (portable) {
+      // ONE md5 per shingle (the input array of the fold is evaluated once
+      // per row); k affine variants inside the fold are cheap arithmetic
+      val hs = transform(shingles(text), s => pmod(md5Hash64(s), lit(P)))
+      val a = typedlit(hashA(k)); val b = typedlit(hashB(k))
+      aggregate(hs, array_repeat(lit(Long.MaxValue), k),
+        (acc, h) => transform(sequence(lit(0), lit(k - 1)),
+          i => least(element_at(acc, i + 1),
+            pmod(element_at(a, i + 1) * h + element_at(b, i + 1), lit(P)))))
+    } else {
+      // ONE fold over the shingle array maintaining all k minima — shingling
+      // runs once per row (k separate aggregates would re-shingle k times)
+      aggregate(shingles(text), array_repeat(lit(Long.MaxValue), k),
+        (acc, s) => transform(sequence(lit(0), lit(k - 1)),
+          i => least(element_at(acc, i + 1), xxhash64(i, s))))
+    }
+
+  /** Banded rows `(doc_id, band, bucket)`; the bucket key is the band's
+    * signature slice rendered as a string (no second hash — keeps the
+    * portable path engine-identical; the shuffle key is ≤ r·20 chars).
+    */
+  def minHashBanded(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                    portable: Boolean = false): DataFrame = {
+    val r = k / bands
+    withPlantedDups(docs)
+      .select(col("doc_id"), minHashSignature(col("text"), k, portable).as("sig"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            concat_ws(",", slice(col("sig"), b * r + 1, lit(r))).as("bucket"))))
+          .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  def minHashLshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                           portable: Boolean = false,
+                           maxBucket: Int = 64): DataFrame =
+    candidatePairs(
+      // self-join inside candidatePairs would otherwise recompute signatures
+      minHashBanded(docs, k, bands, portable)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      maxBucket)
+
   /** LSH candidates verified by true Jaccard ≥ threshold. */
-  def minHashDedupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def minHashDedupPairs(docs: DataFrame, threshold: Double = 0.8,
+                        portable: Boolean = false): DataFrame = {
     val all = withPlantedDups(docs)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    minHashLshCandidates(docs)
+      // both verify joins read this — shingle the corpus once, not twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minHashLshCandidates(docs, portable = portable)
       .join(all.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(all.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard",
@@ -123,19 +220,50 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Full DuckDB replication of the portable MinHash-LSH dedup pipeline —
+    * the oracle for `q_doc_minhash_pairs`.
+    */
+  def minHashOracleSql(k: Int = 16, bands: Int = 4, threshold: Double = 0.8,
+                       maxBucket: Int = 64): String = {
+    val r = k / bands
+    val aLit = hashA(k).mkString("[", ",", "]")
+    val bLit = hashB(k).mkString("[", ",", "]")
+    s"""WITH d AS ($plantedSql),
+       sh AS (SELECT doc_id, ${shinglesSql("text")} AS s FROM d),
+       hs AS (SELECT doc_id, list_transform(s, x -> ${md5Hash64Sql("x")} % $P) AS hv FROM sh),
+       sig AS (SELECT doc_id,
+         list_transform(range($k), i ->
+           list_min(list_transform(hv, h -> ($aLit[i+1]*h + $bLit[i+1]) % $P))) AS sg
+         FROM hs),
+       banded AS (SELECT doc_id, CAST(b.range AS INT) AS band,
+         array_to_string(sg[CAST(b.range AS INT)*$r+1 : CAST(b.range AS INT)*$r+$r], ',') AS bucket
+         FROM sig, range($bands) b),
+       ${candidatePairsSql(maxBucket)}
+       SELECT a_id, b_id, jaccard FROM (
+         SELECT p.a_id, p.b_id,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+         FROM pairs p
+         JOIN sh sa ON sa.doc_id = p.a_id
+         JOIN sh sb ON sb.doc_id = p.b_id
+       ) WHERE jaccard >= $threshold"""
+  }
+
   // -------------------------------------------------------------------
   // SimHash: 64-bit sign-of-weighted-bit-sums over token hashes
   // (Charikar '02); near-dups have small hamming distance.
   // -------------------------------------------------------------------
   /** Per-bit vote counts over token hashes. IMPORTANT perf shape: token
-    * hashes are materialized once (`transform` → one xxhash64 per token),
+    * hashes are materialized once (`transform` → one hash per token),
     * and callers must materialize this column BEFORE folding it into the
     * 64-bit signature — referencing an aggregate HOF from inside another
     * fold would re-evaluate the entire token loop per bit (64×).
     */
-  private def simHashBitCounts(text: Column): Column = {
+  private def simHashBitCounts(text: Column, portable: Boolean): Column = {
     import graft.functions.BitOps
-    val hashes = transform(split(text, " "), tok => xxhash64(tok))
+    val hashes =
+      if (portable) transform(split(text, " "), tok => md5Hash64(tok))
+      else transform(split(text, " "), tok => xxhash64(tok))
     aggregate(hashes,
       array_repeat(lit(0), 64),
       (acc, h) => transform(sequence(lit(0), lit(63)),
@@ -157,34 +285,60 @@ object Dedup {
         acc.bitwiseOR(BitOps.shiftL(lit(1L), e.getField("b")))).otherwise(acc))
   }
 
-  def simHashes(docs: DataFrame): DataFrame =
+  def simHashes(docs: DataFrame, portable: Boolean = false): DataFrame =
     withPlantedDups(docs)
-      .select(col("doc_id"), simHashFromBits(simHashBitCounts(col("text"))).as("simhash"))
+      .select(col("doc_id"),
+        simHashFromBits(simHashBitCounts(col("text"), portable)).as("simhash"))
 
   /** Column API kept for single-expression use in tests. */
-  def simHash(text: Column): Column = simHashFromBits(simHashBitCounts(text))
+  def simHash(text: Column): Column = simHashFromBits(simHashBitCounts(text, portable = false))
 
   /** Candidate pairs by 16-bit chunk bucketing (hamming ≤ 3 pairs must share
-    * at least one of 4 chunks), verified by bit_count(xor).
+    * at least one of 4 chunks), verified by bit_count(xor). Bucket pair
+    * emission is bounded via [[candidatePairs]].
     */
-  def simHashNearDups(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val h = simHashes(docs)
-    val chunked = h.select(col("doc_id"), col("simhash"),
-      explode(transform(sequence(lit(0), lit(3)),
-        c => struct(c.as("chunk"),
-          graft.functions.BitOps.shiftRU(col("simhash"), c * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("v"))))
-        .as("cc"))
-      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.v"))
-      // self-join: don't recompute the signatures for each side
+  def simHashNearDups(docs: DataFrame, maxHamming: Int = 8,
+                      portable: Boolean = false,
+                      maxBucket: Int = 64): DataFrame = {
+    // signatures computed ONCE and cached; every downstream use (bucketing,
+    // the candidate self-join, both verify joins) is narrow off the cache
+    val h = simHashes(docs, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = chunked.as("l")
-    val r = chunked.as("r")
-    l.join(r, Seq("chunk", "v"))
-      .filter(col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
-      .distinct()
+    val chunked = h.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(3)),
+        c => struct(c.as("band"),
+          graft.functions.BitOps.shiftRU(col("simhash"), c * 16)
+            .bitwiseAND(lit(0xFFFFL)).cast("string").as("bucket"))))
+        .as("cc"))
+      .select(col("doc_id"), col("cc.band"), col("cc.bucket"))
+    candidatePairs(chunked, maxBucket)
+      .join(h.select(col("doc_id").as("a_id"), col("simhash").as("a_sim")), "a_id")
+      .join(h.select(col("doc_id").as("b_id"), col("simhash").as("b_sim")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Full DuckDB replication of the portable SimHash near-dup pipeline —
+    * the oracle for `q_doc_simhash_neardups`.
+    */
+  def simHashOracleSql(maxHamming: Int = 8, maxBucket: Int = 64): String =
+    s"""WITH d AS ($plantedSql),
+       hs AS (SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> ${md5Hash64Sql("t")}) AS hv FROM d),
+       sh AS (SELECT doc_id, CAST(list_sum(list_transform(range(64), b ->
+           CASE WHEN list_sum(list_transform(hv, h ->
+             CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END))
+         AS BIGINT) AS simhash FROM hs),
+       banded AS (SELECT doc_id, CAST(c.range AS INT) AS band,
+         CAST((simhash >> (CAST(c.range AS INT) * 16)) & 65535 AS VARCHAR) AS bucket
+         FROM sh, range(4) c),
+       ${candidatePairsSql(maxBucket)}
+       SELECT p.a_id, p.b_id,
+         CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+       FROM pairs p
+       JOIN sh sa ON sa.doc_id = p.a_id
+       JOIN sh sb ON sb.doc_id = p.b_id
+       WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $maxHamming"""
 }

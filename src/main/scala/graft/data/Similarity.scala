@@ -51,21 +51,31 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"))
   }
 
+  /** Deterministic pseudo-random hyperplane components h(p,d) ∈ {-1,0,1} —
+    * a fixed LCG-scrambled table computed ONCE on the driver and shipped as
+    * array literals (broadcast state, like a trained projection matrix).
+    * Literal planes beat per-row hash derivation twice: no per-row hash
+    * work, and the identical numbers are spliced into the DuckDB oracle so
+    * the ANN pipeline is end-to-end checkable.
+    */
+  def planes(nPlanes: Int = 8, dims: Int = 64): Seq[Seq[Long]] =
+    (0 until nPlanes).map { p =>
+      (0 until dims).map { d =>
+        val v = (p * dims + d + 1) * 6364136223846793005L + 1442695040888963407L
+        ((v >>> 33) % 3).toLong - 1
+      }
+    }
+
   /** Random-hyperplane LSH buckets: sign bits of dot products with
-    * `nPlanes` deterministic pseudo-random hyperplanes (derived from
-    * xxhash64 of (plane, dim) — seeded, no RNG state). At scale, queries
-    * only scan their own bucket ∪ neighboring buckets instead of the
-    * full corpus: candidate generation is a groupBy(bucket), not a cross
-    * join. (IVF-style coarse quantization would swap the hash for k-means
-    * centroids; the plumbing is identical.)
+    * `nPlanes` hyperplanes. At scale, queries only scan their own bucket
+    * instead of the full corpus: candidate generation is a groupBy(bucket),
+    * not a cross join. (IVF-style coarse quantization swaps the projection
+    * for k-means centroids; the plumbing is identical.)
     */
   def hyperplaneBucket(vec: Column, nPlanes: Int = 8, dims: Int = 64): Column = {
+    val pl = planes(nPlanes, dims)
     val planeDots = (0 until nPlanes).map { p =>
-      // hyperplane component h(p,d) ∈ {-1,0,1}: deterministic from hash
-      val contrib = zip_with(vec,
-        transform(sequence(lit(0), lit(dims - 1)),
-          d => pmod(xxhash64(lit(p), d), lit(3)) - 1),
-        (x, h) => x * h)
+      val contrib = zip_with(vec, typedlit(pl(p)), (x, h) => x * h)
       aggregate(contrib, lit(0L), (acc, x) => acc + x)
     }
     planeDots.zipWithIndex.foldLeft(lit(0L)) { case (acc, (pd, i)) =>
@@ -134,6 +144,59 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"))
   }
+
+  // -------------------------------------------------------------------
+  // DuckDB oracle replication (quantized-int math is engine-exact)
+  // -------------------------------------------------------------------
+  private val quantizedSql =
+    """SELECT vec_id,
+       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       FROM embeddings"""
+
+  private def rankSql(k: Int): String =
+    s"""SELECT q_id, rank, n_id FROM (
+       SELECT q_id, n_id, row_number() OVER (
+         PARTITION BY q_id
+         ORDER BY (CASE WHEN dd > 0 THEN 1.0 WHEN dd < 0 THEN -1.0 ELSE 0.0 END) * dd * dd / n2 DESC,
+                  n_id) AS rank
+       FROM s
+     ) WHERE rank <= $k"""
+
+  /** Oracle for `q_embed_lsh_topk`: the same literal hyperplanes, spliced. */
+  def lshTopkOracleSql(k: Int = 3, nQueries: Int = 10, nPlanes: Int = 8): String = {
+    val pl = planes(nPlanes)
+    val bucketTerms = (0 until nPlanes).map { p =>
+      val litP = pl(p).mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(64), j -> v[j+1] * ($litP)[j+1])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS ($quantizedSql),
+       b AS (SELECT vec_id, v, CAST($bucketTerms AS BIGINT) AS bucket FROM e),
+       q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b WHERE vec_id < $nQueries),
+       s AS (SELECT q_id, b.vec_id AS n_id,
+         CAST(list_sum(list_transform(range(64), i -> q_vec[i+1] * v[i+1])) AS BIGINT) AS dd,
+         CAST(list_sum(list_transform(range(64), i -> v[i+1] * v[i+1])) AS BIGINT) AS n2
+         FROM b JOIN q USING (bucket) WHERE b.vec_id <> q_id)
+       ${rankSql(k)}"""
+  }
+
+  /** Oracle for `q_embed_ivf_topk`: stride centroids, argmax cell
+    * assignment (ties → smallest centroid id), nprobe=1 search.
+    */
+  def ivfTopkOracleSql(k: Int = 3, nQueries: Int = 10, stride: Int = 31): String =
+    s"""WITH e AS ($quantizedSql),
+       c AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id % $stride = 0),
+       scoredc AS (SELECT e.vec_id, e.v, c.c_id,
+         CAST(list_sum(list_transform(range(64), j -> e.v[j+1] * c.c_vec[j+1])) AS BIGINT) AS cs
+         FROM e, c),
+       cells AS (SELECT vec_id, v, c_id AS cell FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+         FROM scoredc) WHERE rn = 1),
+       q AS (SELECT vec_id AS q_id, v AS q_vec, cell FROM cells WHERE vec_id < $nQueries),
+       s AS (SELECT q_id, c2.vec_id AS n_id,
+         CAST(list_sum(list_transform(range(64), i -> q_vec[i+1] * c2.v[i+1])) AS BIGINT) AS dd,
+         CAST(list_sum(list_transform(range(64), i -> c2.v[i+1] * c2.v[i+1])) AS BIGINT) AS n2
+         FROM cells c2 JOIN q USING (cell) WHERE c2.vec_id <> q_id)
+       ${rankSql(k)}"""
 
   /** ANN top-k restricted to same-bucket candidates (recall<1 by design;
     * the scale path). */

@@ -46,6 +46,35 @@ class DedupSpec extends SparkTestBase {
       s"found only ${found.size}/${plantedNear.size} planted near-dups")
   }
 
+  test("portable (md5) minhash finds planted near-dups too") {
+    val pairs = Dedup.minHashDedupPairs(docs, portable = true)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val plantedNear = docs.filter($"doc_id" % 10 === 1)
+      .select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 200000)).toSet
+    val found = plantedNear.intersect(pairs)
+    assert(found.size >= (plantedNear.size * 8) / 10,
+      s"found only ${found.size}/${plantedNear.size} planted near-dups")
+  }
+
+  test("degenerate corpus: candidate pair count stays LINEAR, not B^2") {
+    // 1000 identical docs — a single LSH bucket; uncapped enumeration
+    // would emit ~500k pairs, the star fallback emits exactly n-1
+    val n = 1000
+    val degenerate = spark.range(n).select(
+      $"id".as("doc_id"),
+      lit("the same boilerplate text repeated in every document").as("text"),
+      lit("en").as("lang"), lit("gen").as("source"), lit(52).as("n_chars"))
+    val pairs = Dedup.minHashLshCandidates(degenerate)
+    // withPlantedDups adds +100000/+200000 variants; count pairs among the
+    // identical originals only
+    val amongOriginals = pairs.filter($"a_id" < 100000 && $"b_id" < 100000)
+    assert(amongOriginals.count() == n - 1,
+      "oversized bucket must emit star pairs to the min-id representative")
+    // every identical doc is linked to the cluster root (doc 0)
+    assert(amongOriginals.filter($"a_id" =!= 0).count() == 0)
+  }
+
   test("simhash: exact copies have hamming distance 0") {
     val near = Dedup.simHashNearDups(docs)
       .filter($"hamming" === 0)
@@ -90,6 +119,13 @@ class SimilaritySpec extends SparkTestBase {
         .maxBy(n => (cos(vecs(q), vecs(n)), -n))
       assert(spark1(q) == best, s"query $q")
     }
+  }
+
+  test("IVF cell assignment is a narrow pass: zero shuffles in the plan") {
+    val plan = Similarity.ivfCells(emb).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "argmax over the broadcast centroid literal must not shuffle:\n" + plan)
+    assert(!plan.contains("Join"), "cell assignment must not join")
   }
 
   test("IVF cells: every vector assigned; deterministic; top-k well-formed") {
