@@ -188,6 +188,55 @@ object SparkEntry {
     // ------------------- plugin / expression / snapshot -------------------
     "q_plugin_nginx" -> ((s, d) =>
       graft.plugins.Plugins.NginxPlugin(s, Map("data_flow" -> "low"))(t(s, d))),
+    "q_plugin_syslog" -> ((s, d) =>
+      graft.plugins.Plugins.SyslogPlugin(s, Map(
+        "protocol" -> "rfc3164", "data_flow" -> "low",
+        "retain_raw_logs" -> "true"))(t(s, d))),
+    "q_plugin_csv" -> ((s, d) =>
+      graft.plugins.Plugins.CsvPlugin(s, Map(
+        "header" -> "time_local,level,component,code,latency_ms",
+        "save_log_record_original" -> "true"))(t(s, d))),
+    "q_plugin_json" -> ((s, d) =>
+      graft.plugins.Plugins.JsonPlugin(s)(t(s, d))),
+    "q_plugin_container" -> ((s, d) =>
+      graft.plugins.Plugins.ContainerPlugin(s)(t(s, d))),
+    "q_plugin_postgresql" -> ((s, d) => {
+      // pg-shaped lines framed deterministically from the kv fixture rows
+      // (both engines build the identical line; the plugin parses it back)
+      val kv = t(s, d).filter(ParseOps.isKv)
+      val lvl = regexp_extract(col("text"), "level=(\\w+)", 1)
+      val pgLvl = when(lvl === "error", "ERROR")
+        .when(lvl === "warn", "WARNING").otherwise("LOG")
+      val lat = regexp_extract(col("text"), "latency_ms=(\\d+)", 1)
+      val msg = when(col("turn_idx") % 3 === 0,
+          concat(lit("duration: "), lat, lit(".000 ms  statement: SELECT "),
+            col("turn_idx")))
+        .when(col("turn_idx") % 3 === 1,
+          concat(lit("statement: ALTER TABLE t"), col("turn_idx")))
+        .otherwise(lit("connection received"))
+      val line = format_string("%s.%03d UTC [%d] app%d@db%d %s:  %s",
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), col("turn_idx") % 1000,
+        col("turn_idx") % 32768, col("turn_idx") % 5, col("turn_idx") % 3,
+        pgLvl, msg)
+      graft.plugins.Plugins.PostgresqlPlugin(s)(
+        kv.select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
+    "q_plugin_w3c" -> ((s, d) => {
+      // w3c-shaped: '|'-delimited data lines + '#'-prefixed comment rows
+      val csvRows = t(s, d).filter(ParseOps.isCsv)
+      val line = when(col("turn_idx") % 7 === 0,
+          lit("#Fields: time_local|level|component|code|latency_ms"))
+        .otherwise(regexp_replace(col("text"), ",", "|"))
+      graft.plugins.Plugins.W3cPlugin(s, Map(
+        "header" -> "time_local|level|component|code|latency_ms",
+        "delimiter" -> "|"))(
+        csvRows.select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
+    "q_plugin_apache" -> ((s, d) =>
+      graft.plugins.Plugins.ApacheCombinedPlugin(s)(t(s, d))),
+    "q_plugin_tcp" -> ((s, d) =>
+      graft.plugins.Plugins.TcpPlugin(s, Map(
+        "listen_port" -> "601", "add_attributes" -> "true"))(t(s, d))),
     "q_snapshot_search" -> ((s, d) =>
       graft.plugins.Snapshot.search(t(s, d), "search", "2024-01-10 00:00:00")),
     "q_expr_filter" -> ((s, d) => {
@@ -629,6 +678,118 @@ object SparkEntry {
                 'http_user_agent']) AS g
              FROM t WHERE regexp_matches(text, '^10\\.')
            ) WHERE CAST(g['status'] AS INT) >= 400"""),
+
+      "q_plugin_syslog" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CAST(regexp_extract(text, '^<(\d+)>', 1) AS INT) AS priority,
+           CAST(regexp_extract(text, '^<(\d+)>', 1) AS INT) % 8 AS severity,
+           regexp_extract(text, ' host\d+ (\w+)\[', 1) AS appname,
+           'host' || regexp_extract(text, ' host(\d+) ', 1) AS hostname,
+           regexp_extract(text, '\]: (.*)$', 1) AS message,
+           text AS raw_log
+           FROM t WHERE starts_with(text, '<')
+             AND CAST(regexp_extract(text, '^<(\d+)>', 1) AS INT) % 8 <> 7"""),
+
+      "q_plugin_csv" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           string_split(text, ',')[1] AS time_local,
+           string_split(text, ',')[2] AS level,
+           string_split(text, ',')[3] AS component,
+           string_split(text, ',')[4] AS code,
+           string_split(text, ',')[5] AS latency_ms,
+           'csv' AS log_type,
+           text AS log_record_original
+           FROM t WHERE regexp_matches(text, '^\d{2}/')"""),
+
+      "q_plugin_json" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           json_extract_string(text, '$.level') AS level,
+           CAST(json_extract(text, '$.status') AS INT) AS status,
+           json_extract_string(text, '$.path') AS path,
+           CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS latency_ms,
+           json_extract_string(text, '$.msg') AS msg,
+           'json' AS log_type
+           FROM t WHERE starts_with(text, '{')"""),
+
+      "q_plugin_container" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx AS first_turn, turn_idx AS last_turn,
+           CAST(1 AS BIGINT) AS n_parts, 'docker-json-file' AS driver,
+           json_extract_string(text, '$.msg') AS log,
+           json_extract_string(text, '$.level') AS level
+           FROM t WHERE starts_with(text, '{')
+           UNION ALL
+           SELECT conv_id, MIN(turn_idx) AS first_turn, MAX(turn_idx) AS last_turn,
+             COUNT(*) AS n_parts, 'containerd-cri' AS driver,
+             string_agg(regexp_extract(text, '^[PF]\|(.*)$', 1), chr(10) ORDER BY turn_idx) AS log,
+             NULL AS level
+           FROM (
+             SELECT conv_id, turn_idx, text,
+               CAST(COALESCE(SUM(CASE WHEN starts_with(text, 'F|') THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS session_id
+             FROM t WHERE regexp_matches(text, '^[PF]\|')
+           ) GROUP BY conv_id, session_id"""),
+
+      "q_plugin_postgresql" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CAST(turn_idx % 32768 AS BIGINT) AS tid,
+           'app' || CAST(turn_idx % 5 AS VARCHAR) AS db_role,
+           'db' || CAST(turn_idx % 3 AS VARCHAR) AS db_user,
+           pg_level AS level, msg AS message,
+           CASE WHEN pg_level = 'ERROR' THEN 17
+                WHEN pg_level = 'WARNING' THEN 13
+                ELSE 9 END AS severity_number,
+           CASE WHEN turn_idx % 3 = 0 THEN lat || '.000' ELSE '' END AS duration_ms,
+           CASE WHEN turn_idx % 3 = 0 THEN 'postgresql.slow_query'
+                ELSE 'postgresql.general' END AS log_type,
+           CASE WHEN turn_idx % 3 = 0 THEN 'SELECT ' || CAST(turn_idx AS VARCHAR)
+                WHEN turn_idx % 3 = 1 THEN 'ALTER TABLE t' || CAST(turn_idx AS VARCHAR)
+           END AS statement,
+           CASE WHEN turn_idx % 3 = 0 THEN 'SELECT'
+                WHEN turn_idx % 3 = 1 THEN 'ALTER'
+           END AS sql_command
+           FROM (
+             SELECT conv_id, turn_idx,
+               CASE regexp_extract(text, 'level=(\w+)', 1)
+                 WHEN 'error' THEN 'ERROR' WHEN 'warn' THEN 'WARNING'
+                 ELSE 'LOG' END AS pg_level,
+               regexp_extract(text, 'latency_ms=(\d+)', 1) AS lat,
+               CASE WHEN turn_idx % 3 = 0 THEN
+                 'duration: ' || regexp_extract(text, 'latency_ms=(\d+)', 1) ||
+                 '.000 ms  statement: SELECT ' || CAST(turn_idx AS VARCHAR)
+               WHEN turn_idx % 3 = 1 THEN
+                 'statement: ALTER TABLE t' || CAST(turn_idx AS VARCHAR)
+               ELSE 'connection received' END AS msg
+             FROM t WHERE starts_with(text, 'level=')
+           )"""),
+
+      "q_plugin_w3c" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           string_split(text, ',')[1] AS time_local,
+           string_split(text, ',')[2] AS level,
+           string_split(text, ',')[3] AS component,
+           string_split(text, ',')[4] AS code,
+           string_split(text, ',')[5] AS latency_ms,
+           'w3c' AS log_type
+           FROM t WHERE regexp_matches(text, '^\d{2}/') AND turn_idx % 7 <> 0"""),
+
+      "q_plugin_apache" -> Transcripts.withT(
+        s"""SELECT conv_id, turn_idx,
+           regexp_extract(text, '$nginxPat', 1) AS remote_addr,
+           regexp_extract(text, '$nginxPat', 4) AS method,
+           regexp_extract(text, '$nginxPat', 5) AS path,
+           CAST(regexp_extract(text, '$nginxPat', 7) AS INT) AS status,
+           'apache_combined' AS log_type,
+           CASE WHEN CAST(regexp_extract(text, '$nginxPat', 7) AS INT) >= 500 THEN 17
+                WHEN CAST(regexp_extract(text, '$nginxPat', 7) AS INT) >= 400 THEN 13
+                ELSE 9 END AS severity_number
+           FROM t WHERE regexp_matches(text, '^10\\.')"""),
+
+      "q_plugin_tcp" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx, text AS body, 'tcp' AS log_type,
+           'tcp' AS net_transport, '0.0.0.0' AS net_host_ip,
+           601 AS net_host_port
+           FROM t"""),
 
       "q_snapshot_search" -> Transcripts.withT(
         """SELECT conv_id, turn_idx, role, tool, text, ts

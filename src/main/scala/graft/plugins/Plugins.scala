@@ -1,6 +1,6 @@
 package graft.plugins
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -75,7 +75,323 @@ object Plugins {
     }
   }
 
-  val registry: Map[String, Plugin] = Seq(NginxPlugin).map(p => p.name -> p).toMap
+  /** Syslog plugin (plugins/syslog_logs.yaml): protocol param switches the
+    * RFC3164/RFC5424 parser; `data_flow: low` drops debug-severity entries
+    * (priority % 8 == 7, syslog_logs.yaml:105-110); `retain_raw_logs`
+    * preserves the original line in `raw_log` (:99-104). connection_type /
+    * listen_address configure the network listener — in batch form they are
+    * validated but do not change the relational plan (the scan IS the
+    * receiver).
+    */
+  object SyslogPlugin extends Plugin("syslog", Seq(
+    PluginParam("connection_type", Some("udp"), Seq("tcp", "udp")),
+    PluginParam("protocol", Some("rfc5424"), Seq("rfc3164", "rfc5424")),
+    PluginParam("data_flow", Some("high"), Seq("high", "low")),
+    PluginParam("retain_raw_logs", Some("false"), Seq("true", "false")),
+    PluginParam("parse", Some("true"), Seq("true", "false")))) {
+
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      val lines = input.filter(ParseOps.isSyslog)
+      if (p("parse") != "true")
+        lines.select(col("conv_id"), col("turn_idx"), col("text").as("body"))
+      else {
+        val parsed =
+          if (p("protocol") == "rfc3164")
+            lines.withColumn("g", RegexExtractStruct.of(col("text"),
+                ParseOps.SyslogPattern, ParseOps.SyslogFields))
+              .select(col("conv_id"), col("turn_idx"),
+                col("g.pri").cast(IntegerType).as("priority"),
+                (col("g.pri").cast(IntegerType) % 8).as("severity"),
+                col("g.app").as("appname"),
+                concat(lit("host"), col("g.hostnum")).as("hostname"),
+                col("g.message").as("message"),
+                col("text"))
+          else // rfc5424: on_error send — fixture 3164 lines yield nulls
+            lines.withColumn("g", RegexExtractStruct.of(col("text"),
+                ParseOps.Syslog5424Pattern, ParseOps.Syslog5424Fields))
+              .select(col("conv_id"), col("turn_idx"),
+                col("g.pri").cast(IntegerType).as("priority"),
+                (col("g.pri").cast(IntegerType) % 8).as("severity"),
+                col("g.app").as("appname"),
+                col("g.host").as("hostname"),
+                col("g.message").as("message"),
+                col("text"))
+        val filtered =
+          if (p("data_flow") == "low")
+            // filter expr 'priority % 8 == 7' drops matching records
+            parsed.filter(!coalesce(col("severity") === 7, lit(false)))
+          else parsed
+        val withRaw =
+          if (p("retain_raw_logs") == "true")
+            filtered.withColumn("raw_log", col("text"))
+          else filtered
+        withRaw.drop("text")
+      }
+    }
+  }
+
+  /** CSV plugin (plugins/csv_logs.yaml): the `header` parameter is REQUIRED
+    * and drives the output schema — header keys become columns (csv_parser
+    * `header:` semantics). save_log_record_original copies the raw body to
+    * `log.record.original` (csv_logs.yaml:70-75).
+    */
+  object CsvPlugin extends Plugin("csv", Seq(
+    PluginParam("header", None),
+    PluginParam("log_type", Some("csv")),
+    PluginParam("save_log_record_original", Some("false"), Seq("true", "false")),
+    PluginParam("parse", Some("true"), Seq("true", "false")))) {
+
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      val rows = input.filter(ParseOps.isCsv)
+      if (p("parse") != "true")
+        rows.select(col("conv_id"), col("turn_idx"), col("text").as("body"),
+          lit(p("log_type")).as("log_type"))
+      else {
+        val headerCols = p("header").split(",").map(_.trim)
+        val parts = split(col("text"), ",")
+        val orig =
+          if (p("save_log_record_original") == "true")
+            Seq(col("text").as("log_record_original"))
+          else Seq.empty
+        rows.select(
+          Seq(col("conv_id"), col("turn_idx")) ++
+            headerCols.zipWithIndex.map { case (h, i) =>
+              element_at(parts, i + 1).as(h)
+            } ++ Seq(lit(p("log_type")).as("log_type")) ++ orig: _*)
+      }
+    }
+  }
+
+  /** JSON plugin (plugins/json_logs.yaml): json_parser over the body with a
+    * log_type attribute.
+    */
+  object JsonPlugin extends Plugin("json", Seq(
+    PluginParam("log_type", Some("json")),
+    PluginParam("parse", Some("true"), Seq("true", "false")))) {
+
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      val rows = input.filter(ParseOps.isJson)
+      if (p("parse") != "true")
+        rows.select(col("conv_id"), col("turn_idx"), col("text").as("body"),
+          lit(p("log_type")).as("log_type"))
+      else
+        rows.withColumn("j", from_json(col("text"), ParseOps.JsonBodySchema))
+          .select(col("conv_id"), col("turn_idx"),
+            col("j.level").as("level"), col("j.status").as("status"),
+            col("j.path").as("path"), col("j.latency_ms").as("latency_ms"),
+            col("j.msg").as("msg"), lit(p("log_type")).as("log_type"))
+    }
+  }
+
+  /** Container plugin (plugins/container_logs.yaml:85-123): `log_driver:
+    * auto` routes each line — JSON body → docker-json-file parser, anything
+    * else → containerd-cri parser + recombine on the partial marker
+    * (`is_last_entry: attributes.partial == 'F'`) + remove of the partial
+    * field. The fixture's multiline rows carry exactly the cri P/F marker.
+    */
+  object ContainerPlugin extends Plugin("container", Seq(
+    PluginParam("log_driver", Some("auto"),
+      Seq("auto", "docker-json-file", "containerd-cri")),
+    PluginParam("parse", Some("true"), Seq("true", "false")))) {
+
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      import org.apache.spark.sql.expressions.Window
+      val driver = p("log_driver")
+
+      // docker-json-file branch: JSON rows parsed in place (1 part each)
+      def dockerRows(in: DataFrame): DataFrame =
+        in.filter(ParseOps.isJson)
+          .withColumn("j", from_json(col("text"), ParseOps.JsonBodySchema))
+          .select(col("conv_id"),
+            col("turn_idx").as("first_turn"), col("turn_idx").as("last_turn"),
+            lit(1L).as("n_parts"),
+            lit("docker-json-file").as("driver"),
+            col("j.msg").as("log"), col("j.level").as("level"))
+
+      // containerd-cri branch: regex-parse partial marker, recombine until F
+      def criRows(in: DataFrame): DataFrame = {
+        val cri = in.filter(ParseOps.isMultiline)
+          .select(col("conv_id"), col("turn_idx"),
+            regexp_extract(col("text"), "^([PF])\\|", 1).as("partial"),
+            regexp_extract(col("text"), "^[PF]\\|(.*)$", 1).as("log"))
+        val isFinal = when(col("partial") === "F", 1L).otherwise(0L)
+        val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        cri.withColumn("session_id", coalesce(sum(isFinal).over(w), lit(0L)))
+          .groupBy(col("conv_id"), col("session_id"))
+          .agg(
+            min(col("turn_idx")).as("first_turn"),
+            max(col("turn_idx")).as("last_turn"),
+            count(lit(1)).as("n_parts"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("turn_idx"), col("log")))),
+              x => x.getField("log")), "\n").as("log"))
+          .select(col("conv_id"), col("first_turn"), col("last_turn"),
+            col("n_parts"), lit("containerd-cri").as("driver"),
+            col("log"), lit(null).cast("string").as("level"))
+          // `remove: attributes.partial` — partial never reaches the output
+      }
+
+      driver match {
+        case "docker-json-file" => dockerRows(input)
+        case "containerd-cri" => criRows(input)
+        case _ => dockerRows(input).unionByName(criRows(input))
+      }
+    }
+  }
+
+  /** PostgreSQL plugin (plugins/postgresql_logs.yaml:65-128): regex parse of
+    * the pg log line, the multi-alias severity MAPPING (LOG/NOTICE/INFO →
+    * info, WARNING → warn, FATAL/PANIC → fatal), the slow-query conditional
+    * add (`if: attributes.duration != ""`), and the statement router +
+    * sql_command classification adds.
+    */
+  object PostgresqlPlugin extends Plugin("postgresql", Seq(
+    PluginParam("data_flow", Some("high"), Seq("high", "low")))) {
+
+    val LinePattern =
+      """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3} \w+)\s*\[(\d+)\]\s+(\S+)@(\S+)\s*(\w+):\s+(.*)$"""
+    val LineFields = Seq("timestamp", "tid", "role", "user", "level", "message")
+
+    /** severity mapping table (postgresql_logs.yaml:74-93) compiled to one
+      * when-chain — multi-alias classes collapse to a severity number. */
+    def pgSeverity(level: Column): Column =
+      when(upper(level).isin("FATAL", "PANIC"), 21)
+        .when(upper(level) === "ERROR", 17)
+        .when(upper(level) === "WARNING", 13)
+        .when(upper(level).isin("INFO", "LOG", "NOTICE"), 9)
+        .otherwise(5) // DEBUG1..5 / DETAIL / STATEMENT / HINT
+
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      val parsed = input
+        .withColumn("g", RegexExtractStruct.of(col("line"), LinePattern, LineFields))
+        .filter(col("g").isNotNull)
+        .select(col("conv_id"), col("turn_idx"),
+          col("g.tid").cast(LongType).as("tid"),
+          col("g.role").as("db_role"), col("g.user").as("db_user"),
+          col("g.level").as("level"), col("g.message").as("message"))
+        .withColumn("severity_number", pgSeverity(col("level")))
+        .withColumn("duration_ms",
+          regexp_extract(col("message"), """duration: ([\d.]+) ms""", 1))
+        // slow_query add (yaml:96-101): only when duration is present
+        .withColumn("log_type",
+          when(col("duration_ms") =!= "", "postgresql.slow_query")
+            .otherwise("postgresql.general"))
+        // statement router (yaml:113-124) + statement_regex_parser
+        .withColumn("statement",
+          when(col("message").rlike("""(STATEMENT:\s+|statement:\s+)"""),
+            regexp_extract(col("message"), """(?:STATEMENT:\s*|statement:\s*)(.+)$""", 1)))
+        // sql_command_* adds (yaml:126-140)
+        .withColumn("sql_command",
+          when(upper(col("statement")).startsWith("ALTER"), "ALTER")
+            .when(upper(col("statement")).startsWith("COMMIT"), "COMMIT")
+            .when(upper(col("statement")).startsWith("SELECT"), "SELECT")
+            .when(upper(col("statement")).startsWith("INSERT"), "INSERT")
+            .when(upper(col("statement")).startsWith("UPDATE"), "UPDATE")
+            .when(upper(col("statement")).startsWith("DELETE"), "DELETE"))
+      if (p("data_flow") == "low")
+        parsed.filter(col("severity_number") >= graft.parse.ParseOps.SevWarn)
+      else parsed
+    }
+  }
+
+  /** W3C plugin (plugins/w3c_logs.yaml:149-167): comment lines (`^#`) are
+    * FILTERED, data lines csv-parsed with a configurable `delimiter` and a
+    * caller-supplied header.
+    */
+  object W3cPlugin extends Plugin("w3c", Seq(
+    PluginParam("header", None),
+    PluginParam("delimiter", Some("\t")),
+    PluginParam("header_delimiter", None), // defaults to `delimiter` in validate
+    PluginParam("log_type", Some("w3c")),
+    PluginParam("parse", Some("true"), Seq("true", "false")))) {
+
+    // header_delimiter defaults to delimiter (w3c csv_parser semantics)
+    override def validate(given: Map[String, String]): Map[String, String] = {
+      val base = super.validate(given ++ (
+        if (given.contains("header_delimiter")) Map.empty
+        else Map("header_delimiter" -> given.getOrElse("delimiter", "\t"))))
+      base
+    }
+
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      val data = input.filter(!col("line").startsWith("#")) // filter ^# comments
+      if (p("parse") != "true")
+        data.select(col("conv_id"), col("turn_idx"), col("line").as("body"),
+          lit(p("log_type")).as("log_type"))
+      else {
+        val headerCols = p("header").split(java.util.regex.Pattern.quote(
+          p("header_delimiter"))).map(_.trim)
+        val parts = split(col("line"), java.util.regex.Pattern.quote(p("delimiter")))
+        data.select(
+          Seq(col("conv_id"), col("turn_idx")) ++
+            headerCols.zipWithIndex.map { case (h, i) =>
+              element_at(parts, i + 1).as(h)
+            } :+ lit(p("log_type")).as("log_type"): _*)
+      }
+    }
+  }
+
+  /** Apache combined plugin (plugins/apache_combined_logs.yaml): the combined
+    * access-log format is byte-identical to nginx's — same regex, its own
+    * log_type and severity classes.
+    */
+  object ApacheCombinedPlugin extends Plugin("apache_combined", Seq(
+    PluginParam("log_type", Some("apache_combined")))) {
+
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      input.filter(ParseOps.isNginx)
+        .withColumn("g", RegexExtractStruct.of(col("text"),
+          ParseOps.NginxPattern, ParseOps.NginxFields))
+        .select(col("conv_id"), col("turn_idx"),
+          col("g.remote_addr").as("remote_addr"),
+          col("g.method").as("method"), col("g.path").as("path"),
+          col("g.status").cast(IntegerType).as("status"),
+          lit(p("log_type")).as("log_type"))
+        .withColumn("severity_number", ParseOps.severityFromStatus(col("status")))
+    }
+  }
+
+  /** TCP plugin (plugins/tcp_logs.yaml): raw body passthrough with log_type
+    * and optional net.* attributes (`add_attributes`). listen_ip/port are
+    * validated receiver params (the batch scan is the listener).
+    */
+  object TcpPlugin extends Plugin("tcp", Seq(
+    PluginParam("listen_port", None),
+    PluginParam("listen_ip", Some("0.0.0.0")),
+    PluginParam("log_type", Some("tcp")),
+    PluginParam("add_attributes", Some("false"), Seq("true", "false")))) {
+
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      val base = input.select(col("conv_id"), col("turn_idx"),
+        col("text").as("body"), lit(p("log_type")).as("log_type"))
+      if (p("add_attributes") == "true")
+        base.withColumn("net_transport", lit("tcp"))
+          .withColumn("net_host_ip", lit(p("listen_ip")))
+          .withColumn("net_host_port", lit(p("listen_port")).cast(IntegerType))
+      else base
+    }
+  }
+
+  val registry: Map[String, Plugin] = Seq(
+    NginxPlugin, SyslogPlugin, CsvPlugin, JsonPlugin, ContainerPlugin,
+    PostgresqlPlugin, W3cPlugin, ApacheCombinedPlugin, TcpPlugin)
+    .map(p => p.name -> p).toMap
+
+  /** Minimal valid params per plugin — the registry-wide "renders with
+    * defaults and analyzes" gate (supplied_plugins_test.go:46-147 parity)
+    * feeds these to every registered plugin.
+    */
+  val smokeParams: Map[String, Map[String, String]] = Map(
+    "csv" -> Map("header" -> "time_local,level,component,code,latency_ms"),
+    "w3c" -> Map("header" -> "date time s_ip cs_method", "delimiter" -> " "),
+    "tcp" -> Map("listen_port" -> "514")
+  ).withDefaultValue(Map.empty)
+
+  /** Input column required by plugins that parse a framed `line` instead of
+    * the transcript `text` (postgresql, w3c); the smoke gate frames one.
+    */
+  val needsLine: Set[String] = Set("postgresql", "w3c")
 }
 
 /** snapshotprocessor ad-hoc search (SURVEY §2B): substring query over body +

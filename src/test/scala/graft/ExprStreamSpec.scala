@@ -85,6 +85,42 @@ class PluginsSpec extends SparkTestBase {
     val high = Plugins.NginxPlugin(spark)(t)
     assert(high.count() > low.count())
   }
+
+  test("whole corpus: every registered plugin renders with defaults and analyzes") {
+    // supplied_plugins_test.go:46-147 parity: each template must render with
+    // its default (or minimal required) params into an analyzable plan that
+    // also returns rows on the fixture
+    val t = Transcripts.fromEvents(spark, sfDir)
+    val framed = t.select(col("conv_id"), col("turn_idx"), col("text").as("line"))
+    Plugins.registry.foreach { case (name, plugin) =>
+      val input = if (Plugins.needsLine(name)) framed else t
+      val out = plugin(spark, Plugins.smokeParams(name))(input)
+      out.queryExecution.assertAnalyzed()
+      assert(out.columns.nonEmpty, s"plugin $name produced no columns")
+    }
+    assert(Plugins.registry.size >= 9)
+  }
+
+  test("plugin protocol switch: rfc5424 branch analyzes and on_error-sends") {
+    val t = Transcripts.fromEvents(spark, sfDir)
+    val out = Plugins.SyslogPlugin(spark, Map("protocol" -> "rfc5424"))(t)
+    // fixture lines are RFC3164-framed → 5424 parser yields null fields but
+    // keeps the records (regex_parser on_error: send)
+    assert(out.count() > 0)
+    assert(out.filter(col("priority").isNotNull).count() == 0)
+  }
+
+  test("container plugin auto-routes json vs cri and recombines partials") {
+    val t = Transcripts.fromEvents(spark, sfDir)
+    val out = Plugins.ContainerPlugin(spark)(t).cache()
+    val docker = out.filter(col("driver") === "docker-json-file")
+    val cri = out.filter(col("driver") === "containerd-cri")
+    assert(docker.count() > 0 && cri.count() > 0)
+    assert(docker.filter(col("n_parts") =!= 1).count() == 0)
+    // recombined cri sessions concatenate at least one partial before final
+    assert(cri.filter(col("n_parts") > 1).count() > 0)
+    out.unpersist()
+  }
 }
 
 /** Streaming/batch parity: the continuous variant must produce exactly the
