@@ -125,9 +125,56 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
           col("team"), col("cost_center"), col("vendor"), col("tier"))),
     "q_mask" -> ((s, d) => EnrichOps.mask(t(s, d))),
+    // recursive masking over map- and array-typed columns
+    "q_mask_nested" -> ((s, d) => {
+      val rows = t(s, d).filter(ParseOps.isMultiline)
+        .withColumn("attrs", map(lit("contact"), col("text"), lit("note"), lit("clean")))
+        .withColumn("tags", array(col("text"), lit("ok")))
+      val masked = EnrichOps.maskColumns(
+        rows.select(col("conv_id"), col("turn_idx"), col("attrs"), col("tags")),
+        exclude = Set("conv_id"))
+      masked.select(col("conv_id"), col("turn_idx"),
+        to_json(map_from_entries(array_sort(map_entries(col("attrs"))))).as("attrs_json"),
+        array_join(col("tags"), "|").as("tags_joined"))
+    }),
     "q_remove_empty" -> ((s, d) => EnrichOps.removeEmptyValues(t(s, d))),
+    // recursive empty-value removal: nested maps collapse, empty submaps drop
+    "q_remove_empty_nested" -> ((s, d) => {
+      val kv = ParseOps.parseKv(t(s, d))
+      val nested = kv.select(col("conv_id"), col("turn_idx"),
+        map(
+          lit("attrs"), map(lit("level"), col("level"), lit("note"), lit(""),
+            lit("opt"), lit("null")),
+          lit("drop_me"), map(lit("x"), lit("-"))).as("m"),
+        array(col("level"), lit(""), lit("-"), lit("x")).as("arr"))
+      val mType = nested.schema("m").dataType
+      val aType = nested.schema("arr").dataType
+      nested.select(col("conv_id"), col("turn_idx"),
+        to_json(EnrichOps.cleanDeep(col("m"), mType)).as("m_json"),
+        array_join(EnrichOps.cleanDeep(col("arr"), aType), ",").as("arr_joined"))
+    }),
     "q_transpose" -> ((s, d) => EnrichOps.transpose(t(s, d))),
-    "q_ocsf" -> ((s, d) => EnrichOps.ocsfStandardize(t(s, d))),
+    // config-driven OCSF: ordered mapping list (first match wins), expr
+    // `from` → dotted `to` with coercion, nested body, type_uid derivation
+    "q_ocsf" -> ((s, d) => {
+      val j = ParseOps.parseJson(t(s, d))
+      val fields = Seq(
+        EnrichOps.FieldMapping("activity_id",
+          from = Some(when(col("status") >= 500, 2).otherwise(1))),
+        EnrichOps.FieldMapping("status_code",
+          from = Some(col("status")), ocsfType = Some("long")))
+      val mappings = Seq(
+        EnrichOps.EventMapping(Some(col("level") === "error"), 4002, fields),
+        EnrichOps.EventMapping(Some(col("latency_ms") >= 1000), 6003, fields))
+      EnrichOps.ocsfStandardizeConfig(j, mappings)
+        .select(col("conv_id"), col("turn_idx"),
+          col("ocsf.class_uid").as("class_uid"),
+          col("ocsf.category_uid").as("category_uid"),
+          col("ocsf.activity_id").as("activity_id"),
+          col("ocsf.type_uid").as("type_uid"),
+          col("ocsf.status_code").as("status_code"),
+          col("ocsf.metadata.version").as("metadata_version"))
+    }),
 
     // ------------------------- route plane -------------------------
     "q_route_counts" -> ((s, d) =>
@@ -239,6 +286,22 @@ object SparkEntry {
         "listen_port" -> "601", "add_attributes" -> "true"))(t(s, d))),
     "q_snapshot_search" -> ((s, d) =>
       graft.plugins.Snapshot.search(t(s, d), "search", "2024-01-10 00:00:00")),
+    // OTTL statement forms (transformprocessor): set-where over a map key,
+    // conditional delete_key, global replace_pattern on the body
+    "q_ottl_set" -> ((s, d) => {
+      val tt = t(s, d).withColumn("attributes",
+        map(lit("env"), lit("staging"), lit("role"), col("role"),
+          lit("tool"), col("tool")))
+      val out = graft.expr.Ottl(Seq(
+        """set(attributes["env"], 'prod') where role == 'assistant'""",
+        """delete_key(attributes, 'tool') where tool == ''""",
+        """replace_pattern(body, 'user[0-9]+', '***')"""
+      ), tt.columns.toSet)(tt)
+      out.select(col("conv_id"), col("turn_idx"),
+        to_json(map_from_entries(array_sort(map_entries(col("attributes")))))
+          .as("attrs_json"),
+        col("text").as("body"))
+    }),
     "q_expr_filter" -> ((s, d) => {
       val tt = t(s, d)
       tt.filter(graft.expr.ExprLang.boolExpr(
@@ -257,17 +320,24 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"),
           col("g").isNotNull.as("parsed"),
           col("g.status").cast("int").as("status"))),
-    // OCSF type coercion (type_coerce.go:25-42): cast-or-original for ints,
-    // epoch-millis timestamps (:130-152), RFC3339 datetime strings (:154-169)
+    // OCSF type coercion table (type_coerce.go:25-42): integer/float/boolean
+    // cast-or-original, string→epoch-ms timestamps (:130-152), epoch-ms→
+    // RFC3339 datetimes (:154-169)
     "q_coerce" -> ((s, d) => {
-      val j = ParseOps.parseJson(t(s, d))
+      val j = t(s, d).filter(ParseOps.isJson)
+        .withColumn("p", from_json(col("text"), ParseOps.JsonBodySchema))
       j.select(col("conv_id"), col("turn_idx"),
-        EnrichOps.coerceLongOrOriginal(col("path")).as("path_or_long"),
-        EnrichOps.coerceLongOrOriginal(col("status").cast("string")).as("status_long_str"),
-        unix_millis(to_timestamp(lit("2024-01-05T10:00:00"),
-          "yyyy-MM-dd'T'HH:mm:ss")).as("ts_epoch_ms"),
-        date_format(timestamp_millis(col("latency_ms") + 1704067200000L),
-          "yyyy-MM-dd'T'HH:mm:ss").as("dt_rfc3339"))
+        EnrichOps.coerceOcsf(col("p.path"), "long").as("path_or_long"),
+        EnrichOps.coerceOcsf(col("p.status"), "integer").as("status_long_str"),
+        EnrichOps.coerceOcsf(
+          concat(col("p.latency_ms"), lit(".25")), "float").as("float_canonical"),
+        EnrichOps.coerceOcsf(col("p.path"), "float").as("float_or_original"),
+        EnrichOps.coerceOcsf(
+          when(col("p.status") >= 400, "T").otherwise("0"), "boolean").as("bool_canonical"),
+        EnrichOps.coerceOcsf(
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), "timestamp").as("ts_epoch_ms"),
+        EnrichOps.coerceOcsf(
+          (col("p.latency_ms") + 1704067200000L), "datetime").as("dt_rfc3339"))
     }),
     // googlecloudexporter appendLogHost (exporter.go:79-90)
     "q_append_host" -> ((s, d) =>
@@ -497,16 +567,23 @@ object SparkEntry {
                              ('browser','other','bronze'))
              AS tl(tool, vendor, tier) ON t.tool = tl.tool"""),
 
+      // the mask chain is GENERATED from EnrichOps.MaskRules (no drift)
       "q_mask" -> Transcripts.withT(
+        s"""SELECT conv_id, turn_idx, ${EnrichOps.maskSqlExpr("text")} AS masked
+           FROM t WHERE regexp_matches(text, '^[PF]\\|')"""),
+
+      "q_mask_nested" -> Transcripts.withT(
+        s"""SELECT conv_id, turn_idx,
+           '{"contact":' || to_json(${EnrichOps.maskSqlExpr("text")}) ||
+             ',"note":"clean"}' AS attrs_json,
+           ${EnrichOps.maskSqlExpr("text")} || '|ok' AS tags_joined
+           FROM t WHERE regexp_matches(text, '^[PF]\\|')"""),
+
+      "q_remove_empty_nested" -> Transcripts.withT(
         """SELECT conv_id, turn_idx,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             text,
-             '\b[a-z0-9._%\+\-—|]+@[a-z0-9.\-—|]+\.[a-z|]{2,6}\b', '[masked_email]', 'g'),
-             '\b\d{3}[- ]\d{2}[- ]\d{4}\b', '[masked_ssn]', 'g'),
-             '\b(?:(?:(?:\d{4}[- ]?){3}\d{4}|\d{15,16}))\b', '[masked_credit_card]', 'g'),
-             '\b((\+|\b)[1l][\-\. ])?\(?\b[\dOlZSB]{3,5}([\-\. ]|\) ?)[\dOlZSB]{3}[\-\. ][\dOlZSB]{4}\b', '[masked_phone]', 'g'),
-             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[masked_ipv4]', 'g') AS masked
-           FROM t WHERE regexp_matches(text, '^[PF]\|')"""),
+           '{"attrs":{"level":"' || regexp_extract(text, 'level=(\S+)', 1) || '"}}' AS m_json,
+           regexp_extract(text, 'level=(\S+)', 1) || ',x' AS arr_joined
+           FROM t WHERE starts_with(text, 'level=')"""),
 
       "q_remove_empty" -> Transcripts.withT(
         """SELECT conv_id, turn_idx,
@@ -534,7 +611,7 @@ object SparkEntry {
                     WHEN CAST(json_extract(text, '$.latency_ms') AS BIGINT) >= 1000 THEN 6003
                END AS class_uid,
                CASE WHEN CAST(json_extract(text, '$.status') AS INT) >= 500 THEN 2 ELSE 1 END AS activity_id,
-               CAST(json_extract(text, '$.status') AS BIGINT) AS status_code
+               CAST(CAST(json_extract(text, '$.status') AS BIGINT) AS VARCHAR) AS status_code
              FROM t WHERE starts_with(text, '{')
                AND (json_extract_string(text, '$.level') = 'error'
                     OR CAST(json_extract(text, '$.latency_ms') AS BIGINT) >= 1000)
@@ -797,6 +874,14 @@ object SparkEntry {
              AND (contains(text, 'search') OR contains(role, 'search')
                   OR contains(tool, 'search') OR contains(conv_id, 'search'))"""),
 
+      "q_ottl_set" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           '{"env":"' || CASE WHEN role = 'assistant' THEN 'prod' ELSE 'staging' END ||
+           '","role":"' || role ||
+           CASE WHEN tool <> '' THEN '","tool":"' || tool || '"}' ELSE '"}' END AS attrs_json,
+           regexp_replace(text, 'user[0-9]+', '***', 'g') AS body
+           FROM t"""),
+
       "q_expr_filter" -> Transcripts.withT(
         """SELECT conv_id, turn_idx, role, tool
            FROM t WHERE (role = 'tool' AND starts_with(tool, 'search'))
@@ -825,11 +910,14 @@ object SparkEntry {
            CASE WHEN regexp_matches(path, '^-?\d+$')
                 THEN CAST(CAST(path AS BIGINT) AS VARCHAR) ELSE path END AS path_or_long,
            CAST(status AS VARCHAR) AS status_long_str,
-           CAST(epoch_ms(TIMESTAMP '2024-01-05 10:00:00') AS BIGINT) AS ts_epoch_ms,
+           CAST(CAST(CAST(latency_ms AS VARCHAR) || '.25' AS DOUBLE) AS VARCHAR) AS float_canonical,
+           path AS float_or_original,
+           CASE WHEN status >= 400 THEN 'true' ELSE 'false' END AS bool_canonical,
+           CAST(CAST(epoch_ms(date_trunc('second', ts)) AS BIGINT) AS VARCHAR) AS ts_epoch_ms,
            strftime(make_timestamp((latency_ms + 1704067200000) * 1000),
-             '%Y-%m-%dT%H:%M:%S') AS dt_rfc3339
+             '%Y-%m-%dT%H:%M:%S') || 'Z' AS dt_rfc3339
            FROM (
-             SELECT conv_id, turn_idx,
+             SELECT conv_id, turn_idx, ts,
                json_extract_string(text, '$.path') AS path,
                CAST(json_extract(text, '$.status') AS INT) AS status,
                CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS latency_ms

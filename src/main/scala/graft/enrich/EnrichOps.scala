@@ -48,8 +48,79 @@ object EnrichOps {
     * Both dims are broadcast — zero shuffle of the transcript side.
     */
   def lookupEnrich(spark: SparkSession, t: DataFrame): DataFrame =
-    t.join(broadcast(roleLookupDf(spark)), Seq("role"), "left")
-      .join(broadcast(toolLookupDf(spark)), Seq("tool"), "left")
+    lookupCsv(spark, lookupCsv(spark, t,
+      LookupSpec(lookupFixture("role_lookup.csv",
+        "role,team,cost_center", RoleLookup), "attributes", "role")),
+      LookupSpec(lookupFixture("tool_lookup.csv",
+        "tool,vendor,tier", ToolLookup), "attributes", "tool"))
+
+  // -------------------------------------------------------------------
+  // lookupprocessor config parity: CSV file source keyed on `field`,
+  // context selection, reload-on-reread
+  // (processor/lookupprocessor/config.go:22-29, csv.go:88-114,
+  //  processor.go:293-312)
+  // -------------------------------------------------------------------
+  /** Config mirror of lookupprocessor.Config: a CSV path whose HEADER ROW
+    * defines the enrichment columns, the column named `field` is the lookup
+    * key, and `context` selects where the key value is read from.
+    */
+  case class LookupSpec(csv: String, context: String, field: String) {
+    def validate(): Unit = { // config.go Validate() parity
+      require(csv.nonEmpty, "missing required field 'csv'")
+      require(context.nonEmpty, "missing required field 'context'")
+      require(field.nonEmpty, "missing required field 'field'")
+      require(Seq("body", "attributes", "resource.attributes").contains(context),
+        s"invalid context '$context'")
+    }
+  }
+
+  /** CSV-file lookup join. The dimension is (re)read from disk on every
+    * compile — the batch analogue of the reference's reload ticker
+    * (processor.go:72-91). Semantics parity with addLookupValues
+    * (processor.go:293-312): key read from the selected context; a missing
+    * or NON-STRING key column is a silent no-op; unmatched keys keep null
+    * enrichment columns. Physical plan: broadcast hash join on the dim —
+    * the fact side never shuffles.
+    */
+  def lookupCsv(spark: SparkSession, df: DataFrame, spec: LookupSpec): DataFrame = {
+    spec.validate()
+    val dim = spark.read.option("header", "true").csv(spec.csv)
+    require(dim.columns.contains(spec.field),
+      s"lookup column '${spec.field}' not in CSV header ${dim.columns.mkString(",")}")
+    val keyCol: Option[Column] = spec.context match {
+      case "body" =>
+        // body context: the key is a field of the (JSON) body
+        Some(get_json_object(col("text"), s"$$.${spec.field}"))
+      case _ => // attributes / resource.attributes — denormalized as columns
+        df.schema.fields.find(_.name == spec.field) match {
+          case Some(f) if f.dataType == org.apache.spark.sql.types.StringType =>
+            Some(col(spec.field))
+          case _ => None // missing key or non-string guard (processor.go:299-301)
+        }
+    }
+    keyCol match {
+      case None => df // silent no-op, reference parity
+      case Some(k) =>
+        val dimKeyed = dim.withColumnRenamed(spec.field, "__lookup_key")
+        df.join(broadcast(dimKeyed), k === col("__lookup_key"), "left")
+          .drop("__lookup_key")
+    }
+  }
+
+  /** Deterministic on-disk CSV fixtures (written once, then read through the
+    * real csv file source — header parsing, type inference off, reload via
+    * re-read).
+    */
+  def lookupFixture(name: String, header: String,
+                    rows: Seq[(String, String, String)]): String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_lookup_fixtures")
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve(name)
+    val body = (header +: rows.map(r => s"${r._1},${r._2},${r._3}")).mkString("\n")
+    java.nio.file.Files.write(f, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f.toString
+  }
 
   // -------------------------------------------------------------------
   // maskprocessor — default PII rules applied sequentially to every string
@@ -79,17 +150,47 @@ object EnrichOps {
     t.filter(ParseOps.isMultiline)
       .select(col("conv_id"), col("turn_idx"), maskString(col("text")).as("masked"))
 
+  /** DuckDB replication of [[maskString]] over SQL expression `inner` —
+    * generated from the SAME rule table so the oracle can't drift.
+    */
+  def maskSqlExpr(inner: String): String =
+    MaskRules.foldLeft(inner) { case (acc, (name, pat)) =>
+      s"regexp_replace($acc, '$pat', '[masked_$name]', 'g')"
+    }
+
+  /** Recursive masking (maskprocessor processor.go:173-195: maps and slices
+    * are walked): strings mask in place, arrays/maps mask every nested
+    * string value via higher-order transform — still one codegen'd
+    * projection, no UDF.
+    */
+  def maskDeep(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => maskString(c)
+      case ArrayType(et, _) => transform(c, x => maskDeep(x, et))
+      case MapType(_, vt, _) => transform_values(c, (_, x) => maskDeep(x, vt))
+      case _ => c
+    }
+  }
+
   /** Field exclusion (maskprocessor processor.go:174-178): listed dotted
     * paths are left unmasked. Schema-directed: exclusion is a plan-time
-    * choice of which columns get the masking projection at all.
+    * choice of which columns get the masking projection at all; string,
+    * array- and map-typed columns all recurse.
     */
   def maskColumns(df: DataFrame, exclude: Set[String]): DataFrame = {
-    val stringCols = df.schema.fields
-      .filter(_.dataType == org.apache.spark.sql.types.StringType)
-      .map(_.name)
-    stringCols.filterNot(exclude.contains).foldLeft(df) { (acc, c) =>
-      acc.withColumn(c, maskString(col(c)))
+    import org.apache.spark.sql.types._
+    def maskable(dt: DataType): Boolean = dt match {
+      case StringType => true
+      case ArrayType(et, _) => maskable(et)
+      case MapType(_, vt, _) => maskable(vt)
+      case _ => false
     }
+    df.schema.fields
+      .filter(f => maskable(f.dataType) && !exclude.contains(f.name))
+      .foldLeft(df) { (acc, f) =>
+        acc.withColumn(f.name, maskDeep(col(f.name), f.dataType))
+      }
   }
 
   // -------------------------------------------------------------------
@@ -114,6 +215,30 @@ object EnrichOps {
     val keep = map_filter(m, (k, v) =>
       excludeKeys.foldLeft(!isEmptyValue(v)) { (acc, ex) => acc || k === ex })
     keep
+  }
+
+  /** RECURSIVE removal (processor.go:194-221, 293-313): empty values are
+    * removed at every nesting level, and a map/array whose cleaned form is
+    * itself empty is removed from its parent — `{"a": {"x": ""}}` collapses
+    * to `{}`.
+    */
+  def cleanDeep(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    def emptyAfterClean(v: Column, vt: DataType): Column = vt match {
+      case StringType => isEmptyValue(v)
+      case ArrayType(_, _) | MapType(_, _, _) => v.isNull || size(v) === 0
+      case _ => v.isNull
+    }
+    dt match {
+      case MapType(_, vt, _) =>
+        // the outer filter sees the ALREADY-cleaned value
+        map_filter(transform_values(c, (_, v) => cleanDeep(v, vt)),
+          (_, v) => !emptyAfterClean(v, vt))
+      case ArrayType(et, _) =>
+        filter(transform(c, v => cleanDeep(v, et)),
+          v => !emptyAfterClean(v, et))
+      case _ => c
+    }
   }
 
   def removeEmptyValues(t: DataFrame): DataFrame = {
@@ -149,36 +274,140 @@ object EnrichOps {
   }
 
   // -------------------------------------------------------------------
-  // ocsfstandardizationprocessor — ordered event mappings, first match wins,
-  // class/category/type uid computation, type coercion
-  // (processor.go:27-46, 139-213; type_uid = class*100+activity, :233-235;
-  // category_uid = class_uid/1000, :53-54; non-matching records dropped :215)
+  // OCSF type coercion table (type_coerce.go:25-42): cast-or-original.
+  // A relational column has ONE type, so the dynamic "original value on
+  // parse failure" contract is rendered as canonical STRING forms: parseable
+  // values are canonicalized, unparseable ones pass through unchanged.
   // -------------------------------------------------------------------
-  def ocsfStandardize(t: DataFrame): DataFrame = {
-    val j = ParseOps.parseJson(t)
-    // mapping 1: http activity (class 4002) for error-level events
-    // mapping 2: api activity (class 6003) for requests with latency >= 1000
-    // first matching mapping wins; others dropped (processor.go:215)
-    val m1 = col("level") === "error"
-    val m2 = col("latency_ms") >= 1000
-    val classUid = when(m1, 4002).when(m2, 6003)
-    val activityId = when(col("status") >= 500, 2).otherwise(1)
-    j.filter(m1 || m2)
-      .select(col("conv_id"), col("turn_idx"),
-        classUid.as("class_uid"),
-        (classUid / 1000).cast("int").as("category_uid"),
-        activityId.as("activity_id"),
-        (classUid * 100 + activityId).as("type_uid"),
-        // OCSF timestamp coercion: epoch millis int64 (type_coerce.go:130-152)
-        col("status").cast("long").as("status_code"),
-        lit("1.1.0").as("metadata_version"))
+  def coerceLongOrOriginal(c: Column): Column =
+    coalesce(when(c.rlike("^-?\\d+$"), c.cast("long").cast("string")), c)
+
+  def coerceDoubleOrOriginal(c: Column): Column = // coerceToFloat64 :88-104
+    coalesce(when(c.rlike("^-?\\d+(\\.\\d+)?$"), c.cast("double").cast("string")), c)
+
+  /** strconv.ParseBool accepts 1/t/T/TRUE/true/True and 0/f/F/FALSE/false/
+    * False (type_coerce.go:106-126 via ParseBool). */
+  def coerceBoolOrOriginal(c: Column): Column =
+    when(c.isin("1", "t", "T", "TRUE", "true", "True"), "true")
+      .when(c.isin("0", "f", "F", "FALSE", "false", "False"), "false")
+      .otherwise(c)
+
+  /** timestamp → epoch millis: numeric strings pass as-is, RFC3339 strings
+    * parse to UnixMilli (type_coerce.go:130-152). */
+  def coerceTimestampMs(c: Column): Column =
+    coalesce(
+      when(c.rlike("^-?\\d+$"), c),
+      when(c.rlike("""^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"""),
+        unix_millis(to_timestamp(c)).cast("string")),
+      c)
+
+  /** datetime → RFC3339: epoch-millis render as UTC RFC3339, strings are
+    * assumed already formatted (type_coerce.go:154-169). */
+  def coerceDatetimeRfc3339(c: Column): Column =
+    coalesce(
+      when(c.rlike("^-?\\d+$"),
+        date_format(timestamp_millis(c.cast("long")), "yyyy-MM-dd'T'HH:mm:ss'Z'")),
+      c)
+
+  def coerceOcsf(c: Column, typeName: String): Column = typeName match {
+    case "integer" | "long" => coerceLongOrOriginal(c.cast("string"))
+    case "float" => coerceDoubleOrOriginal(c.cast("string"))
+    case "boolean" => coerceBoolOrOriginal(c.cast("string"))
+    case "timestamp" => coerceTimestampMs(c.cast("string"))
+    case "datetime" => coerceDatetimeRfc3339(c.cast("string"))
+    case _ => c // string & unknown types: as-is (coerceType default arm)
   }
 
   // -------------------------------------------------------------------
-  // OCSF type coercion helpers (type_coerce.go:25-42): cast-or-original
+  // Config-driven OCSF standardization (processor.go:135-215): an ORDERED
+  // mapping list — first matching filter wins, non-matching records drop —
+  // each mapping a classID + field mappings (expr `from` → dotted `to`,
+  // default fallback, per-field coercion), type_uid derivation, nested body
+  // via named_struct composition (setNestedValue :219-231), and optional
+  // runtime required-field validation (:196-205).
   // -------------------------------------------------------------------
-  /** "leave unparseable values as-is" semantics (type_coerce.go: strings that
-    * fail to parse are returned unchanged) → guarded cast + coalesce. */
-  def coerceLongOrOriginal(c: Column): Column =
-    coalesce(when(c.rlike("^-?\\d+$"), c.cast("long").cast("string")), c)
+  case class FieldMapping(to: String, from: Option[Column] = None,
+                          default: Option[Column] = None,
+                          ocsfType: Option[String] = None)
+  case class EventMapping(filter: Option[Column], classId: Int,
+                          fields: Seq[FieldMapping],
+                          required: Seq[String] = Seq.empty)
+
+  def ocsfStandardizeConfig(df: DataFrame, mappings: Seq[EventMapping],
+                            version: String = "1.1.0",
+                            runtimeValidation: Boolean = false,
+                            keep: Seq[String] = Seq("conv_id", "turn_idx"))
+      : DataFrame = {
+    require(mappings.nonEmpty, "ocsf: at least one event mapping required")
+    // first-match index; a NULL filter does not match (false-on-error)
+    val idx = mappings.zipWithIndex.reverse
+      .foldLeft(lit(-1): Column) { case (acc, (m, i)) =>
+        when(coalesce(m.filter.getOrElse(lit(true)), lit(false)), i).otherwise(acc)
+      }
+
+    def fieldValue(m: EventMapping, fm: FieldMapping): Column = {
+      val raw = fm.from match {
+        case Some(f) => fm.default.map(d => coalesce(f, d)).getOrElse(f)
+        case None => fm.default.getOrElse(lit(null))
+      }
+      fm.ocsfType.map(t => coerceOcsf(raw, t)).getOrElse(raw)
+    }
+
+    // union of target paths in first-seen order
+    val paths = mappings.flatMap(_.fields.map(_.to)).distinct
+    val perPath: Map[String, Column] = paths.map { p =>
+      p -> mappings.zipWithIndex.collect {
+        case (m, i) if m.fields.exists(_.to == p) =>
+          (i, fieldValue(m, m.fields.find(_.to == p).get))
+      }.foldRight(lit(null): Column) { case ((i, v), acc) =>
+        when(col("__ocsf_idx") === i, v).otherwise(acc)
+      }
+    }.toMap
+
+    val classUid = mappings.zipWithIndex
+      .foldRight(lit(null).cast("int"): Column) { case ((m, i), acc) =>
+        when(col("__ocsf_idx") === i, m.classId).otherwise(acc)
+      }
+    val activity = perPath.get("activity_id")
+    val computed: Seq[(String, Column)] = Seq(
+      "class_uid" -> classUid,
+      "category_uid" -> (classUid / 1000).cast("int"),
+      "metadata.version" -> lit(version)) ++
+      activity.map(a => // getTypeUID (processor.go:233-235)
+        "type_uid" -> (classUid.cast("long") * 100 + a.cast("long"))).toSeq
+
+    // setNestedValue parity: dotted paths → nested named_struct composition
+    def nest(entries: Seq[(String, Column)]): Column = {
+      val grouped = entries.groupBy(_._1.split("\\.").head)
+      val ordered = entries.map(_._1.split("\\.").head).distinct
+      struct(ordered.map { head =>
+        val sub = grouped(head)
+        if (sub.exists(_._1.contains("."))) {
+          nest(sub.map { case (p, c) => p.split("\\.", 2)(1) -> c }).as(head)
+        } else sub.head._2.as(head)
+      }: _*)
+    }
+
+    val allEntries = computed ++ perPath.filterNot(_._1 == "activity_id")
+      .toSeq.sortBy(p => paths.indexOf(p._1)) ++
+      activity.map(a => "activity_id" -> a).toSeq
+
+    val validated =
+      if (runtimeValidation) {
+        // ValidateClass parity: a matched record missing a required field of
+        // its class is dropped, not emitted malformed
+        val okPerMapping = mappings.zipWithIndex
+          .foldRight(lit(true): Column) { case ((m, i), acc) =>
+            when(col("__ocsf_idx") === i,
+              m.required.map(r => perPath(r).isNotNull)
+                .foldLeft(lit(true): Column)(_ && _)).otherwise(acc)
+          }
+        okPerMapping
+      } else lit(true)
+
+    df.withColumn("__ocsf_idx", idx)
+      .filter(col("__ocsf_idx") >= 0) // non-matching records dropped (:215)
+      .filter(validated)
+      .select(keep.map(col) :+ nest(allEntries).as("ocsf"): _*)
+  }
 }

@@ -1,0 +1,153 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** OTTL statement forms (transformprocessor, manifests/observIQ/
+  * manifest.yaml:110; the reference wraps OTTL statements behind
+  * expr/ottl_expression.go:44 and ottl_condition.go:41): `set(target,
+  * value) where cond`, `delete_key`, `delete_matching_keys`,
+  * `replace_pattern`, `keep_keys`, `truncate_all` — compiled to Catalyst
+  * column edits (each statement is one conditional projection; a statement
+  * list folds into a single plan, no per-record interpreter).
+  *
+  * Error semantics: a `where` clause that evaluates to NULL does not apply
+  * the edit (OTTL conditions are false-on-error).
+  */
+object Ottl {
+
+  sealed trait Target
+  /** Plain column (through the Record-env aliases: body → text, …). */
+  case class ColTarget(name: String) extends Target
+  /** One key of a map-typed column: `attributes["env"]`. */
+  case class MapKeyTarget(mapCol: String, key: String) extends Target
+
+  private val aliases = Map("body" -> "text", "timestamp" -> "ts")
+
+  private val MapKeyRe = """^\s*([A-Za-z_][\w.]*)\s*\[\s*["']([^"']+)["']\s*\]\s*$""".r
+  private val ColRe = """^\s*([A-Za-z_][\w.]*)\s*$""".r
+
+  def parseTarget(s: String): Target = s match {
+    case MapKeyRe(m, k) => MapKeyTarget(aliases.getOrElse(m, m), k)
+    case ColRe(c) => ColTarget(aliases.getOrElse(c, c))
+    case other => throw new IllegalArgumentException(s"bad OTTL target: '$other'")
+  }
+
+  /** Split `fn(args) [where cond]` respecting quotes and bracket nesting. */
+  private val StmtRe = """(?s)^\s*(\w+)\s*\((.*)\)\s*(?:where\s+(.+))?\s*$""".r
+
+  private def splitArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var depth = 0; var quote: Char = 0; val cur = new StringBuilder
+    s.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case '(' | '[' => depth += 1; cur += c
+        case ')' | ']' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+        case _ => cur += c
+      }
+    }
+    val last = cur.result().trim
+    if (last.nonEmpty) out += last
+    out.toSeq
+  }
+
+  private def stripQuotes(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Replace/insert one key of a map column (setNestedValue parity for the
+    * map context): existing key removed, new entry appended.
+    */
+  def setMapKey(m: Column, key: String, v: Column): Column =
+    map_concat(map_filter(m, (k, _) => k =!= key), map(lit(key), v.cast("string")))
+
+  /** Compile ONE statement to a DataFrame transform. */
+  def statement(src: String, columns: Set[String]): DataFrame => DataFrame = {
+    val (fn, rawArgs, whereSrc) = src match {
+      case StmtRe(f, a, w) => (f, splitArgs(a), Option(w))
+      case _ => throw new IllegalArgumentException(s"bad OTTL statement: '$src'")
+    }
+    val cond: Option[Column] = whereSrc.map(w => ExprLang.boolExpr(w, columns))
+    // false-on-error: only a definite `true` condition applies the edit
+    def guarded(old: Column, edited: Column): Column = cond match {
+      case Some(c) => when(coalesce(c, lit(false)), edited).otherwise(old)
+      case None => edited
+    }
+
+    fn match {
+      case "set" =>
+        val value = ExprLang.valueExpr(rawArgs(1), columns)
+        parseTarget(rawArgs(0)) match {
+          case ColTarget(c) => df =>
+            val old = if (df.columns.contains(c)) col(c) else lit(null).cast("string")
+            df.withColumn(c, guarded(old, value))
+          case MapKeyTarget(m, k) => df =>
+            df.withColumn(m, guarded(col(m), setMapKey(col(m), k, value)))
+        }
+
+      case "delete_key" =>
+        val ColTargetOnly = parseTarget(rawArgs(0)) match {
+          case ColTarget(c) => c
+          case t => throw new IllegalArgumentException(s"delete_key needs a map column, got $t")
+        }
+        val key = stripQuotes(rawArgs(1))
+        df => df.withColumn(ColTargetOnly,
+          guarded(col(ColTargetOnly),
+            map_filter(col(ColTargetOnly), (k, _) => k =!= key)))
+
+      case "delete_matching_keys" =>
+        val m = parseTarget(rawArgs(0)).asInstanceOf[ColTarget].name
+        val pat = stripQuotes(rawArgs(1))
+        df => df.withColumn(m,
+          guarded(col(m), map_filter(col(m), (k, _) => !k.rlike(pat))))
+
+      case "keep_keys" =>
+        val m = parseTarget(rawArgs(0)).asInstanceOf[ColTarget].name
+        val keys = rawArgs.drop(1).map(stripQuotes)
+        df => df.withColumn(m,
+          guarded(col(m), map_filter(col(m), (k, _) => k.isin(keys: _*))))
+
+      case "replace_pattern" =>
+        val pat = stripQuotes(rawArgs(1))
+        val rep = stripQuotes(rawArgs(2))
+        parseTarget(rawArgs(0)) match {
+          case ColTarget(c) => df =>
+            df.withColumn(c, guarded(col(c), regexp_replace(col(c), pat, rep)))
+          case MapKeyTarget(m, k) => df =>
+            df.withColumn(m, guarded(col(m),
+              setMapKey(col(m), k, regexp_replace(col(m).getItem(k), pat, rep))))
+        }
+
+      case "replace_all_patterns" => // over every value of a map column
+        val m = parseTarget(rawArgs(0)).asInstanceOf[ColTarget].name
+        val pat = stripQuotes(rawArgs(1))
+        val rep = stripQuotes(rawArgs(2))
+        df => df.withColumn(m,
+          guarded(col(m), transform_values(col(m),
+            (_, v) => regexp_replace(v, pat, rep))))
+
+      case "truncate_all" => // cap every string value of a map column
+        val m = parseTarget(rawArgs(0)).asInstanceOf[ColTarget].name
+        val limit = rawArgs(1).trim.toInt
+        df => df.withColumn(m,
+          guarded(col(m), transform_values(col(m), (_, v) => substring(v, 1, limit))))
+
+      case other =>
+        throw new IllegalArgumentException(s"unsupported OTTL statement '$other'")
+    }
+  }
+
+  /** A statement LIST folds into one plan, applied in order (OTTL statement
+    * sequencing semantics — later statements see earlier edits).
+    */
+  def apply(statements: Seq[String], columns: Set[String]): DataFrame => DataFrame =
+    df => statements.foldLeft(df) { (acc, s) =>
+      statement(s, acc.columns.toSet ++ columns)(acc)
+    }
+}

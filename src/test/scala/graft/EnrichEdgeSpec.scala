@@ -24,6 +24,46 @@ class EnrichEdgeSpec extends SparkTestBase {
     assert(cleaned == Seq("a", "keep_me"))
   }
 
+  test("lookup CSV: header-driven columns, missing key no-op, non-string guard, reload") {
+    import EnrichOps.{LookupSpec, lookupCsv, lookupFixture}
+    val df = Seq(("user", 1), ("nobody", 2)).toDF("role", "n")
+    val csv = lookupFixture("edge_lookup.csv", "role,team,cost_center",
+      Seq(("user", "external", "cc-000")))
+    val out = lookupCsv(spark, df, LookupSpec(csv, "attributes", "role")).collect()
+      .map(r => r.getAs[String]("role") -> r.getAs[String]("team")).toMap
+    assert(out("user") == "external")
+    assert(out("nobody") == null) // key not found → silent no-op (csv.go:79-84)
+    // missing key column → untouched frame (processor.go:294-297)
+    val noKey = lookupCsv(spark, df.drop("role"),
+      LookupSpec(csv, "attributes", "role"))
+    assert(noKey.columns.toSeq == Seq("n"))
+    // non-string key column → untouched frame (processor.go:299-301)
+    val nonString = lookupCsv(spark, df.withColumn("role", col("n")),
+      LookupSpec(csv, "attributes", "role"))
+    assert(!nonString.columns.contains("team"))
+    // reload parity: a rewritten CSV is picked up by the next compile
+    lookupFixture("edge_lookup.csv", "role,team,cost_center",
+      Seq(("user", "internal", "cc-999")))
+    val out2 = lookupCsv(spark, df, LookupSpec(csv, "attributes", "role"))
+      .collect().map(r => r.getAs[String]("role") -> r.getAs[String]("team")).toMap
+    assert(out2("user") == "internal")
+    // invalid context rejected at validate time (config.go Validate parity)
+    intercept[IllegalArgumentException] {
+      LookupSpec(csv, "bogus", "role").validate()
+    }
+  }
+
+  test("lookup CSV body context reads the key from the JSON body") {
+    import EnrichOps.{LookupSpec, lookupCsv, lookupFixture}
+    val df = Seq("""{"level":"error","status":500}""", """{"level":"info","status":200}""")
+      .toDF("text")
+    val csv = lookupFixture("level_lookup.csv", "level,pager,oncall",
+      Seq(("error", "page", "sre")))
+    val out = lookupCsv(spark, df, LookupSpec(csv, "body", "level")).collect()
+      .map(r => r.getAs[String]("text").contains("error") -> r.getAs[String]("pager")).toMap
+    assert(out(true) == "page" && out(false) == null)
+  }
+
   test("epoch time layouts (stanza layout_type: epoch)") {
     val df = Seq((1704067200L, 1704067200123L)).toDF("s", "ms")
     val r = df.select(

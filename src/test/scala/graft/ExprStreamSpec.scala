@@ -66,6 +66,55 @@ class ExprLangSpec extends SparkTestBase {
   }
 }
 
+class OttlSpec extends SparkTestBase {
+  import graft.expr.Ottl
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(("c1", 0, "user", "hello user42", "search"),
+        ("c1", 1, "assistant", "hi there", ""))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+      .withColumn("attributes",
+        map(lit("env"), lit("staging"), lit("note"), lit("a very long note")))
+  }
+
+  test("set-where edits only matching rows; missing column is created") {
+    val out = Ottl(Seq(
+      """set(attributes["env"], 'prod') where role == 'assistant'""",
+      """set(flag, 'x') where role == 'user'"""), fixture.columns.toSet)(fixture)
+    val byRole = out.collect().map(r => r.getAs[String]("role") ->
+      (r.getAs[Map[String, String]]("attributes")("env"), r.getAs[String]("flag"))).toMap
+    assert(byRole("assistant")._1 == "prod" && byRole("user")._1 == "staging")
+    assert(byRole("user")._2 == "x" && byRole("assistant")._2 == null)
+  }
+
+  test("delete/keep/truncate/replace statement forms") {
+    val out = Ottl(Seq(
+      """delete_key(attributes, 'note') where role == 'user'""",
+      """truncate_all(attributes, 4)""",
+      """replace_pattern(body, 'user[0-9]+', '***')"""),
+      fixture.columns.toSet)(fixture)
+    val byRole = out.collect().map(r => r.getAs[String]("role") ->
+      (r.getAs[Map[String, String]]("attributes"), r.getAs[String]("text"))).toMap
+    assert(!byRole("user")._1.contains("note"))
+    assert(byRole("assistant")._1("note") == "a ve") // truncated to 4
+    assert(byRole("user")._2 == "hello ***")
+    val kept = Ottl(Seq("""keep_keys(attributes, 'env')"""),
+      fixture.columns.toSet)(fixture)
+    assert(kept.collect().forall(_.getAs[Map[String, String]]("attributes").keySet == Set("env")))
+  }
+
+  test("NULL where-condition leaves the row unedited (false-on-error)") {
+    val withNull = fixture.withColumn("maybe", when(col("role") === "user", "u"))
+    val out = Ottl(Seq("""set(attributes["env"], 'prod') where maybe == 'u'"""),
+      withNull.columns.toSet)(withNull)
+    val byRole = out.collect().map(r => r.getAs[String]("role") ->
+      r.getAs[Map[String, String]]("attributes")("env")).toMap
+    assert(byRole("user") == "prod")
+    assert(byRole("assistant") == "staging") // NULL condition → no edit
+  }
+}
+
 class PluginsSpec extends SparkTestBase {
 
   test("plugin parameter validation: unknown param / unsupported value rejected") {
