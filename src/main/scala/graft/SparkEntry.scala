@@ -108,6 +108,20 @@ object SparkEntry {
     }),
     "q_parse_time" -> ((s, d) => ParseOps.parseTime(t(s, d))),
     "q_parse_severity" -> ((s, d) => ParseOps.parseSeverity(t(s, d))),
+    // generic severity mapping compiler: config-as-data class aliases
+    // (2xx..5xx) over the numeric code + the default text preset
+    "q_severity_mapping" -> ((s, d) => {
+      val c = ParseOps.parseCsv(t(s, d))
+      val classMapping = Seq(
+        ParseOps.SevError -> Seq(ParseOps.ClassRule("5xx")),
+        ParseOps.SevWarn -> Seq(ParseOps.ClassRule("3xx"), ParseOps.ClassRule("4xx")),
+        ParseOps.SevInfo -> Seq(ParseOps.ClassRule("2xx")))
+      c.select(col("conv_id"), col("turn_idx"), col("code"),
+        ParseOps.compileSeverityMapping(col("code").cast("string"), classMapping)
+          .as("sev_from_class"),
+        ParseOps.compileSeverityMapping(col("level"),
+          ParseOps.DefaultSeverityPreset).as("sev_from_text"))
+    }),
     "q_recombine" -> ((s, d) => ParseOps.recombine(t(s, d))),
     "q_field_ops" -> ((s, d) => ParseOps.fieldOps(t(s, d))),
     // flatten (upstream stanza op; 1:N generator) — explode kv-row tokens
@@ -199,6 +213,12 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("metric_name"),
           col("value_int"), col("value_double"), col("level"), col("ts"))),
     "q_metric_stats" -> ((s, d) => AggOps.metricStats(t(s, d))),
+    // include-regex gate: matching metrics consumed into stats...
+    "q_metric_stats_regex" -> ((s, d) =>
+      AggOps.metricStatsSplit(t(s, d), "^request\\.")._1),
+    // ...non-matching datapoints pass through untouched
+    "q_metric_passthrough" -> ((s, d) =>
+      AggOps.metricStatsSplit(t(s, d), "^request\\.")._2),
     "q_sampling_dropall" -> ((s, d) =>
       AggOps.sample(AggOps.metricExtract(t(s, d)), col("level") === "info", 1.0)
         .select(col("conv_id"), col("turn_idx"), col("level"))),
@@ -286,6 +306,23 @@ object SparkEntry {
         "listen_port" -> "601", "add_attributes" -> "true"))(t(s, d))),
     "q_snapshot_search" -> ((s, d) =>
       graft.plugins.Snapshot.search(t(s, d), "search", "2024-01-10 00:00:00")),
+    // payload budget: running byte sum caps the snapshot
+    "q_snapshot_budget" -> ((s, d) =>
+      graft.plugins.Snapshot.search(t(s, d), "search", "2024-01-10 00:00:00",
+        maxPayloadBytes = 4096)),
+    // rehydration entity-path parsing + inclusive time-range filter
+    "q_rehydration_range" -> ((s, d) => {
+      val path = format_string("logs/year=%s/month=%s/day=%s/hour=%s/logs_%d.json",
+        date_format(col("ts"), "yyyy"), date_format(col("ts"), "MM"),
+        date_format(col("ts"), "dd"), date_format(col("ts"), "HH"), col("turn_idx"))
+      t(s, d).select(col("conv_id"), col("turn_idx"), path.as("entity"))
+        .select(col("conv_id"), col("turn_idx"),
+          date_format(Transcripts.entityTime(col("entity")), "yyyy-MM-dd HH:mm")
+            .as("entity_time"),
+          Transcripts.entitySignal(col("entity")).as("signal"))
+        .filter(col("entity_time") >= "2024-01-08 00:00" &&
+          col("entity_time") <= "2024-01-12 23:00")
+    }),
     // OTTL statement forms (transformprocessor): set-where over a map key,
     // conditional delete_key, global replace_pattern on the body
     "q_ottl_set" -> ((s, d) => {
@@ -519,6 +556,56 @@ object SparkEntry {
                 WHEN CAST(regexp_extract(text, '$nginxPat', 7) AS INT) >= 400 THEN 'WARN'
                 ELSE 'INFO' END AS severity_text
            FROM t WHERE regexp_matches(text, '^10\\.')"""),
+
+      "q_severity_mapping" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CAST(string_split(text, ',')[4] AS INT) AS code,
+           CASE WHEN CAST(string_split(text, ',')[4] AS INT) BETWEEN 500 AND 599 THEN 17
+                WHEN CAST(string_split(text, ',')[4] AS INT) BETWEEN 300 AND 499 THEN 13
+                WHEN CAST(string_split(text, ',')[4] AS INT) BETWEEN 200 AND 299 THEN 9
+                ELSE 9 END AS sev_from_class,
+           CASE string_split(text, ',')[2]
+                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS sev_from_text
+           FROM t WHERE regexp_matches(text, '^\d{2}/')"""),
+
+      "q_metric_stats_regex" -> Transcripts.withT(
+        """SELECT window_start, metric_name, level,
+           MIN(value_int) AS stat_min, MAX(value_int) AS stat_max,
+           COUNT(*) AS stat_count,
+           arg_min(value_int, arrival) AS stat_first,
+           arg_max(value_int, arrival) AS stat_last
+           FROM (
+             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               'request.latency_ms' AS metric_name,
+               json_extract_string(text, '$.level') AS level,
+               CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS value_int,
+               printf('%019d|%s|%010d', epoch_us(ts), conv_id, turn_idx) AS arrival
+             FROM t WHERE starts_with(text, '{')
+           ) GROUP BY 1, 2, 3"""),
+
+      "q_metric_passthrough" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx, 'http.status' AS metric_name,
+           CAST(json_extract(text, '$.status') AS BIGINT) AS value_int,
+           json_extract_string(text, '$.level') AS level, ts
+           FROM t WHERE starts_with(text, '{')"""),
+
+      "q_snapshot_budget" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx, role, tool, text, ts FROM (
+             SELECT conv_id, turn_idx, role, tool, text, ts,
+               SUM(octet_length(CAST(text AS BLOB))) OVER (
+                 ORDER BY ts, conv_id, turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM t WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+               AND (contains(text, 'search') OR contains(role, 'search')
+                    OR contains(tool, 'search') OR contains(conv_id, 'search'))
+           ) WHERE cum <= 4096"""),
+
+      "q_rehydration_range" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS entity_time,
+           'logs' AS signal
+           FROM t WHERE date_trunc('hour', ts) >= TIMESTAMP '2024-01-08 00:00:00'
+             AND date_trunc('hour', ts) <= TIMESTAMP '2024-01-12 23:00:00'"""),
 
       "q_recombine" -> Transcripts.withT(
         """SELECT conv_id, session_id, COUNT(*) AS n_parts,

@@ -94,6 +94,47 @@ object AggOps {
         col("stat_first"), col("stat_last"), col("stat_count"))
   }
 
+  /** Two metrics per matching record (latency + status gauges) — gives the
+    * include-regex gate real multi-metric work (metricextractprocessor can
+    * emit several metrics from one record).
+    */
+  def metricExtractMulti(t: DataFrame): DataFrame =
+    t.filter(ParseOps.isJson)
+      .withColumn("p", from_json(col("text"), ParseOps.JsonBodySchema))
+      .select(col("conv_id"), col("turn_idx"),
+        explode(array(
+          struct(lit("request.latency_ms").as("metric_name"),
+            col("p.latency_ms").cast("long").as("value_int")),
+          struct(lit("http.status").as("metric_name"),
+            col("p.status").cast("long").as("value_int")))).as("m"),
+        col("p.level").as("level"), col("ts"))
+      .select(col("conv_id"), col("turn_idx"),
+        col("m.metric_name").as("metric_name"), col("m.value_int").as("value_int"),
+        col("level"), col("ts"))
+
+  /** metricstats include-regex gate + consumed-vs-passthrough split
+    * (metricstatsprocessor/processor.go:110-128: only metrics matching
+    * `include` enter the stats, and those datapoints are REMOVED from the
+    * stream; :320-339 non-matching datapoints pass through untouched).
+    * Returns (stats, passthrough).
+    */
+  def metricStatsSplit(t: DataFrame, includeRegex: String,
+                       interval: String = "1 hour"): (DataFrame, DataFrame) = {
+    val dp = metricExtractMulti(t)
+    val matched = dp.filter(col("metric_name").rlike(includeRegex))
+    val passthrough = dp.filter(!col("metric_name").rlike(includeRegex))
+    val stats = matched.withColumn("arrival", arrivalKey)
+      .groupBy(windowStart(col("ts"), interval).as("window_start"),
+        col("metric_name"), col("level"))
+      .agg(
+        min(col("value_int")).as("stat_min"),
+        max(col("value_int")).as("stat_max"),
+        count(lit(1)).as("stat_count"),
+        min_by(col("value_int"), col("arrival")).as("stat_first"),
+        max_by(col("value_int"), col("arrival")).as("stat_last"))
+    (stats, passthrough)
+  }
+
   // -------------------------------------------------------------------
   // samplingprocessor — drop with prob `drop_ratio` where condition holds;
   // fast paths ratio∈{0,1} (processor/samplingprocessor/processor.go:122-131;

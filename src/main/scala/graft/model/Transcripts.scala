@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -285,4 +285,52 @@ object Transcripts {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
       .select(Columns.map(col): _*)
+
+  // ---------------------------------------------------------------------
+  // Rehydration time-range API (internal/blobconsume/helpers.go:44-92)
+  // ---------------------------------------------------------------------
+  /** ParseEntityPath's regex verbatim: year=/month=/day=/hour= with an
+    * optional minute= segment and the signal-bearing final component.
+    */
+  val EntityPathPattern: String =
+    """^(?:[^/]*/)?year=(\d{4})/month=(\d{2})/day=(\d{2})/hour=(\d{2})/(?:minute=(\d{2})/)?([^/].*)$"""
+
+  /** Path-embedded entity timestamp; null for non-matching paths
+    * (ErrInvalidEntityPath parity). Missing minute defaults to 00.
+    */
+  def entityTime(path: Column): Column = {
+    def g(i: Int) = regexp_extract(path, EntityPathPattern, i)
+    val minute = when(g(5) === "", "00").otherwise(g(5))
+    when(path.rlike(EntityPathPattern),
+      to_timestamp(
+        concat(g(1), lit("-"), g(2), lit("-"), g(3), lit(" "), g(4), lit(":"), minute),
+        "yyyy-MM-dd HH:mm"))
+  }
+
+  /** Telemetry signal from the entity name (helpers.go:76-86: metric/log/
+    * trace signifiers matched in that order).
+    */
+  def entitySignal(path: Column): Column = {
+    val last = regexp_extract(path, EntityPathPattern, 6)
+    when(last.contains("metrics_"), "metrics")
+      .when(last.contains("logs_"), "logs")
+      .when(last.contains("traces_"), "traces")
+      .otherwise("")
+  }
+
+  /** First-class time-bounded scan over the partitioned table:
+    * starting_time <= entity_time <= ending_time (IsInTimeRange is
+    * INCLUSIVE on both ends, helpers.go:89-92). The predicate references
+    * only partition columns, so it prunes at plan time — unselected hour
+    * directories are never listed, the 100 TB rehydration path.
+    */
+  def timeRangeScan(spark: SparkSession, path: String,
+                    startingTime: String, endingTime: String): DataFrame = {
+    val et = make_timestamp(col("year"), col("month"), col("day"),
+      col("hour"), lit(0), lit(0))
+    spark.read.parquet(path)
+      .filter(et >= lit(startingTime).cast("timestamp") &&
+        et <= lit(endingTime).cast("timestamp"))
+      .select(Columns.map(col): _*)
+  }
 }

@@ -231,6 +231,48 @@ object ParseOps {
       when(value >= lo && value <= hi, sev).otherwise(acc)
     }
 
+  // -------------------------------------------------------------------
+  // Generic severity mapping compiler (stanza severity_parser `mapping:`):
+  // each severity maps to a LIST of match rules — exact strings
+  // (case-insensitive), `2xx`..`5xx` HTTP class aliases
+  // (nginx_logs.yaml:100-106, haproxy_logs.yaml:66-71), or {min,max}
+  // ranges — compiled into ONE when-chain, config as data.
+  // -------------------------------------------------------------------
+  sealed trait SevRule
+  /** case-insensitive exact text match (stanza lowercases both sides) */
+  case class ExactRule(value: String) extends SevRule
+  /** `2xx`..`5xx` status-class alias */
+  case class ClassRule(alias: String) extends SevRule {
+    require(alias.matches("[1-5]xx"), s"bad class alias '$alias'")
+    def lo: Int = alias.head.asDigit * 100
+    def hi: Int = lo + 99
+  }
+  case class RangeRule(min: Int, max: Int) extends SevRule
+
+  def compileSeverityMapping(value: Column,
+                             mapping: Seq[(Int, Seq[SevRule])],
+                             default: Int = SevInfo): Column =
+    mapping.foldRight(lit(default): Column) { case ((sev, rules), acc) =>
+      val pred = rules.map {
+        case ExactRule(v) => lower(value) === v.toLowerCase
+        case c: ClassRule => value.cast(IntegerType).between(c.lo, c.hi)
+        case RangeRule(lo, hi) => value.cast(IntegerType).between(lo, hi)
+      }.reduce(_ || _)
+      when(coalesce(pred, lit(false)), sev).otherwise(acc)
+    }
+
+  /** The stanza preset's default text aliases (severity text → OTel number)
+    * as a reusable mapping table.
+    */
+  val DefaultSeverityPreset: Seq[(Int, Seq[SevRule])] = Seq(
+    21 -> Seq(ExactRule("fatal"), ExactRule("panic"), ExactRule("crit"),
+      ExactRule("critical"), ExactRule("emerg"), ExactRule("emergency")),
+    SevError -> Seq(ExactRule("error"), ExactRule("err"), ExactRule("alert")),
+    SevWarn -> Seq(ExactRule("warn"), ExactRule("warning"), ExactRule("notice")),
+    SevInfo -> Seq(ExactRule("info"), ExactRule("information"), ExactRule("log")),
+    5 -> Seq(ExactRule("debug"), ExactRule("dbg")),
+    1 -> Seq(ExactRule("trace")))
+
   def parseSeverity(t: DataFrame): DataFrame = {
     val n = parseNginx(t)
     n.select(col("conv_id"), col("turn_idx"), col("status"),

@@ -396,13 +396,29 @@ object Plugins {
 
 /** snapshotprocessor ad-hoc search (SURVEY §2B): substring query over body +
   * attrs (case-sensitive contains, filter.go:23-78) with a minimum observed
-  * timestamp bound (strictly after, filter_logs.go:107-109).
+  * timestamp bound (strictly after, filter_logs.go:107-109) and a payload
+  * budget (MaximumPayloadSizeBytes, internal/report/snapshot: the buffer
+  * stops accepting once the serialized payload would exceed the cap) —
+  * rendered as a running byte sum in deterministic (ts, conv, turn) order.
   */
 object Snapshot {
-  def search(t: DataFrame, query: String, minTs: String): DataFrame =
-    t.filter(col("ts") > lit(minTs).cast("timestamp_ntz"))
+  def search(t: DataFrame, query: String, minTs: String,
+             maxPayloadBytes: Long = Long.MaxValue): DataFrame = {
+    val hits = t.filter(col("ts") > lit(minTs).cast("timestamp_ntz"))
       .filter(col("text").contains(query) || col("role").contains(query) ||
         col("tool").contains(query) || col("conv_id").contains(query))
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
         col("text"), col("ts"))
+    if (maxPayloadBytes == Long.MaxValue) hits
+    else {
+      // snapshot payloads are small by construction — a single ordered
+      // window over the already-filtered hits is the honest cost here
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("ts"), col("conv_id"), col("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hits.withColumn("__cum", sum(octet_length(col("text"))).over(w))
+        .filter(col("__cum") <= maxPayloadBytes)
+        .drop("__cum")
+    }
+  }
 }
