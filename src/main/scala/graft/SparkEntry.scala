@@ -301,6 +301,51 @@ object SparkEntry {
     }),
     "q_plugin_apache" -> ((s, d) =>
       graft.plugins.Plugins.ApacheCombinedPlugin(s)(t(s, d))),
+    "q_plugin_cef" -> ((s, d) => {
+      // CEF-framed lines; severity alternates numeric ranges / text aliases
+      val kv = t(s, d).filter(ParseOps.isKv)
+      val sevStr = when(col("turn_idx") % 4 === 0, lit("2"))
+        .when(col("turn_idx") % 4 === 1, lit("medium"))
+        .when(col("turn_idx") % 4 === 2, lit("8"))
+        .otherwise(lit("very-high"))
+      val line = format_string("CEF:0|graft|engine|1.0|SIG%d|event %d|%s|src=10.0.0.%d",
+        col("turn_idx") % 100, col("turn_idx"), sevStr, col("turn_idx") % 256)
+      graft.plugins.Plugins.CefPlugin(s)(
+        kv.select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
+    "q_plugin_kafka" -> ((s, d) => {
+      val c = t(s, d).filter(ParseOps.isCsv)
+      val level = upper(element_at(split(col("text"), ","), 2))
+      val line = format_string("[%s,%03d] %s broker event %d",
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), col("turn_idx") % 1000,
+        level, col("turn_idx"))
+      graft.plugins.Plugins.KafkaPlugin(s)(
+        c.select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
+    "q_plugin_redis" -> ((s, d) => {
+      val kv = t(s, d).filter(ParseOps.isKv)
+      val level = regexp_extract(col("text"), "level=(\\w+)", 1)
+      val glyph = when(level === "error", "#").when(level === "warn", "*")
+        .otherwise(".")
+      val line = format_string("%d:M %s.000 %s redis event %d",
+        col("turn_idx") % 32768,
+        date_format(date_trunc("second", col("ts")), "dd MMM yyyy HH:mm:ss"),
+        glyph, col("turn_idx"))
+      graft.plugins.Plugins.RedisPlugin(s)(
+        kv.select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
+    "q_plugin_mysql" -> ((s, d) => {
+      val j = t(s, d).filter(ParseOps.isJson)
+        .withColumn("p", from_json(col("text"), ParseOps.JsonBodySchema))
+      val line = format_string("%sZ %d Query SELECT %d",
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        col("turn_idx") % 32768, col("p.status"))
+      graft.plugins.Plugins.MysqlPlugin(s)(
+        j.select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
+    "q_plugin_file" -> ((s, d) =>
+      graft.plugins.Plugins.FilePlugin(s,
+        Map("log_paths" -> "/var/log/app.log"))(t(s, d))),
     "q_plugin_tcp" -> ((s, d) =>
       graft.plugins.Plugins.TcpPlugin(s, Map(
         "listen_port" -> "601", "add_attributes" -> "true"))(t(s, d))),
@@ -315,11 +360,12 @@ object SparkEntry {
       val path = format_string("logs/year=%s/month=%s/day=%s/hour=%s/logs_%d.json",
         date_format(col("ts"), "yyyy"), date_format(col("ts"), "MM"),
         date_format(col("ts"), "dd"), date_format(col("ts"), "HH"), col("turn_idx"))
-      t(s, d).select(col("conv_id"), col("turn_idx"), path.as("entity"))
+      t(s, d).select(col("conv_id"), col("turn_idx"),
+          Transcripts.entityParsed(path).as("g")) // ONE regex pass per path
         .select(col("conv_id"), col("turn_idx"),
-          date_format(Transcripts.entityTime(col("entity")), "yyyy-MM-dd HH:mm")
+          date_format(Transcripts.entityTimeFrom(col("g")), "yyyy-MM-dd HH:mm")
             .as("entity_time"),
-          Transcripts.entitySignal(col("entity")).as("signal"))
+          Transcripts.entitySignalFrom(col("g")).as("signal"))
         .filter(col("entity_time") >= "2024-01-08 00:00" &&
           col("entity_time") <= "2024-01-12 23:00")
     }),
@@ -445,6 +491,21 @@ object SparkEntry {
       o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+    }),
+
+    // azureblob/gcs exporter layout (exporter.go:97-127): write the
+    // year=/month=/day=/hour= partitioned table and prove every row landed
+    // in its correct hour directory (round-trip counts per partition)
+    "q_partitioned_layout" -> ((s, d) => {
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_layout_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Transcripts.writePartitioned(t(s, d), out)
+      s.read.parquet(out)
+        .groupBy(col("year"), col("month"), col("day"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(format_string("%04d-%02d-%02d %02d:00:00",
+          col("year"), col("month"), col("day"), col("hour")).as("hour_key"),
+          col("n"))
     }),
 
     // ------------------------- flagship pipeline -------------------------
@@ -949,6 +1010,59 @@ object SparkEntry {
                 ELSE 9 END AS severity_number
            FROM t WHERE regexp_matches(text, '^10\\.')"""),
 
+      "q_plugin_cef" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           '0' AS version, 'graft' AS device_vendor, 'engine' AS device_product,
+           'SIG' || CAST(turn_idx % 100 AS VARCHAR) AS signature_id,
+           'event ' || CAST(turn_idx AS VARCHAR) AS name,
+           CASE WHEN turn_idx % 4 = 0 THEN '2'
+                WHEN turn_idx % 4 = 1 THEN 'medium'
+                WHEN turn_idx % 4 = 2 THEN '8'
+                ELSE 'very-high' END AS severity,
+           'src=10.0.0.' || CAST(turn_idx % 256 AS VARCHAR) AS extensions,
+           CASE WHEN turn_idx % 4 = 0 THEN 9
+                WHEN turn_idx % 4 = 1 THEN 13
+                WHEN turn_idx % 4 = 2 THEN 17
+                ELSE 21 END AS severity_number
+           FROM t WHERE starts_with(text, 'level=')"""),
+
+      "q_plugin_kafka" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') || ',' || printf('%03d', turn_idx % 1000) AS time,
+           upper(string_split(text, ',')[2]) AS severity,
+           'broker event ' || CAST(turn_idx AS VARCHAR) AS message,
+           'kafka' AS log_type,
+           CASE upper(string_split(text, ',')[2])
+                WHEN 'ERROR' THEN 17 WHEN 'WARN' THEN 13 ELSE 9 END AS severity_number
+           FROM t WHERE regexp_matches(text, '^\d{2}/')"""),
+
+      "q_plugin_redis" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CAST(turn_idx % 32768 AS BIGINT) AS pid,
+           'M' AS role_char,
+           CASE regexp_extract(text, 'level=(\w+)', 1)
+                WHEN 'error' THEN '#' WHEN 'warn' THEN '*' ELSE '.' END AS glyph,
+           'redis event ' || CAST(turn_idx AS VARCHAR) AS message,
+           CASE regexp_extract(text, 'level=(\w+)', 1)
+                WHEN 'error' THEN 13 WHEN 'warn' THEN 9 ELSE 5 END AS severity_number
+           FROM t WHERE starts_with(text, 'level=')"""),
+
+      "q_plugin_mysql" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS timestamp,
+           CAST(turn_idx % 32768 AS BIGINT) AS tid,
+           'Query' AS command,
+           'SELECT ' || CAST(status AS VARCHAR) AS message,
+           'mysql.general' AS log_type
+           FROM (
+             SELECT conv_id, turn_idx, ts,
+               CAST(json_extract(text, '$.status') AS INT) AS status
+             FROM t WHERE starts_with(text, '{')
+           )"""),
+
+      "q_plugin_file" -> Transcripts.withT(
+        "SELECT conv_id, turn_idx, text AS body, 'file' AS log_type FROM t"),
+
       "q_plugin_tcp" -> Transcripts.withT(
         """SELECT conv_id, turn_idx, text AS body, 'tcp' AS log_type,
            'tcp' AS net_transport, '0.0.0.0' AS net_host_ip,
@@ -1164,6 +1278,11 @@ object SparkEntry {
         """SELECT c_mktsegment, COUNT(*) AS n_orders, SUM(o_totalprice) AS total
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY 1""",
+
+      "q_partitioned_layout" -> Transcripts.withT(
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_key,
+           COUNT(*) AS n
+           FROM t GROUP BY 1"""),
 
       "q_pipeline_e2e" -> withTagged(
         """SELECT route, role, COUNT(*) AS n,

@@ -113,16 +113,12 @@ object Similarity {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
         .sortBy(_._1).toSeq
-    val cArr = typedlit(centroids) // array<struct<id, vec>> — one literal object
     val vecs = emb.select(col("vec_id"), quantized(col("embedding")).as("v"))
-    // score every centroid once (transform = input array, evaluated once per
-    // row), then argmax-fold — never reference an aggregate from a lambda
-    val scored = transform(cArr, c =>
-      struct(dot(col("v"), c.getField("_2")).as("score"), c.getField("_1").as("cid")))
-    val best = aggregate(scored,
-      struct(lit(Long.MinValue).as("score"), lit(-1L).as("cid")),
-      (acc, s) => when(s.getField("score") > acc.getField("score"), s).otherwise(acc))
-    vecs.select(col("vec_id"), best.getField("cid").as("cell"), col("v"))
+    // codegen argmax expression: tight long[] double loop, zero allocation —
+    // an interpreted HOF fold here measured ~10× slower at ~200 centroids
+    val cell = graft.functions.DotArgmax.of(col("v"),
+      centroids.map(_._1), centroids.map(_._2))
+    vecs.select(col("vec_id"), cell.as("cell"), col("v"))
   }
 
   /** IVF top-k with nprobe=1: query searches only its own cell — the

@@ -295,28 +295,41 @@ object Transcripts {
   val EntityPathPattern: String =
     """^(?:[^/]*/)?year=(\d{4})/month=(\d{2})/day=(\d{2})/hour=(\d{2})/(?:minute=(\d{2})/)?([^/].*)$"""
 
-  /** Path-embedded entity timestamp; null for non-matching paths
-    * (ErrInvalidEntityPath parity). Missing minute defaults to 00.
+  val EntityFields: Seq[String] =
+    Seq("year", "month", "day", "hour", "minute", "entity_name")
+
+  /** ONE regex pass over the path → struct of all parts (null struct on
+    * non-matching paths, ErrInvalidEntityPath parity). Extracting parts via
+    * separate regexp_extract calls re-runs the regex per part — 8× the work
+    * on the rehydration listing path.
     */
-  def entityTime(path: Column): Column = {
-    def g(i: Int) = regexp_extract(path, EntityPathPattern, i)
-    val minute = when(g(5) === "", "00").otherwise(g(5))
-    when(path.rlike(EntityPathPattern),
-      to_timestamp(
-        concat(g(1), lit("-"), g(2), lit("-"), g(3), lit(" "), g(4), lit(":"), minute),
-        "yyyy-MM-dd HH:mm"))
-  }
+  def entityParsed(path: Column): Column =
+    graft.functions.RegexExtractStruct.of(path, EntityPathPattern, EntityFields)
+
+  /** Path-embedded entity timestamp from the parsed struct; missing minute
+    * defaults to 00.
+    */
+  def entityTimeFrom(g: Column): Column =
+    to_timestamp(
+      concat(g.getField("year"), lit("-"), g.getField("month"), lit("-"),
+        g.getField("day"), lit(" "), g.getField("hour"), lit(":"),
+        coalesce(g.getField("minute"), lit("00"))),
+      "yyyy-MM-dd HH:mm")
+
+  def entityTime(path: Column): Column = entityTimeFrom(entityParsed(path))
 
   /** Telemetry signal from the entity name (helpers.go:76-86: metric/log/
     * trace signifiers matched in that order).
     */
-  def entitySignal(path: Column): Column = {
-    val last = regexp_extract(path, EntityPathPattern, 6)
+  def entitySignalFrom(g: Column): Column = {
+    val last = g.getField("entity_name")
     when(last.contains("metrics_"), "metrics")
       .when(last.contains("logs_"), "logs")
       .when(last.contains("traces_"), "traces")
       .otherwise("")
   }
+
+  def entitySignal(path: Column): Column = entitySignalFrom(entityParsed(path))
 
   /** First-class time-bounded scan over the partitioned table:
     * starting_time <= entity_time <= ending_time (IsInTimeRange is

@@ -254,9 +254,11 @@ object ParseOps {
                              default: Int = SevInfo): Column =
     mapping.foldRight(lit(default): Column) { case ((sev, rules), acc) =>
       val pred = rules.map {
+        // try_cast: text aliases flow through the same column as numeric
+        // codes — ANSI cast would throw on 'medium', try_cast yields null
         case ExactRule(v) => lower(value) === v.toLowerCase
-        case c: ClassRule => value.cast(IntegerType).between(c.lo, c.hi)
-        case RangeRule(lo, hi) => value.cast(IntegerType).between(lo, hi)
+        case c: ClassRule => value.try_cast(IntegerType).between(c.lo, c.hi)
+        case RangeRule(lo, hi) => value.try_cast(IntegerType).between(lo, hi)
       }.reduce(_ || _)
       when(coalesce(pred, lit(false)), sev).otherwise(acc)
     }

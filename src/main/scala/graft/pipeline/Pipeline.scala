@@ -47,7 +47,18 @@ object Pipeline {
       ParamSpec("drop_ratio", required = true),
       ParamSpec("condition", default = Some("true"))),
     "add" -> Seq(ParamSpec("field", required = true), ParamSpec("value", required = true)),
-    "retain" -> Seq(ParamSpec("fields", required = true)))
+    "retain" -> Seq(ParamSpec("fields", required = true)),
+    // transformprocessor: OTTL statement list, ';'-separated
+    "transform" -> Seq(ParamSpec("statements", required = true)),
+    // lookupprocessor: CSV file source (header-driven), context + field
+    "lookup_csv" -> Seq(
+      ParamSpec("csv", required = true),
+      ParamSpec("context", default = Some("attributes"),
+        supported = Some(Seq("body", "attributes", "resource.attributes"))),
+      ParamSpec("field", required = true)),
+    // batchprocessor: output batch sizing (send_batch_size analogue —
+    // maxRecordsPerFile caps file size; coalesce bounds task counts)
+    "batch" -> Seq(ParamSpec("max_records", default = Some("5000000"))))
 
   /** CheckParameters parity: unknown op, missing required, unsupported value
     * are all plan-time validation errors; defaults are applied here.
@@ -111,6 +122,13 @@ object Pipeline {
               case "add" => df.withColumn(op.params("field"), expr(op.params("value")))
               case "retain" => df.select(op.params("fields").split(",").map(_.trim)
                 .map(col): _*)
+              case "transform" =>
+                graft.expr.Ottl(op.params("statements").split(";").map(_.trim)
+                  .filter(_.nonEmpty).toSeq, df.columns.toSet)(df)
+              case "lookup_csv" =>
+                EnrichOps.lookupCsv(spark, df, EnrichOps.LookupSpec(
+                  op.params("csv"), op.params("context"), op.params("field")))
+              case "batch" => df // sizing applied at the sink (maxRecordsPerFile)
             }
           }
           val routeCol = v.routes.init.foldRight(lit(v.routes.last.name): Column) {

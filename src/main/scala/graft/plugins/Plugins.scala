@@ -373,9 +373,121 @@ object Plugins {
     }
   }
 
+  /** CEF plugin (plugins/common_event_format_logs.yaml:60-95): '|'-split
+    * CEF headers, version regex, and the MIXED severity mapping — numeric
+    * {min,max} ranges AND text aliases per class — through the generic
+    * severity mapping compiler.
+    */
+  object CefPlugin extends Plugin("common_event_format", Seq(
+    PluginParam("timezone", Some("UTC")))) {
+
+    import graft.parse.ParseOps.{ClassRule => _, _}
+    val CefMapping: Seq[(Int, Seq[SevRule])] = Seq(
+      21 -> Seq(RangeRule(9, 10), ExactRule("very-high")),
+      SevError -> Seq(RangeRule(7, 8), ExactRule("high")),
+      SevWarn -> Seq(RangeRule(4, 6), ExactRule("medium")),
+      SevInfo -> Seq(RangeRule(0, 3), ExactRule("low")))
+
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      val h = split(col("line"), "\\|")
+      input.filter(col("line").startsWith("CEF:"))
+        .select(col("conv_id"), col("turn_idx"),
+          regexp_extract(col("line"), "CEF:([^\\|]*)", 1).as("version"),
+          element_at(h, 2).as("device_vendor"),
+          element_at(h, 3).as("device_product"),
+          element_at(h, 5).as("signature_id"),
+          element_at(h, 6).as("name"),
+          element_at(h, 7).as("severity"),
+          element_at(h, 8).as("extensions"))
+        .withColumn("severity_number",
+          graft.parse.ParseOps.compileSeverityMapping(col("severity"), CefMapping))
+    }
+  }
+
+  /** Kafka plugin (plugins/kafka_logs.yaml:88-95): bracketed timestamp +
+    * severity token + message, text severity mapping.
+    */
+  object KafkaPlugin extends Plugin("kafka", Seq(
+    PluginParam("log_type", Some("kafka")))) {
+
+    val Pattern = """^\[(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3})\] ([^ ]+) (.*)$"""
+    val Fields = Seq("time", "severity", "message")
+
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      input.withColumn("g", RegexExtractStruct.of(col("line"), Pattern, Fields))
+        .filter(col("g").isNotNull)
+        .select(col("conv_id"), col("turn_idx"),
+          col("g.time").as("time"),
+          col("g.severity").as("severity"),
+          col("g.message").as("message"),
+          lit(p("log_type")).as("log_type"))
+        .withColumn("severity_number",
+          graft.parse.ParseOps.compileSeverityMapping(col("severity"),
+            graft.parse.ParseOps.DefaultSeverityPreset))
+    }
+  }
+
+  /** Redis plugin (plugins/redis_logs.yaml:63-75): pid/role prefix, glyph
+    * severity (`*` notice → info, `#` warning, `-` info, `.` debug).
+    */
+  object RedisPlugin extends Plugin("redis", Seq.empty) {
+    val Pattern =
+      """^(\d+):([A-Z]) (\d{2} \w+ \d{4} \d{2}:\d{2}:\d{2}\.\d{3}) ([*#.\-]) (.*)$"""
+    val Fields = Seq("pid", "role", "timestamp", "level", "message")
+
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      input.withColumn("g", RegexExtractStruct.of(col("line"), Pattern, Fields))
+        .filter(col("g").isNotNull)
+        .select(col("conv_id"), col("turn_idx"),
+          col("g.pid").cast(LongType).as("pid"),
+          col("g.role").as("role_char"),
+          col("g.level").as("glyph"),
+          col("g.message").as("message"))
+        .withColumn("severity_number",
+          when(col("glyph") === "#", ParseOps.SevWarn)
+            .when(col("glyph") === ".", 5)
+            .otherwise(ParseOps.SevInfo))
+    }
+  }
+
+  /** MySQL plugin, general_query path (plugins/mysql_logs.yaml:422):
+    * ISO timestamp + thread id + command + optional message.
+    */
+  object MysqlPlugin extends Plugin("mysql", Seq.empty) {
+    val Pattern =
+      """^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d+Z)\s+(\d+)\s+(\w+)(?:\s+(.+))?$"""
+    val Fields = Seq("timestamp", "tid", "command", "message")
+
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      input.withColumn("g", RegexExtractStruct.of(col("line"), Pattern, Fields))
+        .filter(col("g").isNotNull)
+        .select(col("conv_id"), col("turn_idx"),
+          col("g.timestamp").as("timestamp"),
+          col("g.tid").cast(LongType).as("tid"),
+          col("g.command").as("command"),
+          col("g.message").as("message"),
+          lit("mysql.general").as("log_type"))
+    }
+  }
+
+  /** File plugin (plugins/file_logs.yaml): raw body passthrough + log_type
+    * (the batch scan is the tailer; log_paths validated).
+    */
+  object FilePlugin extends Plugin("file", Seq(
+    PluginParam("log_paths", None),
+    PluginParam("log_type", Some("file")),
+    PluginParam("parse", Some("false"), Seq("true", "false")))) {
+
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      input.select(col("conv_id"), col("turn_idx"),
+        col("text").as("body"), lit(p("log_type")).as("log_type"))
+    }
+  }
+
   val registry: Map[String, Plugin] = Seq(
     NginxPlugin, SyslogPlugin, CsvPlugin, JsonPlugin, ContainerPlugin,
-    PostgresqlPlugin, W3cPlugin, ApacheCombinedPlugin, TcpPlugin)
+    PostgresqlPlugin, W3cPlugin, ApacheCombinedPlugin, TcpPlugin,
+    CefPlugin, KafkaPlugin, RedisPlugin, MysqlPlugin, FilePlugin)
     .map(p => p.name -> p).toMap
 
   /** Minimal valid params per plugin — the registry-wide "renders with
@@ -385,13 +497,16 @@ object Plugins {
   val smokeParams: Map[String, Map[String, String]] = Map(
     "csv" -> Map("header" -> "time_local,level,component,code,latency_ms"),
     "w3c" -> Map("header" -> "date time s_ip cs_method", "delimiter" -> " "),
-    "tcp" -> Map("listen_port" -> "514")
+    "tcp" -> Map("listen_port" -> "514"),
+    "file" -> Map("log_paths" -> "/var/log/app.log")
   ).withDefaultValue(Map.empty)
 
   /** Input column required by plugins that parse a framed `line` instead of
-    * the transcript `text` (postgresql, w3c); the smoke gate frames one.
+    * the transcript `text` (postgresql, w3c, cef, kafka, redis, mysql); the
+    * smoke gate frames one.
     */
-  val needsLine: Set[String] = Set("postgresql", "w3c")
+  val needsLine: Set[String] = Set("postgresql", "w3c", "common_event_format",
+    "kafka", "redis", "mysql")
 }
 
 /** snapshotprocessor ad-hoc search (SURVEY §2B): substring query over body +
