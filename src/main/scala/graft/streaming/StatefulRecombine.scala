@@ -28,6 +28,40 @@ object StatefulRecombine {
       n_parts = sorted.size, combined = sorted.map(_._2).mkString("\n"))
   }
 
+  /** Per-group state transition — extracted so the timeout path is unit-
+    * testable with `TestGroupState` (no wall-clock in tests).
+    */
+  def processGroup(convId: String, turns: Iterator[PartTurn],
+                   state: GroupState[SessionBuf],
+                   armTimeout: Boolean, forceFlushMs: Long): Iterator[Combined] =
+    if (state.hasTimedOut) {
+      // force_flush parity: emit whatever is buffered
+      val buf = state.getOption.map(_.parts).getOrElse(Nil)
+      state.remove()
+      if (buf.isEmpty) Iterator.empty
+      else Iterator(combine(buf).copy(conv_id = convId))
+    } else {
+      val out = scala.collection.mutable.ListBuffer[Combined]()
+      var buf = state.getOption.map(_.parts).getOrElse(Nil)
+      // stable order within the micro-batch
+      turns.toSeq.sortBy(_.turn_idx).foreach { t =>
+        buf = buf :+ (t.turn_idx -> t.text)
+        if (t.text.startsWith("F|")) {
+          out += combine(buf).copy(conv_id = convId)
+          buf = Nil
+        }
+      }
+      if (buf.isEmpty) state.remove()
+      else {
+        state.update(SessionBuf(buf))
+        // force_flush parity (stanza recombine `force_flush_period`): arm
+        // the timeout so an abandoned session flushes via the hasTimedOut
+        // branch instead of pinning keyed state forever
+        if (armTimeout) state.setTimeoutDuration(forceFlushMs)
+      }
+      out.iterator
+    }
+
   def recombineStream(spark: SparkSession, parts: Dataset[PartTurn],
                       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
                       forceFlushMs: Long = 30000L)
@@ -37,33 +71,7 @@ object StatefulRecombine {
     parts.groupByKey(_.conv_id)
       .flatMapGroupsWithState(OutputMode.Append, timeout) {
         (convId: String, turns: Iterator[PartTurn], state: GroupState[SessionBuf]) =>
-          if (state.hasTimedOut) {
-            // force_flush parity: emit whatever is buffered
-            val buf = state.getOption.map(_.parts).getOrElse(Nil)
-            state.remove()
-            if (buf.isEmpty) Iterator.empty
-            else Iterator(combine(buf).copy(conv_id = convId))
-          } else {
-            val out = scala.collection.mutable.ListBuffer[Combined]()
-            var buf = state.getOption.map(_.parts).getOrElse(Nil)
-            // stable order within the micro-batch
-            turns.toSeq.sortBy(_.turn_idx).foreach { t =>
-              buf = buf :+ (t.turn_idx -> t.text)
-              if (t.text.startsWith("F|")) {
-                out += combine(buf).copy(conv_id = convId)
-                buf = Nil
-              }
-            }
-            if (buf.isEmpty) state.remove()
-            else {
-              state.update(SessionBuf(buf))
-              // force_flush parity (stanza recombine `force_flush_period`):
-              // arm the timeout so an abandoned session flushes via the
-              // hasTimedOut branch instead of pinning keyed state forever
-              if (armTimeout) state.setTimeoutDuration(forceFlushMs)
-            }
-            out.iterator
-          }
+          processGroup(convId, turns, state, armTimeout, forceFlushMs)
       }
   }
 }

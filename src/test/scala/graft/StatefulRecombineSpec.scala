@@ -62,4 +62,52 @@ class StatefulRecombineSpec extends SparkTestBase {
       assert(streamed.keySet == fTerminated.keySet)
     } finally q.stop()
   }
+
+  test("force_flush: timeout armed on buffered state; timed-out sessions flush") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    import graft.streaming.StatefulRecombine.SessionBuf
+
+    // 1. partial-only batch: state buffered AND the processing-time timeout
+    //    armed (without arming, hasTimedOut can never fire and abandoned
+    //    sessions pin keyed state forever)
+    val s1 = TestGroupState.create[SessionBuf](
+      optionalState = Optional.empty[SessionBuf](), timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+    val out1 = StatefulRecombine.processGroup("c1",
+      Iterator(PartTurn("c1", 0, "P|a"), PartTurn("c1", 1, "P|b")),
+      s1, armTimeout = true, forceFlushMs = 50L).toSeq
+    assert(out1.isEmpty)
+    assert(s1.exists && s1.get.parts.map(_._2) == List("P|a", "P|b"))
+    assert(s1.getTimeoutTimestampMs.isPresent,
+      "buffered state must arm the force_flush timeout")
+    assert(s1.getTimeoutTimestampMs.get == 1050L)
+
+    // 2. the timed-out invocation force-flushes the buffer and clears state
+    val s2 = TestGroupState.create[SessionBuf](
+      optionalState = Optional.of(SessionBuf(List(0 -> "P|a", 1 -> "P|b"))),
+      timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 2000L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = true)
+    val out2 = StatefulRecombine.processGroup("c1", Iterator.empty,
+      s2, armTimeout = true, forceFlushMs = 50L).toSeq
+    assert(out2.map(_.combined) == Seq("P|a\nP|b"))
+    assert(out2.head.n_parts == 2 && out2.head.conv_id == "c1")
+    assert(s2.isRemoved, "flushed session must release its keyed state")
+
+    // 3. a completed (F-terminated) session never arms a timeout
+    val s3 = TestGroupState.create[SessionBuf](
+      optionalState = Optional.empty[SessionBuf](), timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+    val out3 = StatefulRecombine.processGroup("c2",
+      Iterator(PartTurn("c2", 0, "F|done")), s3,
+      armTimeout = true, forceFlushMs = 50L).toSeq
+    assert(out3.map(_.combined) == Seq("F|done"))
+    assert(!s3.exists && !s3.getTimeoutTimestampMs.isPresent)
+  }
 }
