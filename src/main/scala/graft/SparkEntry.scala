@@ -346,6 +346,38 @@ object SparkEntry {
     "q_plugin_file" -> ((s, d) =>
       graft.plugins.Plugins.FilePlugin(s,
         Map("log_paths" -> "/var/log/app.log"))(t(s, d))),
+    // data-driven template family (RegexPlugin factory) — representative
+    // instances over framed lines; the rest are covered by the corpus gate
+    "q_plugin_tomcat" -> ((s, d) => {
+      val kv = t(s, d).filter(ParseOps.isKv)
+      val lvl = regexp_extract(col("text"), "level=(\\w+)", 1)
+      val sev = when(lvl === "error", "SEVERE").when(lvl === "warn", "WARNING")
+        .otherwise("INFO")
+      val line = format_string("%s.000 %s [main-%d] org.apache.Catalina request %d",
+        date_format(col("ts"), "dd-MMM-yyyy HH:mm:ss"), sev,
+        col("turn_idx") % 8, col("turn_idx"))
+      graft.plugins.Plugins.registry("tomcat")(s)(
+        kv.select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
+    "q_plugin_mongodb" -> ((s, d) => {
+      val kv = t(s, d).filter(ParseOps.isKv)
+      val lvl = regexp_extract(col("text"), "level=(\\w+)", 1)
+      val sev = when(lvl === "error", "E").when(lvl === "warn", "W").otherwise("I")
+      val line = format_string("%sZ %s NETWORK [conn%d] op %d",
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS"), sev,
+        col("turn_idx") % 100, col("turn_idx"))
+      graft.plugins.Plugins.registry("mongodb")(s)(
+        kv.select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
+    "q_plugin_cassandra" -> ((s, d) => {
+      val kv = t(s, d).filter(ParseOps.isKv)
+      val lvl = upper(regexp_extract(col("text"), "level=(\\w+)", 1))
+      val line = format_string("%s [ReadStage-%d] %s,000 compaction %d",
+        lvl, col("turn_idx") % 4,
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), col("turn_idx"))
+      graft.plugins.Plugins.registry("apache_cassandra")(s)(
+        kv.select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
     "q_plugin_tcp" -> ((s, d) =>
       graft.plugins.Plugins.TcpPlugin(s, Map(
         "listen_port" -> "601", "add_attributes" -> "true"))(t(s, d))),
@@ -1062,6 +1094,44 @@ object SparkEntry {
 
       "q_plugin_file" -> Transcripts.withT(
         "SELECT conv_id, turn_idx, text AS body, 'file' AS log_type FROM t"),
+
+      "q_plugin_tomcat" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           strftime(ts, '%d-%b-%Y %H:%M:%S') || '.000' AS timestamp,
+           CASE regexp_extract(text, 'level=(\w+)', 1)
+                WHEN 'error' THEN 'SEVERE' WHEN 'warn' THEN 'WARNING'
+                ELSE 'INFO' END AS severity,
+           'main-' || CAST(turn_idx % 8 AS VARCHAR) AS thread,
+           'org.apache.Catalina' AS source,
+           'request ' || CAST(turn_idx AS VARCHAR) AS message,
+           'tomcat' AS log_type,
+           CASE regexp_extract(text, 'level=(\w+)', 1)
+                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
+           FROM t WHERE starts_with(text, 'level=')"""),
+
+      "q_plugin_mongodb" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS timestamp,
+           CASE regexp_extract(text, 'level=(\w+)', 1)
+                WHEN 'error' THEN 'E' WHEN 'warn' THEN 'W' ELSE 'I' END AS severity,
+           'NETWORK' AS component,
+           'conn' || CAST(turn_idx % 100 AS VARCHAR) AS context,
+           'op ' || CAST(turn_idx AS VARCHAR) AS message,
+           'mongodb' AS log_type,
+           CASE regexp_extract(text, 'level=(\w+)', 1)
+                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
+           FROM t WHERE starts_with(text, 'level=')"""),
+
+      "q_plugin_cassandra" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           upper(regexp_extract(text, 'level=(\w+)', 1)) AS severity,
+           'ReadStage-' || CAST(turn_idx % 4 AS VARCHAR) AS type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') || ',000' AS timestamp,
+           'compaction ' || CAST(turn_idx AS VARCHAR) AS message,
+           'apache_cassandra' AS log_type,
+           CASE regexp_extract(text, 'level=(\w+)', 1)
+                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
+           FROM t WHERE starts_with(text, 'level=')"""),
 
       "q_plugin_tcp" -> Transcripts.withT(
         """SELECT conv_id, turn_idx, text AS body, 'tcp' AS log_type,

@@ -484,10 +484,110 @@ object Plugins {
     }
   }
 
-  val registry: Map[String, Plugin] = Seq(
+  // -------------------------------------------------------------------
+  // Data-driven template family: most of the remaining reference plugins
+  // are one regex_parser + a severity mapping + a time layout — i.e.
+  // INSTANCES of the same operator set with different config. This factory
+  // is that observation made executable: a template is a row of data.
+  // -------------------------------------------------------------------
+  final case class RegexPluginDef(
+      name: String,
+      pattern: String,
+      fields: Seq[String],
+      severityField: Option[String] = Some("severity"),
+      severityMapping: Seq[(Int, Seq[graft.parse.ParseOps.SevRule])] =
+        graft.parse.ParseOps.DefaultSeverityPreset,
+      longFields: Set[String] = Set.empty)
+
+  final class RegexPlugin(d: RegexPluginDef) extends Plugin(d.name, Seq(
+    PluginParam("log_type", Some(d.name)),
+    PluginParam("parse", Some("true"), Seq("true", "false")))) {
+
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      if (p("parse") != "true")
+        input.select(col("conv_id"), col("turn_idx"), col("line").as("body"),
+          lit(p("log_type")).as("log_type"))
+      else {
+        val parsed = input
+          .withColumn("g", RegexExtractStruct.of(col("line"), d.pattern, d.fields))
+          .filter(col("g").isNotNull) // regex_parser on_error: drop
+          .select(Seq(col("conv_id"), col("turn_idx")) ++
+            d.fields.map { f =>
+              val c = col(s"g.$f")
+              (if (d.longFields(f)) c.cast(LongType) else c).as(f)
+            } :+ lit(p("log_type")).as("log_type"): _*)
+        d.severityField match {
+          case Some(f) => parsed.withColumn("severity_number",
+            graft.parse.ParseOps.compileSeverityMapping(col(f), d.severityMapping))
+          case None => parsed
+        }
+      }
+    }
+  }
+
+  import graft.parse.ParseOps.{ExactRule, SevError, SevInfo, SevWarn}
+
+  /** Template batch: one row per reference plugin, pattern + fields lifted
+    * from each template's regex_parser (single-line core form; Go named
+    * groups → positional). Severity flows through the mapping compiler.
+    */
+  val RegexTemplates: Seq[RegexPluginDef] = Seq(
+    // plugins/tomcat_logs.yaml:140 (catalina log)
+    RegexPluginDef("tomcat",
+      """^(\d{2}-\w{3}-\d{4} \d{2}:\d{2}:\d{2}\.\d{3}) (\w+) \[([^\]]+)\] (\S+) (.+)$""",
+      Seq("timestamp", "severity", "thread", "source", "message"),
+      severityMapping = graft.parse.ParseOps.DefaultSeverityPreset ++
+        Seq(SevWarn -> Seq(ExactRule("warning")), SevError -> Seq(ExactRule("severe")))),
+    // plugins/jboss_logs.yaml:59
+    RegexPluginDef("jboss",
+      """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),\d{3}\s*(\w+)\s*\[([^\]]*)\]\s*\(([^)]*)\) (.+)$""",
+      Seq("timestamp", "severity", "category", "thread", "message")),
+    // plugins/wildfly_logs.yaml:77
+    RegexPluginDef("wildfly",
+      """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),\d{3}\s+(\w+)(?:\s+\[(.+?)\])?(?:\s+\((.+?)\))?\s+(.*)$""",
+      Seq("timestamp", "severity", "source", "thread", "message")),
+    // plugins/hadoop_logs.yaml:99
+    RegexPluginDef("hadoop",
+      """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),\d{3} ([A-Z]+) ([A-Za-z0-9.$]+): (.+)$""",
+      Seq("timestamp", "severity", "fqcn", "message")),
+    // plugins/hbase_logs.yaml:75
+    RegexPluginDef("hbase",
+      """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),\d{3}\s+([A-Z]+)\s*\[([^\]]*)\] ([^:]*): (.+)$""",
+      Seq("timestamp", "severity", "thread", "source", "message")),
+    // plugins/zookeeper_logs.yaml:62
+    RegexPluginDef("zookeeper",
+      """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),\d{3} \[myid:(\d+)?\] - (\w+)\s+\[(.+):(.+)@(\d+)\]\s+-\s*(.*)$""",
+      Seq("timestamp", "myid", "severity", "thread", "source", "line_no", "message"),
+      longFields = Set("myid", "line_no")),
+    // plugins/apache_cassandra_logs.yaml:75 (severity LEADS the line)
+    RegexPluginDef("apache_cassandra",
+      """^([A-Z]+)\s+\[([^\]]+)\]\s+(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3})\s+(.+)$""",
+      Seq("severity", "type", "timestamp", "message")),
+    // plugins/mongodb_logs.yaml:79 (single-letter severities)
+    RegexPluginDef("mongodb",
+      """^(\S+)\s+(\w)\s+([\w-]+)\s+\[(\S+)\]\s+(.*)$""",
+      Seq("timestamp", "severity", "component", "context", "message"),
+      severityMapping = Seq(
+        21 -> Seq(ExactRule("f")),
+        SevError -> Seq(ExactRule("e")),
+        SevWarn -> Seq(ExactRule("w")),
+        SevInfo -> Seq(ExactRule("i")),
+        5 -> Seq(ExactRule("d")))),
+    // plugins/rabbitmq_logs.yaml:55
+    RegexPluginDef("rabbitmq",
+      """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d+\+\d{2}:\d{2}) \[([a-z]+)\] <(\d+\.\d+\.\d+)> (.*)$""",
+      Seq("timestamp", "severity", "process_id", "message")),
+    // plugins/elasticsearch_logs.yaml:111 (gc log; no severity field)
+    RegexPluginDef("elasticsearch",
+      """^\[(\d+-\d+-\d+T\d+:\d+:\d+\.\d+\+\d+)\]\[\d+\]\[([A-Za-z,]+)\s*\]\s*(?:GC\((\d+)\))?\s*(.*)$""",
+      Seq("timestamp", "type", "gc_run", "message"),
+      severityField = None, longFields = Set("gc_run")))
+
+  val registry: Map[String, Plugin] = (Seq(
     NginxPlugin, SyslogPlugin, CsvPlugin, JsonPlugin, ContainerPlugin,
     PostgresqlPlugin, W3cPlugin, ApacheCombinedPlugin, TcpPlugin,
-    CefPlugin, KafkaPlugin, RedisPlugin, MysqlPlugin, FilePlugin)
+    CefPlugin, KafkaPlugin, RedisPlugin, MysqlPlugin, FilePlugin) ++
+    RegexTemplates.map(new RegexPlugin(_)))
     .map(p => p.name -> p).toMap
 
   /** Minimal valid params per plugin — the registry-wide "renders with
@@ -506,7 +606,7 @@ object Plugins {
     * smoke gate frames one.
     */
   val needsLine: Set[String] = Set("postgresql", "w3c", "common_event_format",
-    "kafka", "redis", "mysql")
+    "kafka", "redis", "mysql") ++ RegexTemplates.map(_.name)
 }
 
 /** snapshotprocessor ad-hoc search (SURVEY §2B): substring query over body +
