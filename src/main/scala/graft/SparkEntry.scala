@@ -369,6 +369,12 @@ object SparkEntry {
       graft.plugins.Plugins.registry("mongodb")(s)(
         kv.select(col("conv_id"), col("turn_idx"), line.as("line")))
     }),
+    // factory plugin over REAL fixture lines (no framing): the apache_http
+    // template parses the combined access-log rows directly
+    "q_plugin_apache_http" -> ((s, d) =>
+      graft.plugins.Plugins.registry("apache_http")(s)(
+        t(s, d).filter(ParseOps.isNginx)
+          .select(col("conv_id"), col("turn_idx"), col("text").as("line")))),
     "q_plugin_cassandra" -> ((s, d) => {
       val kv = t(s, d).filter(ParseOps.isKv)
       val lvl = upper(regexp_extract(col("text"), "level=(\\w+)", 1))
@@ -1121,6 +1127,20 @@ object SparkEntry {
            CASE regexp_extract(text, 'level=(\w+)', 1)
                 WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
            FROM t WHERE starts_with(text, 'level=')"""),
+
+      "q_plugin_apache_http" -> Transcripts.withT(
+        s"""SELECT conv_id, turn_idx,
+           regexp_extract(text, '$nginxPat', 1) AS remote_addr,
+           '-' AS remote_host,
+           regexp_extract(text, '$nginxPat', 2) AS remote_user,
+           regexp_extract(text, '$nginxPat', 3) AS timestamp,
+           regexp_extract(text, '$nginxPat', 4) AS method,
+           regexp_extract(text, '$nginxPat', 5) AS path,
+           regexp_extract(text, '$nginxPat', 6) AS protocol,
+           CAST(regexp_extract(text, '$nginxPat', 7) AS BIGINT) AS status,
+           CAST(regexp_extract(text, '$nginxPat', 8) AS BIGINT) AS body_bytes_sent,
+           'apache_http' AS log_type
+           FROM t WHERE regexp_matches(text, '^10\\.')"""),
 
       "q_plugin_cassandra" -> Transcripts.withT(
         """SELECT conv_id, turn_idx,

@@ -581,12 +581,122 @@ object Plugins {
     RegexPluginDef("elasticsearch",
       """^\[(\d+-\d+-\d+T\d+:\d+:\d+\.\d+\+\d+)\]\[\d+\]\[([A-Za-z,]+)\s*\]\s*(?:GC\((\d+)\))?\s*(.*)$""",
       Seq("timestamp", "type", "gc_run", "message"),
-      severityField = None, longFields = Set("gc_run")))
+      severityField = None, longFields = Set("gc_run")),
+    // plugins/pgbouncer_logs.yaml:51
+    RegexPluginDef("pgbouncer",
+      """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}) (\d+) (\w+) (.*)$""",
+      Seq("timestamp", "pid", "severity", "message"), longFields = Set("pid")),
+    // plugins/solr_logs.yaml:56 (core form)
+    RegexPluginDef("solr",
+      """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3,6}) (\w+)\s+\(([^)]+)\) (\S+) (.*)$""",
+      Seq("timestamp", "severity", "thread", "source", "message")),
+    // plugins/sap_hana_logs.yaml:71 (single-letter severities like klog)
+    RegexPluginDef("sap_hana",
+      """^\[(\d+)\]\{([^}]+)\}\[([^/]+)/([^\]]+)\] (\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d+) (\S+) (\S+)\s+(.*)$""",
+      Seq("thread_id", "connection_id", "transaction_id", "update_transaction_id",
+        "timestamp", "severity", "component", "message"),
+      severityMapping = KlogSeverities, longFields = Set("thread_id")),
+    // plugins/aerospike_logs.yaml:68
+    RegexPluginDef("aerospike",
+      """^([A-Za-z]+ \d{2} \d{4} \d{2}:\d{2}:\d{2} [A-Z]+): ([A-Z]+) \(([^)]*)\): \(([^:]*):([^)]*)\)\s*(.*)$""",
+      Seq("timestamp", "severity", "context", "source_file", "source_location",
+        "message")),
+    // plugins/esxi_logs.yaml:71 (syslog-framed; numeric priority)
+    RegexPluginDef("esxi",
+      """^<(\d*)>([A-Za-z]+ \d{2} \d{2}:\d{2}:\d{2}) ([^ ]+) ([^:]+): (.*)$""",
+      Seq("priority", "timestamp", "hostname", "service", "message"),
+      severityField = None, longFields = Set("priority")),
+    // plugins/ubiquiti_logs.yaml:52
+    RegexPluginDef("ubiquiti",
+      """^<([^>]+)>(\w{3}\s*\d{1,2}\s*\d{2}:\d{2}:\d{2})\s*([^,]*),([^:]*):\s*([^:]*)\s*:(.*)$""",
+      Seq("priority", "timestamp", "mac_address", "device", "process", "message"),
+      severityField = None),
+    // plugins/cisco_asa_logs.yaml:39
+    RegexPluginDef("cisco_asa",
+      """^([\d\w\s:\-]+?)(?: asa )?: %([\w\d-]+):\s(.*)$""",
+      Seq("timestamp", "message_id", "message"), severityField = None),
+    // plugins/cisco_catalyst_logs.yaml:55
+    RegexPluginDef("cisco_catalyst",
+      """^<([^>]+)>\s*(.*)$""",
+      Seq("priority", "message"), severityField = None, longFields = Set("priority")),
+    // plugins/kubelet_logs.yaml:61 (klog framing, single-letter severities)
+    RegexPluginDef("kubelet",
+      """^(\w)(\d{4} \d{2}:\d{2}:\d{2}\.\d+)\s+(\d+)\s+([^:]*):([^\]]*)\] (.*)$""",
+      Seq("severity", "timestamp", "pid", "src", "src_line", "message"),
+      severityMapping = KlogSeverities, longFields = Set("pid")),
+    // plugins/ingress_nginx_logs.yaml:61 (same klog controller framing)
+    RegexPluginDef("ingress_nginx",
+      """^(\w)(\d{4} \d{2}:\d{2}:\d{2}\.\d+)\s+(\d+)\s+([^:]*):([^\]]*)\] (.*)$""",
+      Seq("severity", "timestamp", "pid", "src", "src_line", "message"),
+      severityMapping = KlogSeverities, longFields = Set("pid")),
+    // plugins/cockroachdb_logs.yaml:134 (core form)
+    RegexPluginDef("cockroachdb",
+      """^([IWEF])(\d{6}\s+\d{2}:\d{2}:\d{2}\.\d{6})\s+(\d+)\s+(\S+)\s+(\[[^\]]+\])\s+(.*)$""",
+      Seq("severity", "timestamp", "goid", "location", "node", "message"),
+      severityMapping = KlogSeverities, longFields = Set("goid")),
+    // plugins/couchbase_logs.yaml:106
+    RegexPluginDef("couchbase",
+      """^\[([^:]*):([^,]*),(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d+-\d{2}:\d{2}),([^@]*)@([^:]*):([^\]]+)\](.*)$""",
+      Seq("type", "severity", "timestamp", "node", "host", "source", "message")),
+    // plugins/macos_logs.yaml:68 (core form)
+    RegexPluginDef("macos",
+      """^(\w{3}\s*\d{1,2} \d{2}:\d{2}:\d{2}) ([^ ]*) ([^\[]*)\[([^\]]*)\]: (.*)$""",
+      Seq("timestamp", "host", "process", "pid", "message"),
+      severityField = None, longFields = Set("pid")),
+    // plugins/apache_http_logs.yaml:84 — matches the combined fixture lines
+    RegexPluginDef("apache_http",
+      """^([^ ]*) ([^ ]*) ([^ ]*) \[([^\]]*)\] "(\S+) +([^ ]*) ([^"]*)" ([^ ]*) ([^ ]*)(?: .*)?$""",
+      Seq("remote_addr", "remote_host", "remote_user", "timestamp", "method",
+        "path", "protocol", "status", "body_bytes_sent"),
+      severityField = None, longFields = Set("status", "body_bytes_sent")),
+    // plugins/active_directory_logs.yaml:60
+    RegexPluginDef("active_directory",
+      """^(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(.*)$""",
+      Seq("timestamp", "severity", "source", "event_id", "message")))
+
+  /** klog/SAP/cockroach-style single-letter severity classes. */
+  lazy val KlogSeverities: Seq[(Int, Seq[graft.parse.ParseOps.SevRule])] = Seq(
+    21 -> Seq(ExactRule("f")),
+    SevError -> Seq(ExactRule("e")),
+    SevWarn -> Seq(ExactRule("w")),
+    SevInfo -> Seq(ExactRule("i")),
+    5 -> Seq(ExactRule("d")))
+
+  /** UDP plugin (plugins/udp_logs.yaml): raw passthrough, listener params
+    * validated (same shape as tcp, no TLS).
+    */
+  object UdpPlugin extends Plugin("udp", Seq(
+    PluginParam("listen_port", None),
+    PluginParam("listen_ip", Some("0.0.0.0")),
+    PluginParam("log_type", Some("udp")))) {
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      input.select(col("conv_id"), col("turn_idx"),
+        col("text").as("body"), lit(p("log_type")).as("log_type"))
+    }
+  }
+
+  /** Bindplane plugin (plugins/bindplane_logs.yaml:50): the agent's own JSON
+    * logs via json_parser.
+    */
+  object BindplanePlugin extends Plugin("bindplane", Seq(
+    PluginParam("log_type", Some("bindplane")))) {
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      input.filter(ParseOps.isJson)
+        .withColumn("j", from_json(col("text"), ParseOps.JsonBodySchema))
+        .select(col("conv_id"), col("turn_idx"),
+          col("j.level").as("level"), col("j.msg").as("message"),
+          lit(p("log_type")).as("log_type"))
+        .withColumn("severity_number",
+          graft.parse.ParseOps.compileSeverityMapping(col("level"),
+            graft.parse.ParseOps.DefaultSeverityPreset))
+    }
+  }
 
   val registry: Map[String, Plugin] = (Seq(
     NginxPlugin, SyslogPlugin, CsvPlugin, JsonPlugin, ContainerPlugin,
     PostgresqlPlugin, W3cPlugin, ApacheCombinedPlugin, TcpPlugin,
-    CefPlugin, KafkaPlugin, RedisPlugin, MysqlPlugin, FilePlugin) ++
+    CefPlugin, KafkaPlugin, RedisPlugin, MysqlPlugin, FilePlugin,
+    UdpPlugin, BindplanePlugin) ++
     RegexTemplates.map(new RegexPlugin(_)))
     .map(p => p.name -> p).toMap
 
@@ -598,6 +708,7 @@ object Plugins {
     "csv" -> Map("header" -> "time_local,level,component,code,latency_ms"),
     "w3c" -> Map("header" -> "date time s_ip cs_method", "delimiter" -> " "),
     "tcp" -> Map("listen_port" -> "514"),
+    "udp" -> Map("listen_port" -> "514"),
     "file" -> Map("log_paths" -> "/var/log/app.log")
   ).withDefaultValue(Map.empty)
 
