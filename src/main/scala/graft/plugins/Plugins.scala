@@ -652,7 +652,45 @@ object Plugins {
     // plugins/active_directory_logs.yaml:60
     RegexPluginDef("active_directory",
       """^(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(.*)$""",
-      Seq("timestamp", "severity", "source", "event_id", "message")))
+      Seq("timestamp", "severity", "source", "event_id", "message")),
+    // plugins/apache_common_logs.yaml — the common format is the combined
+    // format's prefix; the same pattern with the trailing quotes optional
+    RegexPluginDef("apache_common",
+      """^([^ ]*) ([^ ]*) ([^ ]*) \[([^\]]*)\] "(\S+) +([^ ]*) ([^"]*)" ([^ ]*) ([^ ]*)(?: .*)?$""",
+      Seq("remote_addr", "remote_host", "remote_user", "timestamp", "method",
+        "path", "protocol", "status", "body_bytes_sent"),
+      severityField = None, longFields = Set("status", "body_bytes_sent")),
+    // plugins/cisco_meraki_logs.yaml:42
+    RegexPluginDef("cisco_meraki",
+      """^<([^>]+)>(\d+)\s*([\d.]*)\s*([^\s]*)\s*([^\s]*)\s*(.*)$""",
+      Seq("priority", "version", "timestamp", "hostname", "app_name", "message"),
+      severityField = None, longFields = Set("version")),
+    // plugins/couchdb_logs.yaml:70 (general form)
+    RegexPluginDef("couchdb",
+      """^\[(\w*)\] ([\d\-.:TZ]+) (\S+)@([^ ]+) (.*)$""",
+      Seq("severity", "timestamp", "node", "host", "message")),
+    // plugins/haproxy_logs.yaml:87 (tcp_parser core; the http variant adds
+    // per-phase timings + the 2xx..5xx class mapping covered by
+    // compileSeverityMapping/q_severity_mapping)
+    RegexPluginDef("haproxy",
+      """^(\w{3}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})\s+([^\s]+)\s+([^\[]+)\[([^\]]+)\]:\s?(.*)$""",
+      Seq("timestamp", "host", "process_name", "pid", "message"),
+      severityField = None, longFields = Set("pid")),
+    // plugins/vcenter_logs.yaml:88 (frame-number prefix + syslog payload)
+    RegexPluginDef("vcenter",
+      """^(\d+ )?(.*)$""",
+      Seq("drop", "syslog_message"), severityField = None),
+    // plugins/windows_dhcp.yaml:56
+    RegexPluginDef("windows_dhcp",
+      """^(\d+),(\d{2}/\d{2}/\d{2},\d{2}:\d{2}:\d{2}),([^,]+),([^,]*),([^,]*),([^,]*),([^,]*).*$""",
+      Seq("id", "timestamp", "description", "ip_address", "hostname",
+        "mac_address", "username"),
+      severityField = None, longFields = Set("id")),
+    // plugins/oracle_database_logs.yaml:86 (audit record, multiline body)
+    RegexPluginDef("oracle_database",
+      """(?s)^(\w+ \w+\s{1,2}\d{1,2} \d{2}:\d{2}:\d{2} \d{4} [-+]\d{2}:\d{2})\nLENGTH : .(\d*).\nACTION :\[\d+\]\s+.(.+?).\nDATABASE USER:\[\d+\]\s+.(\S+?).""",
+      Seq("timestamp", "length", "action", "database_user"),
+      severityField = None, longFields = Set("length")))
 
   /** klog/SAP/cockroach-style single-letter severity classes. */
   lazy val KlogSeverities: Seq[(Int, Seq[graft.parse.ParseOps.SevRule])] = Seq(
@@ -672,6 +710,20 @@ object Plugins {
     protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
       input.select(col("conv_id"), col("turn_idx"),
         col("text").as("body"), lit(p("log_type")).as("log_type"))
+    }
+  }
+
+  /** IIS plugin (plugins/iis_logs.yaml): W3C-format logs — delegates to the
+    * W3C machinery with IIS defaults (space delimiter, standard field set).
+    * sql_server_logs is the one template NOT compiled: it reads the Windows
+    * Event Log API channel (an OS-API receiver, not a parse pipeline).
+    */
+  object IisPlugin extends Plugin("iis", Seq(
+    PluginParam("header", Some("date time s_ip cs_method cs_uri_stem sc_status")),
+    PluginParam("log_type", Some("iis")))) {
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      W3cPlugin(spark, Map("header" -> p("header"), "delimiter" -> " ",
+        "log_type" -> p("log_type")))(input)
     }
   }
 
@@ -696,7 +748,7 @@ object Plugins {
     NginxPlugin, SyslogPlugin, CsvPlugin, JsonPlugin, ContainerPlugin,
     PostgresqlPlugin, W3cPlugin, ApacheCombinedPlugin, TcpPlugin,
     CefPlugin, KafkaPlugin, RedisPlugin, MysqlPlugin, FilePlugin,
-    UdpPlugin, BindplanePlugin) ++
+    UdpPlugin, BindplanePlugin, IisPlugin) ++
     RegexTemplates.map(new RegexPlugin(_)))
     .map(p => p.name -> p).toMap
 
@@ -717,7 +769,7 @@ object Plugins {
     * smoke gate frames one.
     */
   val needsLine: Set[String] = Set("postgresql", "w3c", "common_event_format",
-    "kafka", "redis", "mysql") ++ RegexTemplates.map(_.name)
+    "kafka", "redis", "mysql", "iis") ++ RegexTemplates.map(_.name)
 }
 
 /** snapshotprocessor ad-hoc search (SURVEY §2B): substring query over body +

@@ -147,7 +147,7 @@ class PluginsSpec extends SparkTestBase {
       out.queryExecution.assertAnalyzed()
       assert(out.columns.nonEmpty, s"plugin $name produced no columns")
     }
-    assert(Plugins.registry.size >= 40)
+    assert(Plugins.registry.size >= 49)
   }
 
   test("plugin protocol switch: rfc5424 branch analyzes and on_error-sends") {
