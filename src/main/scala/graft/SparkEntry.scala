@@ -497,6 +497,10 @@ object SparkEntry {
     "q_embed_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Similarity.embeddings(s, d))),
     "q_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
+    // REAL codecs: encode format-conformant BMP/WAV/GRVD payloads on
+    // executors, decode them back (headers, padding, bottom-up rows), and
+    // aggregate — the oracle replays the pixel/sample arithmetic
+    "q_media_decode" -> ((s, d) => Multimodal.mediaDecodeSummary(s, d)),
 
     // --------------- relational breadth (events/lineitem/orders) ---------------
     "q_events_sessionize" -> ((s, d) => {
@@ -1339,6 +1343,31 @@ object SparkEntry {
            octet_length(CAST(text AS BLOB)) AS n_bytes,
            CAST(len(regexp_extract_all(text, '[\x60-\x6f]')) AS BIGINT) AS hist_bin6,
            CAST(len(regexp_extract_all(text, '[\x70-\x7f]')) AS BIGINT) AS hist_bin7
+           FROM documents""",
+
+      "q_media_decode" ->
+        """SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 16 AS INT)
+                WHEN doc_id % 3 = 2 THEN CAST(8 + doc_id % 8 AS INT)
+                ELSE 0 END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(12 + doc_id % 12 AS INT)
+                WHEN doc_id % 3 = 2 THEN CAST(6 + doc_id % 6 AS INT)
+                ELSE 0 END AS height,
+           CASE WHEN doc_id % 3 = 1 THEN CAST(256 + doc_id % 256 AS INT)
+                ELSE 0 END AS n_samples,
+           CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 1 END AS n_frames,
+           CASE WHEN doc_id % 3 = 0 THEN
+             CAST(round(list_avg(list_transform(range((16 + doc_id % 16) * (12 + doc_id % 12)),
+               i -> ((i % (16 + doc_id % 16)) * 7 + (i // (16 + doc_id % 16)) * 13 + doc_id % 97) % 256)) * 1000) AS BIGINT)
+           WHEN doc_id % 3 = 1 THEN
+             CAST(round(sqrt(list_avg(list_transform(range(256 + doc_id % 256),
+               i -> CAST(((((i * 37 + doc_id % 89) % 512) - 256) * 64) AS BIGINT)
+                    * ((((i * 37 + doc_id % 89) % 512) - 256) * 64)))) * 1000) AS BIGINT)
+           ELSE
+             CAST(round(list_avg(list_transform(range((8 + doc_id % 8) * (6 + doc_id % 6)),
+               i -> ((i % (8 + doc_id % 8)) * 7 + (i // (8 + doc_id % 8)) * 13 + doc_id % 97) % 256)) * 1000) AS BIGINT)
+           END AS metric_x1000
            FROM documents""",
 
       "q_events_sessionize" ->

@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract / frame-sample stages.
   *
-  * The real codecs are NOT available in this container, so the decode step
-  * is a clearly-marked deterministic fake ([[FakeCodec]]); everything
-  * Spark-side — schema, batch shape, partitioning, the typed mapPartitions
-  * pipeline (Scala's analogue of mapInPandas batch UDFs) — is real and
-  * tested. Swapping [[FakeCodec]] for a JNI/ffmpeg decoder changes no plan.
+  * Two codec tiers:
+  *  - [[RealCodec]] — REAL decoders for self-describing formats (24-bit BMP
+  *    with padding/bottom-up rows, RIFF PCM16 WAV, a length-prefixed frame
+  *    container), including a real box-filter resize and frame sampler;
+  *  - [[FakeCodec]] — the clearly-marked stub standing in for compressed
+  *    formats (JPEG/H.264/MP3) whose decoders aren't in this container.
+  * Everything Spark-side — schema, batch shape, partitioning, the typed
+  * mapPartitions pipeline (Scala's analogue of mapInPandas batch UDFs) — is
+  * identical for both tiers; swapping the stub for JNI/ffmpeg changes no plan.
   */
 object Multimodal {
 
@@ -84,5 +88,74 @@ object Multimodal {
       .select(col("asset_id"), col("kind"), col("n_bytes"),
         element_at(col("histogram"), 7).as("hist_bin6"),
         element_at(col("histogram"), 8).as("hist_bin7"))
+  }
+
+  // -------------------------------------------------------------------
+  // Real-codec corpus: format-conformant BMP / WAV / GRVD payloads
+  // -------------------------------------------------------------------
+  /** Deterministic dims/seeds per asset — small enough that the DuckDB
+    * oracle can replay the pixel/sample arithmetic in closed form.
+    */
+  def imgW(id: Long): Int = (16 + id % 16).toInt
+  def imgH(id: Long): Int = (12 + id % 12).toInt
+  def imgSeed(id: Long): Int = (id % 97).toInt
+  def wavN(id: Long): Int = (256 + id % 256).toInt
+  def wavSeed(id: Long): Int = (id % 89).toInt
+  def vidW(id: Long): Int = (8 + id % 8).toInt
+  def vidH(id: Long): Int = (6 + id % 6).toInt
+  def vidFrames: Int = 3
+
+  /** Encode REAL payloads on executors (one task per split — the encode is
+    * the ingest-side mapPartitions; nothing touches the driver).
+    */
+  def realAssets(spark: SparkSession, sfDir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          (id % 3) match {
+            case 0 =>
+              val b = RealCodec.encodeBmp(imgW(id), imgH(id), imgSeed(id))
+              MediaAsset(id, "image", b, imgW(id), imgH(id), 0L)
+            case 1 =>
+              val b = RealCodec.encodeWav(wavN(id), 8000, wavSeed(id))
+              MediaAsset(id, "audio", b, 0, 0, wavN(id) * 1000L / 8000)
+            case _ =>
+              val frames = (0 until vidFrames).map(f =>
+                RealCodec.encodeBmp(vidW(id), vidH(id), imgSeed(id) + f))
+              MediaAsset(id, "video", RealCodec.encodeVideo(frames),
+                vidW(id), vidH(id), vidFrames * 40L)
+          }
+        }
+      }
+  }
+
+  /** REAL decode summary: parse the actual format headers + payloads and
+    * aggregate per kind. Oracle-checkable because the synthetic pixels/
+    * samples have closed forms the SQL side replays.
+    */
+  def mediaDecodeSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    realAssets(spark, sfDir).mapPartitions { it =>
+      it.map { a =>
+        a.kind match {
+          case "image" =>
+            val img = RealCodec.decodeBmp(a.media)
+            (a.asset_id, a.kind, img.width, img.height, 0, 1,
+              math.round(img.meanGray * 1000))
+          case "audio" =>
+            val au = RealCodec.decodeWav(a.media)
+            (a.asset_id, a.kind, 0, 0, au.samples.length, 1,
+              math.round(au.rms * 1000))
+          case _ =>
+            val n = RealCodec.frameCount(a.media)
+            val first = RealCodec.decodeBmp(RealCodec.sampleFrames(a.media, n).head)
+            (a.asset_id, a.kind, first.width, first.height, 0, n,
+              math.round(first.meanGray * 1000))
+        }
+      }
+    }.toDF("asset_id", "kind", "width", "height", "n_samples", "n_frames",
+      "metric_x1000")
   }
 }

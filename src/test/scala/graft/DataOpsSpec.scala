@@ -205,4 +205,47 @@ class MultimodalSpec extends SparkTestBase {
     val f = Multimodal.extractFeatures(a)
     assert(f.rdd.getNumPartitions == a.rdd.getNumPartitions)
   }
+
+  test("REAL BMP codec: encode→decode round-trips pixels, padding and row order") {
+    import graft.data.RealCodec
+    // w=3 forces 3 bytes of row padding; bottom-up rows must flip back
+    val img = RealCodec.decodeBmp(RealCodec.encodeBmp(3, 2, seed = 5))
+    assert(img.width == 3 && img.height == 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(img.pixels(y * 3 + x) == RealCodec.pix(x, y, 5), s"($x,$y)")
+    // real resize: box filter over a known image
+    val big = RealCodec.Image(4, 4, Array.fill(16)(200))
+    val ds = RealCodec.boxDownsample(big, 2, 2)
+    assert(ds.forall(v => math.abs(v - 200f / 255f) < 1e-6))
+  }
+
+  test("REAL WAV codec: PCM16 round-trip, duration, RMS") {
+    import graft.data.RealCodec
+    val au = RealCodec.decodeWav(RealCodec.encodeWav(400, 8000, seed = 7))
+    assert(au.sampleRate == 8000 && au.samples.length == 400)
+    assert(au.durationMs == 50L)
+    (0 until 400).foreach(i => assert(au.samples(i) == RealCodec.sample(i, 7)))
+    assert(au.rms > 0)
+  }
+
+  test("REAL frame container: count + stride sampling decode to valid frames") {
+    import graft.data.RealCodec
+    val frames = (0 until 5).map(f => RealCodec.encodeBmp(4, 3, seed = f))
+    val vid = RealCodec.encodeVideo(frames)
+    assert(RealCodec.frameCount(vid) == 5)
+    val sampled = RealCodec.sampleFrames(vid, 2) // frames 0, 2, 4
+    assert(sampled.length == 3)
+    sampled.zip(Seq(0, 2, 4)).foreach { case (f, seed) =>
+      val img = RealCodec.decodeBmp(f)
+      assert(img.pixels(0) == RealCodec.pix(0, 0, seed))
+    }
+  }
+
+  test("real-codec corpus: every payload is format-conformant and decodable") {
+    val decoded = Multimodal.mediaDecodeSummary(spark, sfDir).cache()
+    assert(decoded.count() == 500)
+    assert(decoded.filter(col("kind") === "video").filter(col("n_frames") =!= 3).count() == 0)
+    assert(decoded.filter(col("metric_x1000") <= 0).count() == 0)
+    decoded.unpersist()
+  }
 }
