@@ -496,6 +496,9 @@ object SparkEntry {
       Similarity.lshTopK(Similarity.embeddings(s, d))),
     "q_embed_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Similarity.embeddings(s, d))),
+    // embedding-cosine near-dup: bucketed candidates + exact verification
+    "q_embed_cosine_neardups" -> ((s, d) =>
+      Similarity.cosineNearDups(Similarity.embeddings(s, d))),
     "q_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     // REAL codecs: encode format-conformant BMP/WAV/GRVD payloads on
     // executors, decode them back (headers, padding, bottom-up rows), and
@@ -1308,6 +1311,8 @@ object SparkEntry {
       "q_embed_lsh_topk" -> Similarity.lshTopkOracleSql(),
 
       "q_embed_ivf_topk" -> Similarity.ivfTopkOracleSql(),
+
+      "q_embed_cosine_neardups" -> Similarity.cosineNearDupsOracleSql(),
 
       "q_sampling_mid" -> Transcripts.withT(
         """SELECT role, COUNT(*) AS n FROM t

@@ -194,6 +194,86 @@ object Similarity {
          FROM cells c2 JOIN q USING (cell) WHERE c2.vec_id <> q_id)
        ${rankSql(k)}"""
 
+  // -------------------------------------------------------------------
+  // Embedding-cosine near-dup detection (the dedup-by-embedding path):
+  // hyperplane-bucketed candidates + exact quantized-cosine verification
+  // -------------------------------------------------------------------
+  /** Corpus with planted duplicates in QUANTIZED space: exact copies
+    * (vec_id%10==0 → +100000) and near copies (vec_id%10==1 → +200000,
+    * first component nudged by one quantum). Long-space planting keeps the
+    * oracle replay float-free.
+    */
+  def withPlantedVecs(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), quantized(col("embedding")).as("v"))
+    val exact = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("v"))
+    val near = base.filter(col("vec_id") % 10 === 1)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + 1L), slice(col("v"), 2, 63)).as("v"))
+    base.unionByName(exact).unionByName(near)
+  }
+
+  val plantedVecsSql: String =
+    """SELECT vec_id, v FROM e
+       UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id % 10 = 0
+       UNION ALL SELECT vec_id + 200000,
+         list_prepend(v[1] + 1, v[2:64]) AS v FROM e WHERE vec_id % 10 = 1"""
+
+  /** Near-duplicate pairs by cosine ≥ threshold: candidates from the
+    * hyperplane buckets (near-identical vectors share all sign bits), pair
+    * generation bounded by [[Dedup.candidatePairs]], verification by exact
+    * integer dot products — never an all-pairs join.
+    */
+  def cosineNearDups(emb: DataFrame, threshold: Double = 0.99): DataFrame = {
+    val planted = withPlantedVecs(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = planted.select(col("vec_id").as("doc_id"),
+      lit(0).as("band"), hyperplaneBucket(col("v")).cast("string").as("bucket"))
+    val pairs = Dedup.candidatePairs(banded)
+    val d = dot(col("a_v"), col("b_v"))
+    val cos = signum(d) * d * d /
+      (dot(col("a_v"), col("a_v")) * dot(col("b_v"), col("b_v"))).cast("double")
+    pairs
+      .join(planted.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(planted.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")
+      .withColumn("cos2_e6", round(cos * 1000000).cast("long"))
+      .filter(col("cos2_e6") >= math.round(threshold * threshold * 1000000))
+      .select(col("a_id"), col("b_id"), col("cos2_e6"))
+  }
+
+  /** DuckDB replication of [[cosineNearDups]] — same planes, same capped
+    * pair generation, same integer-exact verification.
+    */
+  def cosineNearDupsOracleSql(threshold: Double = 0.99, nPlanes: Int = 8): String = {
+    val pl = planes(nPlanes)
+    val bucketTerms = (0 until nPlanes).map { p =>
+      val litP = pl(p).mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(64), j -> v[j+1] * ($litP)[j+1])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val thr = math.round(threshold * threshold * 1000000)
+    s"""WITH e AS ($quantizedSql),
+       d AS ($plantedVecsSql),
+       banded AS (SELECT vec_id AS doc_id, 0 AS band,
+         CAST(CAST($bucketTerms AS BIGINT) AS VARCHAR) AS bucket,
+         v FROM d),
+       ${Dedup.candidatePairsSql()}
+       SELECT a_id, b_id, cos2_e6 FROM (
+         SELECT p.a_id, p.b_id,
+           CAST(round(
+             (CASE WHEN dd > 0 THEN 1.0 WHEN dd < 0 THEN -1.0 ELSE 0.0 END) * dd * dd
+             / CAST(n2a * n2b AS DOUBLE) * 1000000) AS BIGINT) AS cos2_e6
+         FROM (
+           SELECT p0.a_id, p0.b_id,
+             CAST(list_sum(list_transform(range(64), i -> va.v[i+1] * vb.v[i+1])) AS BIGINT) AS dd,
+             CAST(list_sum(list_transform(range(64), i -> va.v[i+1] * va.v[i+1])) AS BIGINT) AS n2a,
+             CAST(list_sum(list_transform(range(64), i -> vb.v[i+1] * vb.v[i+1])) AS BIGINT) AS n2b
+           FROM pairs p0
+           JOIN d va ON va.vec_id = p0.a_id
+           JOIN d vb ON vb.vec_id = p0.b_id
+         ) p
+       ) WHERE cos2_e6 >= $thr"""
+  }
+
   /** ANN top-k restricted to same-bucket candidates (recall<1 by design;
     * the scale path). */
   def lshTopK(emb: DataFrame, k: Int = 3, nQueries: Int = 10): DataFrame = {

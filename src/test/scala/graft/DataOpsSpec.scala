@@ -121,6 +121,19 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("cosine near-dups find every planted exact and nudged pair") {
+    val pairs = Similarity.cosineNearDups(emb)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val ids = emb.select($"vec_id").as[Long].collect()
+    val plantedExact = ids.filter(_ % 10 == 0).map(id => (id, id + 100000)).toSet
+    val plantedNear = ids.filter(_ % 10 == 1).map(id => (id, id + 200000)).toSet
+    assert((plantedExact -- pairs).isEmpty, "exact copies share every sign bit")
+    // a one-quantum nudge keeps cosine ~1; allow rare bucket-boundary misses
+    val foundNear = plantedNear.intersect(pairs)
+    assert(foundNear.size >= (plantedNear.size * 9) / 10,
+      s"found ${foundNear.size}/${plantedNear.size} nudged pairs")
+  }
+
   test("IVF cell assignment is a narrow pass: zero shuffles in the plan") {
     val plan = Similarity.ivfCells(emb).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
