@@ -33,8 +33,36 @@ object Ottl {
     case other => throw new IllegalArgumentException(s"bad OTTL target: '$other'")
   }
 
-  /** Split `fn(args) [where cond]` respecting quotes and bracket nesting. */
-  private val StmtRe = """(?s)^\s*(\w+)\s*\((.*)\)\s*(?:where\s+(.+))?\s*$""".r
+  /** Split `fn(args) [where cond]`: depth-count to the MATCHING close paren
+    * of the call (a greedy regex would swallow a parenthesized where-clause
+    * into the args), then treat the remainder as the optional condition.
+    */
+  private def splitStatement(src: String): (String, String, Option[String]) = {
+    val s = src.trim
+    val open = s.indexOf('(')
+    require(open > 0 && s.take(open).trim.matches("\\w+"),
+      s"bad OTTL statement: '$src'")
+    var depth = 0; var quote: Char = 0; var close = -1
+    var i = open
+    while (i < s.length && close < 0) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(close > 0, s"unbalanced parens in OTTL statement: '$src'")
+    val rest = s.substring(close + 1).trim
+    val cond =
+      if (rest.isEmpty) None
+      else if (rest.startsWith("where")) Some(rest.stripPrefix("where").trim)
+      else throw new IllegalArgumentException(s"bad OTTL statement tail: '$rest'")
+    (s.take(open).trim, s.substring(open + 1, close), cond)
+  }
 
   private def splitArgs(s: String): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer[String]()
@@ -69,10 +97,8 @@ object Ottl {
 
   /** Compile ONE statement to a DataFrame transform. */
   def statement(src: String, columns: Set[String]): DataFrame => DataFrame = {
-    val (fn, rawArgs, whereSrc) = src match {
-      case StmtRe(f, a, w) => (f, splitArgs(a), Option(w))
-      case _ => throw new IllegalArgumentException(s"bad OTTL statement: '$src'")
-    }
+    val (fn, argSrc, whereSrc) = splitStatement(src)
+    val rawArgs = splitArgs(argSrc)
     val cond: Option[Column] = whereSrc.map(w => ExprLang.boolExpr(w, columns))
     // false-on-error: only a definite `true` condition applies the edit
     def guarded(old: Column, edited: Column): Column = cond match {

@@ -104,6 +104,17 @@ class OttlSpec extends SparkTestBase {
     assert(kept.collect().forall(_.getAs[Map[String, String]]("attributes").keySet == Set("env")))
   }
 
+  test("parenthesized where-clauses and parens inside args parse correctly") {
+    val out = Ottl(Seq(
+      """set(attributes["env"], 'prod') where (role == 'assistant' or role == 'x')""",
+      """replace_pattern(body, '(user)[0-9]+', '$1')"""),
+      fixture.columns.toSet)(fixture)
+    val byRole = out.collect().map(r => r.getAs[String]("role") ->
+      (r.getAs[Map[String, String]]("attributes")("env"), r.getAs[String]("text"))).toMap
+    assert(byRole("assistant")._1 == "prod" && byRole("user")._1 == "staging")
+    assert(byRole("user")._2 == "hello user")
+  }
+
   test("NULL where-condition leaves the row unedited (false-on-error)") {
     val withNull = fixture.withColumn("maybe", when(col("role") === "user", "u"))
     val out = Ottl(Seq("""set(attributes["env"], 'prod') where maybe == 'u'"""),
