@@ -279,11 +279,14 @@ object EnrichOps {
   // parse failure" contract is rendered as canonical STRING forms: parseable
   // values are canonicalized, unparseable ones pass through unchanged.
   // -------------------------------------------------------------------
+  // try_cast everywhere: ANSI cast THROWS on values that pass the shape
+  // regex but overflow (a 20-digit run is a valid \d+ but not a long);
+  // Go's strconv returns the original on any parse error, so must we
   def coerceLongOrOriginal(c: Column): Column =
-    coalesce(when(c.rlike("^-?\\d+$"), c.cast("long").cast("string")), c)
+    coalesce(when(c.rlike("^-?\\d+$"), c.try_cast("long").cast("string")), c)
 
   def coerceDoubleOrOriginal(c: Column): Column = // coerceToFloat64 :88-104
-    coalesce(when(c.rlike("^-?\\d+(\\.\\d+)?$"), c.cast("double").cast("string")), c)
+    coalesce(when(c.rlike("^-?\\d+(\\.\\d+)?$"), c.try_cast("double").cast("string")), c)
 
   /** strconv.ParseBool accepts 1/t/T/TRUE/true/True and 0/f/F/FALSE/false/
     * False (type_coerce.go:106-126 via ParseBool). */
@@ -298,7 +301,8 @@ object EnrichOps {
     coalesce(
       when(c.rlike("^-?\\d+$"), c),
       when(c.rlike("""^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"""),
-        unix_millis(to_timestamp(c)).cast("string")),
+        // try: '2024-13-99T…' matches the shape but is not a timestamp
+        unix_millis(try_to_timestamp(c)).cast("string")),
       c)
 
   /** datetime → RFC3339: epoch-millis render as UTC RFC3339, strings are
@@ -306,7 +310,7 @@ object EnrichOps {
   def coerceDatetimeRfc3339(c: Column): Column =
     coalesce(
       when(c.rlike("^-?\\d+$"),
-        date_format(timestamp_millis(c.cast("long")), "yyyy-MM-dd'T'HH:mm:ss'Z'")),
+        date_format(timestamp_millis(c.try_cast("long")), "yyyy-MM-dd'T'HH:mm:ss'Z'")),
       c)
 
   def coerceOcsf(c: Column, typeName: String): Column = typeName match {

@@ -64,6 +64,17 @@ class EnrichEdgeSpec extends SparkTestBase {
     assert(out(true) == "page" && out(false) == null)
   }
 
+  test("coercion edge cases: overflow and malformed values return originals") {
+    val df = Seq(("99999999999999999999", "2024-13-99T99:99:99", "maybe")).toDF("big", "badts", "word")
+    val r = df.select(
+      EnrichOps.coerceOcsf(col("big"), "long").as("big_out"),
+      EnrichOps.coerceOcsf(col("badts"), "timestamp").as("ts_out"),
+      EnrichOps.coerceOcsf(col("word"), "boolean").as("bool_out")).collect().head
+    assert(r.getString(0) == "99999999999999999999") // 20 digits overflow long
+    assert(r.getString(1) == "2024-13-99T99:99:99")  // shape-valid, not a time
+    assert(r.getString(2) == "maybe")                 // not a ParseBool token
+  }
+
   test("epoch time layouts (stanza layout_type: epoch)") {
     val df = Seq((1704067200L, 1704067200123L)).toDF("s", "ms")
     val r = df.select(
