@@ -29,6 +29,24 @@ class PipelineSpec extends SparkTestBase {
     assert(v.operators.head.params("condition") == "true")
   }
 
+  test("transform (OTTL), lookup_csv and batch operator types compile and run") {
+    import graft.enrich.EnrichOps
+    val csv = EnrichOps.lookupFixture("pipeline_lookup.csv", "role,team,cost_center",
+      EnrichOps.RoleLookup)
+    val spec = Canonical.copy(operators = Seq(
+      OperatorSpec("severity_tag"), // route predicates need severity_number
+      OperatorSpec("transform", Map(
+        "statements" -> "set(env, 'prod') where role == 'assistant'")),
+      OperatorSpec("lookup_csv", Map("csv" -> csv, "field" -> "role")),
+      OperatorSpec("batch")))
+    val out = Pipeline.compile(spec, spark)(Transcripts.fromEvents(spark, sfDir))
+    val rows = out.filter(col("role").isin("assistant", "user"))
+      .select(col("role"), col("env"), col("team")).distinct().collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows("assistant") == ("prod", "ml"))
+    assert(rows("user") == (null, "external"))
+  }
+
   test("textual config parses, validates, and compiles (EP1 parity)") {
     val spec = graft.pipeline.PipelineConfig.load(
       """# canonical pipeline
