@@ -387,6 +387,8 @@ object SparkEntry {
     "q_plugin_tcp" -> ((s, d) =>
       graft.plugins.Plugins.TcpPlugin(s, Map(
         "listen_port" -> "601", "add_attributes" -> "true"))(t(s, d))),
+    "q_plugin_udp" -> ((s, d) =>
+      graft.plugins.Plugins.UdpPlugin(s, Map("listen_port" -> "514"))(t(s, d))),
     "q_snapshot_search" -> ((s, d) =>
       graft.plugins.Snapshot.search(t(s, d), "search", "2024-01-10 00:00:00")),
     // payload budget: running byte sum caps the snapshot
@@ -1169,6 +1171,9 @@ object SparkEntry {
            'tcp' AS net_transport, '0.0.0.0' AS net_host_ip,
            601 AS net_host_port
            FROM t"""),
+
+      "q_plugin_udp" -> Transcripts.withT(
+        "SELECT conv_id, turn_idx, text AS body, 'udp' AS log_type FROM t"),
 
       "q_snapshot_search" -> Transcripts.withT(
         """SELECT conv_id, turn_idx, role, tool, text, ts
