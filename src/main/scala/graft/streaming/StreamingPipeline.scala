@@ -27,21 +27,27 @@ object StreamingPipeline {
     StructField("year", IntegerType), StructField("month", IntegerType),
     StructField("day", IntegerType), StructField("hour", IntegerType)))
 
-  /** readStream → severity/route tagging → watermarked windowed per-route
-    * counts. One file per micro-batch keeps the demo deterministic.
+  /** The tagging + watermarked windowed count transform, over ANY streaming
+    * (or batch) transcript frame — extracted so tests can drive it from a
+    * MemoryStream to exercise watermark/late-data semantics directly.
     */
-  def routedCounts(spark: SparkSession, inputPath: String): DataFrame = {
-    val stream = spark.readStream
-      .schema(TranscriptSchema)
-      .option("maxFilesPerTrigger", "8")
-      .parquet(inputPath)
+  def windowedRouteCounts(stream: DataFrame,
+                          watermark: String = "2 hours"): DataFrame =
     Router.tagged(stream)
       .withColumn("ts_ltz", col("ts").cast("timestamp"))
-      .withWatermark("ts_ltz", "2 hours")
+      .withWatermark("ts_ltz", watermark)
       .groupBy(window(col("ts_ltz"), "1 hour"), col("route"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("route"), col("n"))
-  }
+
+  /** readStream → severity/route tagging → watermarked windowed per-route
+    * counts. One file per micro-batch keeps the demo deterministic.
+    */
+  def routedCounts(spark: SparkSession, inputPath: String): DataFrame =
+    windowedRouteCounts(spark.readStream
+      .schema(TranscriptSchema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(inputPath))
 
   /** Drive the stream to completion against a static directory (batch parity
     * harness: processAllAvailable consumes every file, then the result table

@@ -186,6 +186,11 @@ class PluginsSpec extends SparkTestBase {
 /** Streaming/batch parity: the continuous variant must produce exactly the
   * batch pipeline's per-route windowed counts on the same input.
   */
+/** Row type for the watermark test's MemoryStream (top-level so the
+  * product encoder derives). */
+case class WmTurn(conv_id: String, turn_idx: Int, role: String,
+                  text: String, tool: String, ts: java.sql.Timestamp)
+
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -209,5 +214,36 @@ class StreamingSpec extends SparkTestBase {
       q.stop()
       Bench.deleteRec(base)
     }
+  }
+
+  test("watermark: windows finalize once passed; later-than-watermark data drops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[WmTurn]
+    // APPEND mode: a window only emits after the watermark passes its end,
+    // and late rows behind the watermark are dropped — bounded state
+    val q = StreamingPipeline.windowedRouteCounts(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_counts").start()
+    try {
+      input.addData(
+        WmTurn("c1", 0, "user", "hello", "", ts("2024-01-01 10:05:00")),
+        WmTurn("c1", 1, "user", "world", "", ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      assert(spark.table("wm_counts").count() == 0) // window still open
+      // event at 14:00 → watermark 12:00 → the 10:00 window finalizes
+      input.addData(WmTurn("c2", 0, "user", "later", "", ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("wm_counts")
+        .filter(col("window_start") === ts("2024-01-01 10:00:00")).count() == 1)
+      // late arrival for the finalized 10:00 window must be DROPPED
+      input.addData(WmTurn("c3", 0, "user", "too late", "", ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val after = spark.table("wm_counts")
+        .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+        .agg(sum(col("n"))).collect().head.getLong(0)
+      assert(after == 2L, "late row must not re-open or re-emit the window")
+    } finally q.stop()
   }
 }
