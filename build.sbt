@@ -30,3 +30,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 128 GiB and a single JVM (local mode: driver == executors)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+scalacOptions ++= Seq("-deprecation")

@@ -168,8 +168,11 @@ object ExprLang {
     */
   val Converters: Map[String, List[Column] => Column] = Map(
     "Concat" -> (args => concat_ws("", args: _*)),
-    "Substring" -> { case c :: start :: len :: Nil =>
-      c.substr(start.cast("int") + 1, len.cast("int")) // OTTL start is 0-based
+    "Substring" -> {
+      case c :: start :: len :: Nil =>
+        c.substr(start.cast("int") + 1, len.cast("int")) // OTTL start is 0-based
+      case args => throw new IllegalArgumentException(
+        s"Substring(value, start, length) expects 3 args, got ${args.length}")
     },
     "Int" -> (args => args.head.cast("long")),
     "Double" -> (args => args.head.cast("double")),
@@ -177,12 +180,19 @@ object ExprLang {
     "Len" -> (args => length(args.head).cast("long")),
     "ToLowerCase" -> (args => lower(args.head)),
     "ToUpperCase" -> (args => upper(args.head)),
-    "Time" -> { case c :: fmt :: Nil =>
-      to_timestamp(c, graft.parse.ParseOps.strptimeToJava(extractLit(fmt)))
+    "Time" -> {
+      case c :: fmt :: Nil =>
+        to_timestamp(c, graft.parse.ParseOps.strptimeToJava(extractLit(fmt)))
+      case args => throw new IllegalArgumentException(
+        s"Time(value, format) expects 2 args, got ${args.length}")
     },
     "UnixMilli" -> (args => unix_millis(args.head.cast("timestamp"))),
     "ParseJSON" -> (args => args.head), // parsed lazily by downstream getItem
-    "IsMatch" -> { case c :: pat :: Nil => c.rlike(extractLit(pat)) })
+    "IsMatch" -> {
+      case c :: pat :: Nil => c.rlike(extractLit(pat))
+      case args => throw new IllegalArgumentException(
+        s"IsMatch(value, pattern) expects 2 args, got ${args.length}")
+    })
 
   private def extractLit(c: Column): String =
     org.apache.spark.sql.GraftBridge.literalValue(c)

@@ -120,8 +120,8 @@ object Pipeline {
                 graft.agg.AggOps.sample(df, expr(op.params("condition")),
                   op.params("drop_ratio").toDouble)
               case "add" => df.withColumn(op.params("field"), expr(op.params("value")))
-              case "retain" => df.select(op.params("fields").split(",").map(_.trim)
-                .map(col): _*)
+              case "retain" => df.select(op.params("fields").split(",")
+                .toIndexedSeq.map(f => col(f.trim)): _*)
               case "transform" =>
                 graft.expr.Ottl(op.params("statements").split(";").map(_.trim)
                   .filter(_.nonEmpty).toSeq, df.columns.toSet)(df)

@@ -19,24 +19,24 @@ object Plugins {
 
   abstract class Plugin(val name: String, val params: Seq[PluginParam]) {
     /** CheckParameters parity (plugin.go:146-266). */
-    def validate(given: Map[String, String]): Map[String, String] = {
-      given.keys.foreach { k =>
-        require(params.exists(_.name == k), s"$name: unknown parameter '$k'")
+    def validate(params: Map[String, String]): Map[String, String] = {
+      params.keys.foreach { k =>
+        require(this.params.exists(_.name == k), s"$name: unknown parameter '$k'")
       }
-      params.foreach { p =>
-        given.get(p.name).foreach { v =>
+      this.params.foreach { p =>
+        params.get(p.name).foreach { v =>
           require(p.supported.isEmpty || p.supported.contains(v),
             s"$name: unsupported value '$v' for '${p.name}'")
         }
-        require(given.contains(p.name) || p.default.isDefined,
+        require(params.contains(p.name) || p.default.isDefined,
           s"$name: missing required parameter '${p.name}'")
       }
-      params.map(p => p.name -> given.getOrElse(p.name, p.default.get)).toMap
+      this.params.map(p => p.name -> params.getOrElse(p.name, p.default.get)).toMap
     }
 
-    def apply(spark: SparkSession, given: Map[String, String] = Map.empty)
+    def apply(spark: SparkSession, params: Map[String, String] = Map.empty)
              (input: DataFrame): DataFrame =
-      build(spark, validate(given))(input)
+      build(spark, validate(params))(input)
 
     protected def build(spark: SparkSession, p: Map[String, String])
                        : DataFrame => DataFrame
@@ -307,12 +307,10 @@ object Plugins {
     PluginParam("parse", Some("true"), Seq("true", "false")))) {
 
     // header_delimiter defaults to delimiter (w3c csv_parser semantics)
-    override def validate(given: Map[String, String]): Map[String, String] = {
-      val base = super.validate(given ++ (
-        if (given.contains("header_delimiter")) Map.empty
-        else Map("header_delimiter" -> given.getOrElse("delimiter", "\t"))))
-      base
-    }
+    override def validate(params: Map[String, String]): Map[String, String] =
+      super.validate(params ++ (
+        if (params.contains("header_delimiter")) Map.empty
+        else Map("header_delimiter" -> params.getOrElse("delimiter", "\t"))))
 
     protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
       val data = input.filter(!col("line").startsWith("#")) // filter ^# comments
