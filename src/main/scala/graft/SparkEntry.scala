@@ -436,6 +436,10 @@ object SparkEntry {
     "q_groupby_attrs" -> ((s, d) =>
       EnrichOps.transpose(t(s, d))
         .groupBy(col("host")).agg(count(lit(1)).as("n_records"))),
+    // true record→resource regrouping: the digest proves WHICH records
+    // landed under each new resource, not just how many
+    "q_groupby_attrs_regroup" -> ((s, d) =>
+      EnrichOps.groupByAttrsRegroup(t(s, d))),
     // regex_parser on_error: send (stanza): unparseable records pass through
     // with null parsed fields instead of being dropped
     "q_parse_onerror_send" -> ((s, d) =>
@@ -1197,6 +1201,17 @@ object SparkEntry {
       "q_groupby_attrs" -> Transcripts.withT(
         """SELECT host, COUNT(*) AS n_records FROM (
              SELECT CASE WHEN role = 'tool' THEN 'tool-' || tool
+                    ELSE 'host-' || string_split(conv_id, '-')[1] END AS host
+             FROM t
+           ) GROUP BY host"""),
+
+      "q_groupby_attrs_regroup" -> Transcripts.withT(
+        """SELECT host, COUNT(*) AS n_records,
+           md5(string_agg(conv_id || ':' || CAST(turn_idx AS VARCHAR), ','
+             ORDER BY conv_id, turn_idx)) AS records_digest
+           FROM (
+             SELECT conv_id, turn_idx,
+               CASE WHEN role = 'tool' THEN 'tool-' || tool
                     ELSE 'host-' || string_split(conv_id, '-')[1] END AS host
              FROM t
            ) GROUP BY host"""),

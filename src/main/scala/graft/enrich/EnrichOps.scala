@@ -274,6 +274,24 @@ object EnrichOps {
   }
 
   // -------------------------------------------------------------------
+  // groupbyattrsprocessor — TRUE record→resource regrouping: records are
+  // reassigned under new resource identities derived from their attributes
+  // (not merely counted per attribute value). The regrouped content is
+  // emitted as a deterministic digest of the sorted member records so the
+  // restructuring itself is value-checkable.
+  // -------------------------------------------------------------------
+  def groupByAttrsRegroup(t: DataFrame): DataFrame =
+    transpose(t) // (conv_id, turn_idx, host) — host is the new resource key
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        md5(array_join(
+          transform(
+            sort_array(collect_list(struct(col("conv_id"), col("turn_idx")))),
+            e => concat_ws(":", e.getField("conv_id"), e.getField("turn_idx"))),
+          ",")).as("records_digest"))
+
+  // -------------------------------------------------------------------
   // OCSF type coercion table (type_coerce.go:25-42): cast-or-original.
   // A relational column has ONE type, so the dynamic "original value on
   // parse failure" contract is rendered as canonical STRING forms: parseable
