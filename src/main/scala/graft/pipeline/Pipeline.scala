@@ -200,7 +200,10 @@ object PipelineRunner {
     */
   def run(spark: SparkSession, spec: Pipeline.PipelineSpec,
           inputPath: String, outRoot: String,
-          groupSize: Int = 24, strategy: String = "partitioned"): RunReport = {
+          groupSize: Int = 24, strategy: String = "partitioned",
+          maxRecordsPerFile: Long = 5000000L): RunReport = {
+    // batchprocessor send_batch_size analogue (manifest.yaml:86): output
+    // batches are bounded by capping records per written file
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val manifest = new Manifest(s"$outRoot/_manifest")
     val transform = Pipeline.compile(spec, spark)
@@ -248,7 +251,7 @@ object PipelineRunner {
             val writes = spec.sinks.map { sink => Future {
               cached.filter(col("route") === sink)
                 .write.mode("overwrite")
-                .option("maxRecordsPerFile", 5000000)
+                .option("maxRecordsPerFile", maxRecordsPerFile)
                 .partitionBy("year", "month", "day", "hour")
                 .parquet(sinkPath(outRoot, sink))
             }}
@@ -260,7 +263,7 @@ object PipelineRunner {
           // every row lands in its sink table in the same job that parsed it
           // (batchprocessor size caps via maxRecordsPerFile, manifest.yaml:86)
           phase("write")(tagged.write.mode("overwrite")
-            .option("maxRecordsPerFile", 5000000)
+            .option("maxRecordsPerFile", maxRecordsPerFile)
             .partitionBy("route", "year", "month", "day", "hour")
             .parquet(s"$outRoot/sinks"))
           // manifest metrics: count the WRITTEN rows — a column-less scan over

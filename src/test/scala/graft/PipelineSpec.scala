@@ -47,6 +47,22 @@ class PipelineSpec extends SparkTestBase {
     assert(rows("user") == (null, "external"))
   }
 
+  test("batchprocessor cap: no written file exceeds maxRecordsPerFile") {
+    val base = java.nio.file.Files.createTempDirectory("batchcap").toString
+    Transcripts.writePartitioned(
+      Transcripts.generate(spark, nTurns = 6000, nConvs = 20), base + "/in")
+    PipelineRunner.run(spark, Canonical, base + "/in", base + "/out",
+      maxRecordsPerFile = 500L)
+    val files = spark.read.option("basePath", base + "/out/sinks")
+      .parquet(base + "/out/sinks")
+      .select(input_file_name().as("f")).groupBy(col("f")).count()
+      .select(col("count")).collect().map(_.getLong(0))
+    assert(files.nonEmpty && files.max <= 500L,
+      s"file over cap: ${files.max}")
+    assert(files.length > 6000 / 500, "cap must split large partitions")
+    Bench.deleteRec(base)
+  }
+
   test("textual config parses, validates, and compiles (EP1 parity)") {
     val spec = graft.pipeline.PipelineConfig.load(
       """# canonical pipeline
