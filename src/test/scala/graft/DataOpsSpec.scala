@@ -75,6 +75,19 @@ class DedupSpec extends SparkTestBase {
     assert(amongOriginals.filter($"a_id" =!= 0).count() == 0)
   }
 
+  test("dedup candidate generation never plans an all-pairs join") {
+    val emb = Similarity.embeddings(spark, sfDir)
+    Seq(
+      "minhash" -> Dedup.minHashDedupPairs(docs, portable = true),
+      "simhash" -> Dedup.simHashNearDups(docs, portable = true),
+      "cosine" -> Similarity.cosineNearDups(emb)).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join")
+    }
+  }
+
   test("simhash: exact copies have hamming distance 0") {
     val near = Dedup.simHashNearDups(docs)
       .filter($"hamming" === 0)
