@@ -34,8 +34,29 @@ object Transcripts {
   // 1. Deterministic derivation from the driver's events table
   // ---------------------------------------------------------------------
 
-  /** Spark-side derivation. Keep in lockstep with [[oracleCte]]. */
+  /** Spark-side derivation, MATERIALIZED once per sfDir: the derived `text`
+    * expression tree is large enough to trip janino's 64KB method limit
+    * (whole-stage codegen falls back to interpreted) and would otherwise be
+    * re-evaluated by every query. One write makes every downstream query a
+    * plain columnar scan — codegen-friendly and ~free to reuse. Content is
+    * deterministic, so the cache is safe across sessions.
+    */
+  private val materialized = scala.collection.concurrent.TrieMap[String, String]()
+
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = materialized.getOrElseUpdate(sfDir, {
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_transcripts_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")))
+        fromEventsDerived(spark, sfDir).write.mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.parquet(path)
+  }
+
+  /** The raw (unmaterialized) derivation. Keep in lockstep with [[oracleCte]]. */
+  def fromEventsDerived(spark: SparkSession, sfDir: String): DataFrame = {
     val e = spark.read.parquet(s"$sfDir/events.parquet")
 
     val eid = col("event_id")
