@@ -3,6 +3,7 @@ package graft.model
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** The engine's primary input relation: multi-turn agent transcripts
   * `(conv_id string, turn_idx int, role string, text string, tool string,
@@ -43,11 +44,31 @@ object Transcripts {
     */
   private val materialized = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Cache key fingerprints the SOURCE files (names, sizes, mtimes), so a
+    * regenerated events table never serves a stale derived cache.
+    */
+  private def sourceFingerprint(sfDir: String): String = {
+    val src = java.nio.file.Paths.get(sfDir, "events.parquet")
+    def fileSig(p: java.nio.file.Path): String =
+      s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+        java.nio.file.Files.getLastModifiedTime(p).toMillis
+    val sig =
+      if (!java.nio.file.Files.exists(src)) "missing"
+      else if (java.nio.file.Files.isRegularFile(src)) fileSig(src)
+      else {
+        val s = java.nio.file.Files.list(src)
+        try s.iterator().asScala.map(fileSig).toSeq.sorted.mkString("|")
+        finally s.close()
+      }
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir + "|" + sig).toLong & 0xFFFFFFFFL)
+  }
+
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = materialized.getOrElseUpdate(sfDir, {
+    val key = sourceFingerprint(sfDir)
+    val path = materialized.getOrElseUpdate(key, {
       val out = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_transcripts_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")).toString
+        System.getProperty("java.io.tmpdir"), s"graft_transcripts_$key").toString
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")))
         fromEventsDerived(spark, sfDir).write.mode("overwrite").parquet(out)
       out
