@@ -68,12 +68,31 @@ object Transcripts {
     val key = sourceFingerprint(sfDir)
     val path = materialized.getOrElseUpdate(key, {
       val out = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft_transcripts_$key").toString
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")))
-        fromEventsDerived(spark, sfDir).write.mode("overwrite").parquet(out)
-      out
+        System.getProperty("java.io.tmpdir"), s"graft_transcripts_$key")
+      if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+        // cross-process safety: stage under a unique name, then one atomic
+        // rename publishes the cache (a concurrent writer's rename losing
+        // the race just discards its staging copy)
+        val stage = out.resolveSibling(
+          s"${out.getFileName}.stage-${java.lang.ProcessHandle.current.pid}")
+        fromEventsDerived(spark, sfDir).write.mode("overwrite")
+          .parquet(stage.toString)
+        try java.nio.file.Files.move(stage, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.FileSystemException =>
+            deleteRec(stage.toFile) // lost the race; the cache already exists
+        }
+      }
+      out.toString
     })
     spark.read.parquet(path)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
   }
 
   /** The raw (unmaterialized) derivation. Keep in lockstep with [[oracleCte]]. */
