@@ -549,8 +549,10 @@ object SparkEntry {
     // year=/month=/day=/hour= partitioned table and prove every row landed
     // in its correct hour directory (round-trip counts per partition)
     "q_partitioned_layout" -> ((s, d) => {
+      // per-process dir: concurrent sessions must not overwrite each other
       val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_layout_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+        "graft_layout_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + java.lang.ProcessHandle.current.pid).toString
       // a 2-day window bounds the directory fan-out (the check is about
       // correctness of placement, not write volume — Bench covers that)
       Transcripts.writePartitioned(
@@ -695,7 +697,7 @@ object SparkEntry {
                'request.latency_ms' AS metric_name,
                json_extract_string(text, '$.level') AS level,
                CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS value_int,
-               printf('%019d|%s|%010d', epoch_us(ts), conv_id, turn_idx) AS arrival
+               printf('%019d %s %010d', epoch_us(ts), conv_id, turn_idx) AS arrival
              FROM t WHERE starts_with(text, '{')
            ) GROUP BY 1, 2, 3"""),
 
@@ -882,7 +884,7 @@ object SparkEntry {
              SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                json_extract_string(text, '$.level') AS level,
                CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS value_int,
-               printf('%019d|%s|%010d', epoch_us(ts), conv_id, turn_idx) AS arrival
+               printf('%019d %s %010d', epoch_us(ts), conv_id, turn_idx) AS arrival
              FROM t WHERE starts_with(text, '{')
            ) GROUP BY 1, 2"""),
 
@@ -895,7 +897,7 @@ object SparkEntry {
         """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            md5(text) AS body_md5, role,
            COUNT(*) AS dedup_count,
-           MIN(printf('%019d|%s|%010d', epoch_us(ts), conv_id, turn_idx)) AS first_arrival
+           MIN(printf('%019d %s %010d', epoch_us(ts), conv_id, turn_idx)) AS first_arrival
            FROM t GROUP BY 1, 2, 3"""),
 
       "q_datapoint_first" -> Transcripts.withT(
@@ -903,7 +905,7 @@ object SparkEntry {
            json_extract_string(text, '$.level') AS level,
            'request.latency_ms' AS metric_name,
            COUNT(*) AS dedup_count,
-           MIN(printf('%019d|%s|%010d', epoch_us(ts), conv_id, turn_idx)) AS first_arrival
+           MIN(printf('%019d %s %010d', epoch_us(ts), conv_id, turn_idx)) AS first_arrival
            FROM t WHERE starts_with(text, '{') GROUP BY 1, 2, 3"""),
 
       "q_salted_agg" -> Transcripts.withT(
@@ -929,7 +931,7 @@ object SparkEntry {
              SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                json_extract_string(text, '$.level') AS level,
                CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS value_int,
-               printf('%019d|%s|%010d', epoch_us(ts), conv_id, turn_idx) AS arrival
+               printf('%019d %s %010d', epoch_us(ts), conv_id, turn_idx) AS arrival
              FROM t WHERE starts_with(text, '{')
            ) GROUP BY 1, 2"""),
 
@@ -1341,7 +1343,7 @@ object SparkEntry {
       "q_sampling_mid" -> Transcripts.withT(
         """SELECT role, COUNT(*) AS n FROM t
            WHERE NOT (role = 'user' AND
-             (CAST('0x' || substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 15) AS BIGINT) % 100) < 50)
+             (CAST('0x' || substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 15) AS BIGINT) % 1000000) < 500000)
            GROUP BY role"""),
 
       "q_embed_topk" ->

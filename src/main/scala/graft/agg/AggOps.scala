@@ -67,8 +67,12 @@ object AggOps {
   // (processor/metricstatsprocessor/processor.go:142-199, 237-302)
   // -------------------------------------------------------------------
   /** Arrival-order key: orders identically to the oracle's printf string
-    * (zero-padded micros | conv | turn) but allocates nothing per row —
-    * struct comparison is field-wise, and this sits on the 10^12-row path.
+    * (zero-padded micros, conv, turn, SPACE-separated) but allocates nothing
+    * per row — struct comparison is field-wise, on the 10^12-row path.
+    * The separator must sort BELOW every conv_id character (space 0x20 <
+    * '-' 0x2D): with '|' (0x7C), a conv_id that is a proper prefix of
+    * another ("c5-1" vs "c5-10") ordered OPPOSITE ways in tuple vs string
+    * space whenever two rows shared an epoch-microsecond.
     */
   def arrivalKey: Column = struct(
     unix_micros(col("ts").cast("timestamp")).as("tsu"),
@@ -155,9 +159,11 @@ object AggOps {
     if (dropRatio <= 0.0) t
     else if (dropRatio >= 1.0) t.filter(!coalesce(condition, lit(false)))
     else {
+      // ppm-granular gate: a percent-granular one silently floored 0.005
+      // to a keep-all and 0.125 to 0.12
       val gate = pmod(graft.data.Dedup.md5Hash64(
-        concat_ws(":", col("conv_id"), col("turn_idx"))), lit(100L)) <
-        (dropRatio * 100).toLong
+        concat_ws(":", col("conv_id"), col("turn_idx"))), lit(1000000L)) <
+        math.round(dropRatio * 1000000L)
       t.filter(!coalesce(condition && gate, lit(false)))
     }
 
@@ -182,7 +188,7 @@ object AggOps {
       .select(col("window_start"), col("body_md5"), col("role"),
         col("dedup_count"),
         // formatted once per OUTPUT row (not per input row) for the oracle
-        format_string("%019d|%s|%010d",
+        format_string("%019d %s %010d",
           col("first.tsu"), col("first.conv"), col("first.turn")).as("first_arrival"))
 
   /** The pre-round-2 q_dedup shape (datapoint family + first arrival),
@@ -198,7 +204,7 @@ object AggOps {
         min(col("arrival")).as("first"))
       .select(col("window_start"), col("level"), col("metric_name"),
         col("dedup_count"),
-        format_string("%019d|%s|%010d",
+        format_string("%019d %s %010d",
           col("first.tsu"), col("first.conv"), col("first.turn")).as("first_arrival"))
   }
 

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions.udaf
 object MetricStatsAgg {
 
   /** Arrival-order key; orders identically to the oracle's
-    * printf('%019d|%s|%010d', epoch_us, conv_id, turn_idx) string.
+    * printf('%019d %s %010d', epoch_us, conv_id, turn_idx) string.
     */
   case class ArrKey(tsu: Long, conv: String, turn: Int)
 

@@ -118,7 +118,12 @@ object EnrichOps {
     java.nio.file.Files.createDirectories(dir)
     val f = dir.resolve(name)
     val body = (header +: rows.map(r => s"${r._1},${r._2},${r._3}")).mkString("\n")
-    java.nio.file.Files.write(f, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // atomic publish: a concurrent reader must never see a truncated file
+    val tmp = dir.resolve(s".$name.${java.lang.ProcessHandle.current.pid}.tmp")
+    java.nio.file.Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     f.toString
   }
 
@@ -129,10 +134,15 @@ object EnrichOps {
   // -------------------------------------------------------------------
   /** The reference's default rules verbatim (processor.go:36-42) — anchored
     * `\b` word boundaries, separator-formatted credit cards (4111-1111-1111-
-    * 1111), space/dash SSNs, OCR-tolerant phone digits. Rule order is fixed
-    * here (Go map iteration is unordered; a deterministic engine needs a
-    * stable order): ssn before phone/credit_card so the 3-2-4 grouping wins.
-    * Patterns are literals so codegen compiles each regex once per plan.
+    * 1111), space/dash SSNs, OCR-tolerant phone digits. Faithfulness note:
+    * like the reference (Go regexp is case-sensitive, maskString applies
+    * rules to the raw string), the email rule matches LOWERCASE addresses
+    * only and card numbers need 15-16 digits or 4×4 grouping — looser
+    * patterns would mask more but diverge from the processor's behavior.
+    * Rule order is fixed here (Go map iteration is unordered; a
+    * deterministic engine needs a stable order): ssn before
+    * phone/credit_card so the 3-2-4 grouping wins. Patterns are literals so
+    * codegen compiles each regex once per plan.
     */
   val MaskRules: Seq[(String, String)] = Seq(
     "email" -> """\b[a-z0-9._%\+\-—|]+@[a-z0-9.\-—|]+\.[a-z|]{2,6}\b""",

@@ -146,8 +146,11 @@ object Ottl {
           case ColTarget(c) => df =>
             df.withColumn(c, guarded(col(c), regexp_replace(col(c), pat, rep)))
           case MapKeyTarget(m, k) => df =>
+            // absent key → no-op (must not insert key→NULL into the map)
             df.withColumn(m, guarded(col(m),
-              setMapKey(col(m), k, regexp_replace(col(m).getItem(k), pat, rep))))
+              when(col(m).getItem(k).isNotNull,
+                setMapKey(col(m), k, regexp_replace(col(m).getItem(k), pat, rep)))
+                .otherwise(col(m))))
         }
 
       case "replace_all_patterns" => // over every value of a map column
@@ -167,6 +170,27 @@ object Ottl {
       case other =>
         throw new IllegalArgumentException(s"unsupported OTTL statement '$other'")
     }
+  }
+
+  /** Split a ';'-separated statement LIST respecting quotes and parens —
+    * a plain split corrupts `replace_pattern(body, 'a;b', 'x')`.
+    */
+  def splitStatements(src: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var depth = 0; var quote: Char = 0; val cur = new StringBuilder
+    src.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case '(' | '[' => depth += 1; cur += c
+        case ')' | ']' => depth -= 1; cur += c
+        case ';' if depth == 0 => out += cur.result().trim; cur.clear()
+        case _ => cur += c
+      }
+    }
+    val last = cur.result().trim
+    if (last.nonEmpty) out += last
+    out.toSeq.filter(_.nonEmpty)
   }
 
   /** A statement LIST folds into one plan, applied in order (OTTL statement

@@ -113,9 +113,8 @@ object Pipeline {
                 df.withColumn("severity_number", Router.rowSeverity())
               case "lookup_enrich" => EnrichOps.lookupEnrich(spark, df)
               case "mask" => df.withColumn("text", EnrichOps.maskString(col("text")))
-              case "filter" =>
-                // false-on-error: a NULL drop predicate keeps the record
-                df.filter(not(coalesce(expr(op.params("drop_where")), lit(false))))
+              case "filter" => // false-on-error contract lives in filterOp
+                graft.parse.ParseOps.filterOp(df, expr(op.params("drop_where")))
               case "sample" =>
                 graft.agg.AggOps.sample(df, expr(op.params("condition")),
                   op.params("drop_ratio").toDouble)
@@ -123,8 +122,8 @@ object Pipeline {
               case "retain" => df.select(op.params("fields").split(",")
                 .toIndexedSeq.map(f => col(f.trim)): _*)
               case "transform" =>
-                graft.expr.Ottl(op.params("statements").split(";").map(_.trim)
-                  .filter(_.nonEmpty).toSeq, df.columns.toSet)(df)
+                graft.expr.Ottl(graft.expr.Ottl.splitStatements(
+                  op.params("statements")), df.columns.toSet)(df)
               case "lookup_csv" =>
                 EnrichOps.lookupCsv(spark, df, EnrichOps.LookupSpec(
                   op.params("csv"), op.params("context"), op.params("field")))
@@ -207,6 +206,11 @@ object PipelineRunner {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val manifest = new Manifest(s"$outRoot/_manifest")
     val transform = Pipeline.compile(spec, spark)
+    // a `batch` operator in the SPEC overrides the caller's default cap
+    // (send_batch_size is pipeline config, not a runner flag)
+    val recordCap = spec.operators.find(_.opType == "batch")
+      .flatMap(_.params.get("max_records")).map(_.toLong)
+      .getOrElse(maxRecordsPerFile)
     val all = discoverPartitions(spark, inputPath)
     val committed = manifest.committedPartitions()
     val todo = all.filterNot(p => committed.contains(sanitize(p)))
@@ -251,7 +255,7 @@ object PipelineRunner {
             val writes = spec.sinks.map { sink => Future {
               cached.filter(col("route") === sink)
                 .write.mode("overwrite")
-                .option("maxRecordsPerFile", maxRecordsPerFile)
+                .option("maxRecordsPerFile", recordCap)
                 .partitionBy("year", "month", "day", "hour")
                 .parquet(sinkPath(outRoot, sink))
             }}
@@ -263,7 +267,7 @@ object PipelineRunner {
           // every row lands in its sink table in the same job that parsed it
           // (batchprocessor size caps via maxRecordsPerFile, manifest.yaml:86)
           phase("write")(tagged.write.mode("overwrite")
-            .option("maxRecordsPerFile", maxRecordsPerFile)
+            .option("maxRecordsPerFile", recordCap)
             .partitionBy("route", "year", "month", "day", "hour")
             .parquet(s"$outRoot/sinks"))
           // manifest metrics: count the WRITTEN rows — a column-less scan over

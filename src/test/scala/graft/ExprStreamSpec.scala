@@ -115,6 +115,20 @@ class OttlSpec extends SparkTestBase {
     assert(byRole("user")._2 == "hello user")
   }
 
+  test("replace_pattern on an ABSENT map key is a no-op (no key→NULL insert)") {
+    val out = Ottl(Seq("""replace_pattern(attributes["missing"], 'a', 'b')"""),
+      fixture.columns.toSet)(fixture)
+    assert(out.collect().forall(
+      _.getAs[Map[String, String]]("attributes").keySet == Set("env", "note")))
+  }
+
+  test("statement lists split on ';' respecting quotes") {
+    val stmts = Ottl.splitStatements(
+      """replace_pattern(body, 'a;b', 'x'); set(flag, 'y') where role == 'user'""")
+    assert(stmts == Seq("replace_pattern(body, 'a;b', 'x')",
+      "set(flag, 'y') where role == 'user'"))
+  }
+
   test("NULL where-condition leaves the row unedited (false-on-error)") {
     val withNull = fixture.withColumn("maybe", when(col("role") === "user", "u"))
     val out = Ottl(Seq("""set(attributes["env"], 'prod') where maybe == 'u'"""),

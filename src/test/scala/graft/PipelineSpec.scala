@@ -47,12 +47,14 @@ class PipelineSpec extends SparkTestBase {
     assert(rows("user") == (null, "external"))
   }
 
-  test("batchprocessor cap: no written file exceeds maxRecordsPerFile") {
+  test("batchprocessor cap: no written file exceeds the spec's max_records") {
     val base = java.nio.file.Files.createTempDirectory("batchcap").toString
     Transcripts.writePartitioned(
       Transcripts.generate(spark, nTurns = 6000, nConvs = 20), base + "/in")
-    PipelineRunner.run(spark, Canonical, base + "/in", base + "/out",
-      maxRecordsPerFile = 500L)
+    // the cap comes from the PIPELINE SPEC's batch operator, not a run() flag
+    val spec = Canonical.copy(operators = Canonical.operators :+
+      OperatorSpec("batch", Map("max_records" -> "500")))
+    PipelineRunner.run(spark, spec, base + "/in", base + "/out")
     val files = spark.read.option("basePath", base + "/out/sinks")
       .parquet(base + "/out/sinks")
       .select(input_file_name().as("f")).groupBy(col("f")).count()
