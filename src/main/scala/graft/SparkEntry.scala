@@ -129,6 +129,13 @@ object SparkEntry {
       t(s, d).filter(ParseOps.isKv)
         .select(col("conv_id"), col("turn_idx"),
           explode(split(col("text"), " ")).as("token"))),
+    // assign_keys: positional CSV values zipped with configured keys → map
+    "q_assign_keys" -> ((s, d) =>
+      t(s, d).filter(ParseOps.isCsv)
+        .select(col("conv_id"), col("turn_idx"),
+          to_json(map_from_entries(array_sort(map_entries(
+            ParseOps.assignKeys(split(col("text"), ","), ParseOps.CsvHeaders)))))
+            .as("attrs_json"))),
     "q_filter" -> ((s, d) =>
       ParseOps.filterOp(ParseOps.parseJson(t(s, d)), col("level") === "info")
         .select(col("conv_id"), col("turn_idx"), col("level"), col("status"))),
@@ -749,6 +756,15 @@ object SparkEntry {
       "q_flatten_tokens" -> Transcripts.withT(
         """SELECT conv_id, turn_idx, unnest(string_split(text, ' ')) AS token
            FROM t WHERE starts_with(text, 'level=')"""),
+
+      "q_assign_keys" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           '{"code":"' || string_split(text, ',')[4] ||
+           '","component":"' || string_split(text, ',')[3] ||
+           '","latency_ms":"' || string_split(text, ',')[5] ||
+           '","level":"' || string_split(text, ',')[2] ||
+           '","time_local":"' || string_split(text, ',')[1] || '"}' AS attrs_json
+           FROM t WHERE regexp_matches(text, '^\d{2}/')"""),
 
       "q_filter" -> Transcripts.withT(
         """SELECT conv_id, turn_idx,

@@ -313,6 +313,13 @@ object ParseOps {
   }
 
   // -------------------------------------------------------------------
+  // assign_keys (upstream stanza operator): zip a positional value list
+  // with configured keys → keyed attribute map
+  // -------------------------------------------------------------------
+  def assignKeys(values: Column, keys: Seq[String]): Column =
+    map_from_arrays(typedlit(keys), slice(values, 1, keys.length))
+
+  // -------------------------------------------------------------------
   // field ops: add / copy / move / remove / retain (SURVEY.md §2A)
   // -------------------------------------------------------------------
   /** add: `withColumn(lit/expr)`; copy: duplicate column; move: rename;
