@@ -145,6 +145,20 @@ object SparkEntry {
       EnrichOps.lookupEnrich(s, t(s, d))
         .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
           col("team"), col("cost_center"), col("vendor"), col("tier"))),
+    // duplicate-key CSV parity: indexRecords (lookupprocessor/csv.go) builds
+    // the map row by row, so a repeated key LAST-WINS; a colliding column
+    // name overwrites matched rows only
+    "q_lookup_dupkey" -> ((s, d) => {
+      val tt = t(s, d).withColumn("team", lit("none"))
+      EnrichOps.lookupCsv(s, tt, EnrichOps.LookupSpec(
+          EnrichOps.lookupFixture("role_lookup_dup.csv",
+            "role,team,cost_center", Seq(
+              ("user", "external", "cc-000"),
+              ("assistant", "ml", "cc-100"),
+              ("user", "override", "cc-999"))), "attributes", "role"))
+        .select(col("conv_id"), col("turn_idx"), col("role"),
+          col("team"), col("cost_center"))
+    }),
     "q_mask" -> ((s, d) => EnrichOps.mask(t(s, d))),
     // recursive masking over map- and array-typed columns
     "q_mask_nested" -> ((s, d) => {
@@ -439,6 +453,50 @@ object SparkEntry {
           "role == 'tool' and tool startsWith 'search' or body contains 'latency_ms'",
           tt.columns.toSet + "body"))
         .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"))
+    }),
+    // value-expression arithmetic (expr/expression.go:134-137: the full
+    // expr-lang grammar; `/` is float division, `%` stays integral) — the
+    // metricextract `span_duration_ms * 2` shape
+    "q_expr_arithmetic" -> ((s, d) => {
+      val tt = t(s, d)
+      val cols = tt.columns.toSet
+      def v(src: String) = graft.expr.ExprLang.valueExpr(src, cols)
+      tt.select(col("conv_id"), col("turn_idx"),
+        v("turn_idx * 2 + 1").cast("long").as("v_mul_add"),
+        v("(turn_idx + 7) % 5").cast("long").as("v_mod"),
+        v("turn_idx / 4").as("v_div"),
+        v("-turn_idx + 100").cast("long").as("v_neg"),
+        v("(turn_idx - 1) * (turn_idx + 1)").cast("long").as("v_paren"))
+    }),
+    // OTTL converter breadth (expr/ottl.go:92-100 registers the full
+    // upstream StandardConverters set) — hash/string/case/time/url families
+    "q_ottl_converters" -> ((s, d) => {
+      val tt = t(s, d)
+        .withColumn("camel", concat(lit("Conv"), initcap(col("role")), lit("Turn")))
+        .withColumn("url", format_string("https://api.example.com/%s/%d?x=%d",
+          col("role"), col("turn_idx"), col("turn_idx") % 7))
+      val out = graft.expr.Ottl(Seq(
+        "set(sha, SHA256(role))",
+        "set(digest, MD5(tool))",
+        "set(hexed, Hex(role))",
+        "set(kv, Format('%s=%s', [role, tool]))",
+        "set(trimmed, TrimSpace(Concat('  ', role, ' ')))",
+        "set(snake, ConvertCase(camel, 'snake'))",
+        "set(upper_tool, ConvertCase(tool, 'upper'))",
+        "set(hr, Hour(timestamp))",
+        "set(dy, Day(timestamp))",
+        "set(epoch_s, UnixSeconds(timestamp))",
+        "set(toks, Split(body, ' '))"
+      ), tt.columns.toSet)(tt)
+      val uCols = out.columns.toSet
+      def u(src: String) = graft.expr.ExprLang.valueExpr(src, uCols)
+      out.select(col("conv_id"), col("turn_idx"), col("sha"), col("digest"),
+        col("hexed"), col("kv"), col("trimmed"), col("snake"), col("upper_tool"),
+        col("hr"), col("dy"), col("epoch_s"),
+        array_join(col("toks"), "|").as("toks_joined"),
+        u("URL(url)").getField("host").as("url_host"),
+        u("URL(url)").getField("path").as("url_path"),
+        u("URL(url)").getField("query").as("url_query"))
     }),
     "q_groupby_attrs" -> ((s, d) =>
       EnrichOps.transpose(t(s, d))
@@ -787,6 +845,15 @@ object SparkEntry {
                              ('code_exec','acme','gold'),
                              ('browser','other','bronze'))
              AS tl(tool, vendor, tier) ON t.tool = tl.tool"""),
+
+      "q_lookup_dupkey" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx, t.role AS role,
+           CASE WHEN r.team IS NOT NULL THEN r.team ELSE 'none' END AS team,
+           r.cost_center AS cost_center
+           FROM t
+           LEFT JOIN (VALUES ('user','override','cc-999'),
+                             ('assistant','ml','cc-100'))
+             AS r(role, team, cost_center) ON t.role = r.role"""),
 
       // the mask chain is GENERATED from EnrichOps.MaskRules (no drift)
       "q_mask" -> Transcripts.withT(
@@ -1215,6 +1282,35 @@ object SparkEntry {
         """SELECT conv_id, turn_idx, role, tool
            FROM t WHERE (role = 'tool' AND starts_with(tool, 'search'))
              OR contains(text, 'latency_ms')"""),
+
+      "q_expr_arithmetic" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CAST(turn_idx * 2 + 1 AS BIGINT) AS v_mul_add,
+           CAST((turn_idx + 7) % 5 AS BIGINT) AS v_mod,
+           turn_idx / 4 AS v_div,
+           CAST(-turn_idx + 100 AS BIGINT) AS v_neg,
+           CAST((turn_idx - 1) * (turn_idx + 1) AS BIGINT) AS v_paren
+           FROM t"""),
+
+      "q_ottl_converters" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           sha256(role) AS sha,
+           md5(tool) AS digest,
+           lower(hex(role)) AS hexed,
+           printf('%s=%s', role, tool) AS kv,
+           role AS trimmed,
+           lower(regexp_replace(
+             'Conv' || upper(substr(role,1,1)) || substr(role,2) || 'Turn',
+             '([a-z0-9])([A-Z])', '\1_\2', 'g')) AS snake,
+           upper(tool) AS upper_tool,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(day(ts) AS BIGINT) AS dy,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           array_to_string(string_split(text, ' '), '|') AS toks_joined,
+           'api.example.com' AS url_host,
+           printf('/%s/%d', role, turn_idx) AS url_path,
+           printf('x=%d', turn_idx % 7) AS url_query
+           FROM t"""),
 
       "q_groupby_attrs" -> Transcripts.withT(
         """SELECT host, COUNT(*) AS n_records FROM (

@@ -101,9 +101,31 @@ object EnrichOps {
     keyCol match {
       case None => df // silent no-op, reference parity
       case Some(k) =>
-        val dimKeyed = dim.withColumnRenamed(spec.field, "__lookup_key")
-        df.join(broadcast(dimKeyed), k === col("__lookup_key"), "left")
-          .drop("__lookup_key")
+        // duplicate-key parity: indexRecords (csv.go) builds a map row by
+        // row, so a repeated lookup key LAST-WINS — dedupe the dim by file
+        // order before broadcasting, else the left join would duplicate
+        // fact rows
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__lookup_key")).orderBy(col("__ord").desc)
+        val dimKeyed = dim
+          .withColumn("__ord", monotonically_increasing_id())
+          .withColumnRenamed(spec.field, "__lookup_key")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "__ord")
+        // enrichment columns overwrite same-named attributes on MATCHED
+        // records only (processor.go sets attrs[col] per matched key);
+        // unmatched records keep their original value
+        val colliding = dimKeyed.columns.filter(c =>
+          c != "__lookup_key" && df.columns.contains(c))
+        val dimSafe = colliding.foldLeft(dimKeyed)(
+          (d, c) => d.withColumnRenamed(c, s"__new_$c"))
+        val joined = df.join(broadcast(dimSafe), k === col("__lookup_key"), "left")
+        val overwritten = colliding.foldLeft(joined)((d, c) =>
+          d.withColumn(c,
+              when(col("__lookup_key").isNotNull, col(s"__new_$c"))
+                .otherwise(col(c)))
+            .drop(s"__new_$c"))
+        overwritten.drop("__lookup_key")
     }
   }
 

@@ -90,7 +90,7 @@ object ExprLang {
     }
 
     def parseCmp(): Column = {
-      val l = parseTerm()
+      val l = parseAdd()
       peek match {
         case Some(Op(o)) if Set("==", "!=", ">", ">=", "<", "<=").contains(o) =>
           next()
@@ -99,7 +99,7 @@ object ExprLang {
             next()
             if (o == "==") l.isNull else l.isNotNull
           } else {
-            val r = parseTerm()
+            val r = parseAdd()
             o match {
               case "==" => l === r
               case "!=" => l =!= r
@@ -122,6 +122,40 @@ object ExprLang {
       case t => throw new IllegalArgumentException(s"expected string, got $t")
     }
 
+    /** Arithmetic (expr-lang precedence: `* / %` over `+ -`;
+      * expr/expression.go:134-137 CreateValueExpression compiles the full
+      * expr grammar, whose `/` is always float division).
+      */
+    def parseAdd(): Column = {
+      var l = parseMul()
+      var go = true
+      while (go) peek match {
+        case Some(Op("+")) => next(); l = l + parseMul()
+        case Some(Op("-")) => next(); l = l - parseMul()
+        case _ => go = false
+      }
+      l
+    }
+
+    def parseMul(): Column = {
+      var l = parseUnary()
+      var go = true
+      while (go) peek match {
+        case Some(Op("*")) => next(); l = l * parseUnary()
+        // expr-lang `/` is float division (int/int would silently truncate
+        // in Spark); `%` stays in the operands' native type
+        case Some(Op("/")) => next(); l = l.cast("double") / parseUnary().cast("double")
+        case Some(Op("%")) => next(); l = l % parseUnary()
+        case _ => go = false
+      }
+      l
+    }
+
+    def parseUnary(): Column = peek match {
+      case Some(Op("-")) => next(); negate(parseUnary())
+      case _ => parseTerm()
+    }
+
     def parseTerm(): Column = next() match {
       case Str(s) => lit(s)
       case Num(s) => if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
@@ -135,9 +169,21 @@ object ExprLang {
           case Some(Op("(")) if Converters.contains(name) =>
             next()
             val args = scala.collection.mutable.ListBuffer[Column]()
+            // OTTL slice args (`Format("%s=%s", [k, v])`) flatten into the
+            // converter's positional argument list
+            def parseArg(): Unit = peek match {
+              case Some(Op("[")) =>
+                next()
+                if (!peek.contains(Op("]"))) {
+                  args += parseOr()
+                  while (peek.contains(Op(","))) { next(); args += parseOr() }
+                }
+                expect("]")
+              case _ => args += parseOr()
+            }
             if (!peek.contains(Op(")"))) {
-              args += parseOr()
-              while (peek.contains(Op(","))) { next(); args += parseOr() }
+              parseArg()
+              while (peek.contains(Op(","))) { next(); parseArg() }
             }
             expect(")")
             Converters(name)(args.toList)
@@ -192,7 +238,122 @@ object ExprLang {
       case c :: pat :: Nil => c.rlike(extractLit(pat))
       case args => throw new IllegalArgumentException(
         s"IsMatch(value, pattern) expects 2 args, got ${args.length}")
-    })
+    },
+    // ---- upstream ottlfuncs.StandardConverters breadth (expr/ottl.go:92-100
+    // registers the ENTIRE set; these are the commonly-configured ones) ----
+    "SHA256" -> (args => sha2(args.head.cast("string"), 256)),
+    "SHA1" -> (args => sha1(args.head.cast("string"))),
+    "MD5" -> (args => md5(args.head.cast("string"))),
+    "FNV" -> (args => xxhash64(args.head.cast("string"))), // 64-bit keyed hash stand-in
+    // Go fmt %x is lowercase; Spark hex() is uppercase
+    "Hex" -> (args => lower(hex(args.head))),
+    "Split" -> {
+      case c :: sep :: Nil =>
+        split(c, java.util.regex.Pattern.quote(extractLit(sep)))
+      case args => throw new IllegalArgumentException(
+        s"Split(value, delimiter) expects 2 args, got ${args.length}")
+    },
+    "TrimSpace" -> (args => trim(args.head)),
+    "Trim" -> {
+      case c :: Nil => trim(c)
+      case c :: cut :: Nil => trim(c, extractLit(cut))
+      case args => throw new IllegalArgumentException(
+        s"Trim(value[, cutset]) expects 1-2 args, got ${args.length}")
+    },
+    // Format(fmt, [args...]) — the slice literal flattens in the parser
+    "Format" -> (args => format_string(extractLit(args.head), args.tail: _*)),
+    "ConvertCase" -> {
+      case c :: cs :: Nil => extractLit(cs) match {
+        case "lower" => lower(c)
+        case "upper" => upper(c)
+        case "snake" =>
+          lower(regexp_replace(c, "([a-z0-9])([A-Z])", "$1_$2"))
+        case "camel" => // strcase.ToCamel: capitalize each _-part, join
+          concat_ws("", transform(split(c, "_"), p => initcap(p)))
+        case other => throw new IllegalArgumentException(s"ConvertCase '$other'")
+      }
+      case args => throw new IllegalArgumentException(
+        s"ConvertCase(value, case) expects 2 args, got ${args.length}")
+    },
+    "ReplacePattern" -> {
+      case c :: pat :: rep :: Nil =>
+        regexp_replace(c, extractLit(pat), extractLit(rep))
+      case args => throw new IllegalArgumentException(
+        s"ReplacePattern(value, pattern, replacement) expects 3 args, got ${args.length}")
+    },
+    // time-part converters (int64 per upstream)
+    "Year" -> (args => year(args.head.cast("timestamp")).cast("long")),
+    "Month" -> (args => month(args.head.cast("timestamp")).cast("long")),
+    "Day" -> (args => dayofmonth(args.head.cast("timestamp")).cast("long")),
+    "Hour" -> (args => hour(args.head.cast("timestamp")).cast("long")),
+    "Minute" -> (args => minute(args.head.cast("timestamp")).cast("long")),
+    "Second" -> (args => second(args.head.cast("timestamp")).cast("long")),
+    "UnixSeconds" -> (args => unix_seconds(args.head.cast("timestamp"))),
+    "UnixMicro" -> (args => unix_micros(args.head.cast("timestamp"))),
+    "UnixNano" -> (args => unix_micros(args.head.cast("timestamp")) * 1000L),
+    "TruncateTime" -> {
+      case c :: d :: Nil => extractLit(d) match {
+        // Go duration strings the configs use
+        case "1h" => date_trunc("hour", c.cast("timestamp"))
+        case "1m" => date_trunc("minute", c.cast("timestamp"))
+        case "1s" => date_trunc("second", c.cast("timestamp"))
+        case "24h" => date_trunc("day", c.cast("timestamp"))
+        case other => throw new IllegalArgumentException(s"TruncateTime '$other'")
+      }
+      case args => throw new IllegalArgumentException(
+        s"TruncateTime(time, duration) expects 2 args, got ${args.length}")
+    },
+    // URL(url_string) → struct of parts (upstream URL converter returns a
+    // map with scheme/host/port/path/query/fragment)
+    "URL" -> (args => urlStruct(args.head)),
+    "ParseURL" -> (args => urlStruct(args.head)),
+    "ExtractPatterns" -> {
+      case c :: pat :: Nil =>
+        // named-group extraction → map; upstream returns a pcommon.Map of
+        // the named capture groups
+        val p = extractLit(pat)
+        val names = namedGroups(p)
+        map_from_arrays(
+          array(names.map(lit): _*),
+          array(names.zipWithIndex.map { case (n, _) =>
+            regexp_extract(c, p, groupIndex(p, n)) }: _*))
+      case args => throw new IllegalArgumentException(
+        s"ExtractPatterns(value, pattern) expects 2 args, got ${args.length}")
+    },
+    "Keys" -> (args => map_keys(args.head)),
+    "Values" -> (args => map_values(args.head)),
+    "IsString" -> (args => args.head.isNotNull && args.head.cast("string").isNotNull),
+    "Log" -> (args => log(args.head.cast("double"))),
+    "Sqrt" -> (args => sqrt(args.head.cast("double"))),
+    "Abs" -> (args => abs(args.head)))
+
+  /** URL decomposition via Spark's native parse_url (codegen'd). */
+  private def urlStruct(c: Column): Column = struct(
+    parse_url(c, lit("PROTOCOL")).as("scheme"),
+    parse_url(c, lit("HOST")).as("host"),
+    parse_url(c, lit("PATH")).as("path"),
+    parse_url(c, lit("QUERY")).as("query"),
+    parse_url(c, lit("REF")).as("fragment"))
+
+  private val NamedGroupRe = """\(\?<([A-Za-z][A-Za-z0-9]*)>""".r
+  private def namedGroups(pat: String): Seq[String] =
+    NamedGroupRe.findAllMatchIn(pat).map(_.group(1)).toSeq
+  /** 1-based index of named group `n` among ALL capture groups of `pat`. */
+  private def groupIndex(pat: String, n: String): Int = {
+    var idx = 0; var found = -1; var i = 0
+    while (i < pat.length && found < 0) {
+      if (pat(i) == '(' && (i == 0 || pat(i - 1) != '\\')) {
+        val rest = pat.substring(i)
+        if (!rest.startsWith("(?") || rest.startsWith("(?<")) {
+          idx += 1
+          if (rest.startsWith(s"(?<$n>")) found = idx
+        }
+      }
+      i += 1
+    }
+    require(found > 0, s"named group '$n' not found in: $pat")
+    found
+  }
 
   private def extractLit(c: Column): String =
     org.apache.spark.sql.GraftBridge.literalValue(c)
@@ -219,7 +380,9 @@ object ExprLang {
   def boolExpr(src: String, columns: Set[String]): Column =
     new P(lex(src), defaultResolver(columns)).parseOr()
 
-  /** CreateValueExpression parity. */
+  /** CreateValueExpression parity — full arithmetic grammar
+    * (expr/expression.go:134-137; ExtractFloat/Int at :68-117).
+    */
   def valueExpr(src: String, columns: Set[String]): Column =
-    new P(lex(src), defaultResolver(columns)).parseTerm()
+    new P(lex(src), defaultResolver(columns)).parseAdd()
 }

@@ -58,8 +58,9 @@ object Ottl {
     require(close > 0, s"unbalanced parens in OTTL statement: '$src'")
     val rest = s.substring(close + 1).trim
     val cond =
+      // word-boundary required: `whereas ...` must reject, not parse as `as ...`
       if (rest.isEmpty) None
-      else if (rest.startsWith("where")) Some(rest.stripPrefix("where").trim)
+      else if (rest.matches("(?s)where\\s.+")) Some(rest.stripPrefix("where").trim)
       else throw new IllegalArgumentException(s"bad OTTL statement tail: '$rest'")
     (s.take(open).trim, s.substring(open + 1, close), cond)
   }

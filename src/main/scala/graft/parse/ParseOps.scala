@@ -316,8 +316,16 @@ object ParseOps {
   // assign_keys (upstream stanza operator): zip a positional value list
   // with configured keys → keyed attribute map
   // -------------------------------------------------------------------
+  /** A row whose positional list is shorter than the configured keys pads
+    * with nulls (map_from_arrays throws on length mismatch, which would fail
+    * the whole job on one malformed line instead of per-record on_error).
+    */
   def assignKeys(values: Column, keys: Seq[String]): Column =
-    map_from_arrays(typedlit(keys), slice(values, 1, keys.length))
+    map_from_arrays(
+      typedlit(keys),
+      slice(concat(values,
+          array_repeat(lit(null).cast("string"), keys.length)),
+        1, keys.length))
 
   // -------------------------------------------------------------------
   // field ops: add / copy / move / remove / retain (SURVEY.md §2A)

@@ -53,6 +53,22 @@ class EnrichEdgeSpec extends SparkTestBase {
     }
   }
 
+  test("lookup CSV duplicate keys LAST-WIN; colliding columns overwrite matched rows only") {
+    import EnrichOps.{LookupSpec, lookupCsv, lookupFixture}
+    val df = Seq(("user", "orig"), ("tool", "orig")).toDF("role", "team")
+    val csv = lookupFixture("dup_lookup.csv", "role,team,cost_center",
+      Seq(("user", "first", "cc-1"), ("user", "last", "cc-2")))
+    val out = lookupCsv(spark, df, LookupSpec(csv, "attributes", "role"))
+    // no fact-row duplication from the dup dim key
+    assert(out.count() == 2)
+    val byRole = out.collect().map(r => r.getAs[String]("role") ->
+      (r.getAs[String]("team"), r.getAs[String]("cost_center"))).toMap
+    // last CSV row wins (indexRecords overwrite semantics, csv.go)
+    assert(byRole("user") == ("last", "cc-2"))
+    // unmatched row keeps its original colliding-column value
+    assert(byRole("tool") == ("orig", null))
+  }
+
   test("lookup CSV body context reads the key from the JSON body") {
     import EnrichOps.{LookupSpec, lookupCsv, lookupFixture}
     val df = Seq("""{"level":"error","status":500}""", """{"level":"info","status":200}""")

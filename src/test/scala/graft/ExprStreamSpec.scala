@@ -57,6 +57,40 @@ class ExprLangSpec extends SparkTestBase {
     assert(v("Int('42')") == 42L)
   }
 
+  test("value-expression arithmetic: precedence, parens, unary minus, division") {
+    val df = Seq((10, 3)).toDF("a", "b")
+    val ac = cols + "a" + "b"
+    def v(src: String) = df.select(ExprLang.valueExpr(src, ac).as("v"))
+      .collect().head.get(0)
+    assert(v("a + b * 2") == 16) // * binds tighter than +
+    assert(v("(a + b) * 2") == 26)
+    assert(v("a - b - 2") == 5) // left associative
+    assert(v("a % b") == 1)
+    assert(v("a / 4") == 2.5) // expr-lang `/` is float division
+    assert(v("-a + 12") == 2)
+    assert(v("a * -b") == -30)
+  }
+
+  test("converter breadth: hash/string/case/time families (StandardConverters)") {
+    val df = Seq(("Hello World", "2024-01-02 03:04:05")).toDF("text", "tstr")
+    val ac = cols + "tstr"
+    def v(src: String) = df.select(ExprLang.valueExpr(src, ac).as("v"))
+      .collect().head.get(0)
+    assert(v("SHA256('abc')") ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(v("MD5('abc')") == "900150983cd24fb0d6963f7d28e17f72")
+    assert(v("Hex('AB')") == "4142")
+    assert(v("TrimSpace('  x  ')") == "x")
+    assert(v("Format('%s-%d', ['a', 7])") == "a-7") // slice arg flattens
+    assert(v("ConvertCase('FooBarBaz', 'snake')") == "foo_bar_baz")
+    assert(v("ConvertCase('foo_bar', 'camel')") == "FooBar")
+    assert(v("Split(body, ' ')").asInstanceOf[scala.collection.Seq[String]]
+      .toSeq == Seq("Hello", "World"))
+    assert(v("Hour(Time(tstr, '%Y-%m-%d %H:%M:%S'))") == 3L)
+    assert(v("URL('https://h.io/p/q?a=1')").asInstanceOf[org.apache.spark.sql.Row]
+      .getAs[String]("host") == "h.io")
+  }
+
   test("severity range mapping (common_event_format parity)") {
     val df = Seq(3, 7, 11).toDF("v")
     val sev = graft.parse.ParseOps.severityFromRanges(col("v"),
@@ -127,6 +161,13 @@ class OttlSpec extends SparkTestBase {
       """replace_pattern(body, 'a;b', 'x'); set(flag, 'y') where role == 'user'""")
     assert(stmts == Seq("replace_pattern(body, 'a;b', 'x')",
       "set(flag, 'y') where role == 'user'"))
+  }
+
+  test("statement tail requires a `where` word boundary ('whereas' rejects)") {
+    intercept[IllegalArgumentException] {
+      Ottl(Seq("set(flag, 'y') whereas role == 'user'"),
+        fixture.columns.toSet)(fixture)
+    }
   }
 
   test("NULL where-condition leaves the row unedited (false-on-error)") {

@@ -74,6 +74,16 @@ class ParseSpec extends SparkTestBase {
     }
   }
 
+  test("assign_keys pads short value lists with nulls (per-record on_error)") {
+    val df = Seq("a,b,c", "a,b").toDF("text")
+    val keys = Seq("k1", "k2", "k3")
+    val out = df.select(
+        ParseOps.assignKeys(split($"text", ","), keys).as("m"))
+      .collect().map(_.getAs[Map[String, String]]("m"))
+    assert(out(0) == Map("k1" -> "a", "k2" -> "b", "k3" -> "c"))
+    assert(out(1)("k1") == "a" && out(1)("k2") == "b" && out(1)("k3") == null)
+  }
+
   test("field ops: retain projects exactly the listed columns") {
     val cols = ParseOps.fieldOps(t).columns.toSeq
     assert(cols == Seq("conv_id", "turn_idx", "level", "service", "code", "env",
