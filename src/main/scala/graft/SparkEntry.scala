@@ -172,6 +172,18 @@ object SparkEntry {
         to_json(map_from_entries(array_sort(map_entries(col("attrs"))))).as("attrs_json"),
         array_join(col("tags"), "|").as("tags_joined"))
     }),
+    // dotted sub-path excludes (maskprocessor processor.go:174-178): the
+    // excluded map key's subtree is skipped, sibling keys still mask
+    "q_mask_exclude_path" -> ((s, d) => {
+      val rows = t(s, d).filter(ParseOps.isMultiline)
+        .withColumn("attrs",
+          map(lit("contact"), col("text"), lit("secret"), col("text")))
+      val masked = EnrichOps.maskColumns(
+        rows.select(col("conv_id"), col("turn_idx"), col("attrs")),
+        exclude = Set("conv_id", "attrs.secret"))
+      masked.select(col("conv_id"), col("turn_idx"),
+        to_json(map_from_entries(array_sort(map_entries(col("attrs"))))).as("attrs_json"))
+    }),
     "q_remove_empty" -> ((s, d) => EnrichOps.removeEmptyValues(t(s, d))),
     // recursive empty-value removal: nested maps collapse, empty submaps drop
     "q_remove_empty_nested" -> ((s, d) => {
@@ -329,7 +341,9 @@ object SparkEntry {
         .when(col("turn_idx") % 4 === 1, lit("medium"))
         .when(col("turn_idx") % 4 === 2, lit("8"))
         .otherwise(lit("very-high"))
-      val line = format_string("CEF:0|graft|engine|1.0|SIG%d|event %d|%s|src=10.0.0.%d",
+      // syslog-framed prefix (cef yaml:56-62): gotime 'Jan 02 15:04:05'
+      val line = format_string("%s sec%d CEF:0|graft|engine|1.0|SIG%d|event %d|%s|src=10.0.0.%d",
+        date_format(col("ts"), "MMM dd HH:mm:ss"), col("turn_idx") % 4,
         col("turn_idx") % 100, col("turn_idx"), sevStr, col("turn_idx") % 256)
       graft.plugins.Plugins.CefPlugin(s)(
         kv.select(col("conv_id"), col("turn_idx"), line.as("line")))
@@ -410,6 +424,24 @@ object SparkEntry {
         "listen_port" -> "601", "add_attributes" -> "true"))(t(s, d))),
     "q_plugin_udp" -> ((s, d) =>
       graft.plugins.Plugins.UdpPlugin(s, Map("listen_port" -> "514"))(t(s, d))),
+    // gotime layout 'Jan _2 15:04:05' (macos_logs.yaml:71-72): space-padded
+    // day, year-less — event_ts parses via the gotime→DateTimeFormatter layer
+    "q_plugin_macos" -> ((s, d) => {
+      val line = format_string("%s %2d %s host%d agentd[%d]: turn %d done",
+        date_format(col("ts"), "MMM"), dayofmonth(col("ts")),
+        date_format(col("ts"), "HH:mm:ss"),
+        col("turn_idx") % 5, col("turn_idx") % 1000, col("turn_idx"))
+      graft.plugins.Plugins.registry("macos")(s)(
+        t(s, d).select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
+    // gotime layout 'Jan 02 15:04:05' (haproxy_logs.yaml:127-128)
+    "q_plugin_haproxy" -> ((s, d) => {
+      val line = format_string("%s lb%d haproxy[%d]: connect turn %d",
+        date_format(col("ts"), "MMM dd HH:mm:ss"),
+        col("turn_idx") % 3, col("turn_idx") % 1000, col("turn_idx"))
+      graft.plugins.Plugins.registry("haproxy")(s)(
+        t(s, d).select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
     "q_snapshot_search" -> ((s, d) =>
       graft.plugins.Snapshot.search(t(s, d), "search", "2024-01-10 00:00:00")),
     // payload budget: running byte sum caps the snapshot
@@ -867,6 +899,12 @@ object SparkEntry {
            ${EnrichOps.maskSqlExpr("text")} || '|ok' AS tags_joined
            FROM t WHERE regexp_matches(text, '^[PF]\\|')"""),
 
+      "q_mask_exclude_path" -> Transcripts.withT(
+        s"""SELECT conv_id, turn_idx,
+           '{"contact":' || to_json(${EnrichOps.maskSqlExpr("text")}) ||
+             ',"secret":' || to_json(text) || '}' AS attrs_json
+           FROM t WHERE regexp_matches(text, '^[PF]\\|')"""),
+
       "q_remove_empty_nested" -> Transcripts.withT(
         """SELECT conv_id, turn_idx,
            '{"attrs":{"level":"' || regexp_extract(text, 'level=(\S+)', 1) || '"}}' AS m_json,
@@ -1160,6 +1198,8 @@ object SparkEntry {
                 WHEN turn_idx % 4 = 2 THEN '8'
                 ELSE 'very-high' END AS severity,
            'src=10.0.0.' || CAST(turn_idx % 256 AS VARCHAR) AS extensions,
+           'sec' || CAST(turn_idx % 4 AS VARCHAR) AS hostname,
+           date_trunc('second', ts) AS event_ts,
            CASE WHEN turn_idx % 4 = 0 THEN 9
                 WHEN turn_idx % 4 = 1 THEN 13
                 WHEN turn_idx % 4 = 2 THEN 17
@@ -1263,6 +1303,29 @@ object SparkEntry {
 
       "q_plugin_udp" -> Transcripts.withT(
         "SELECT conv_id, turn_idx, text AS body, 'udp' AS log_type FROM t"),
+
+      "q_plugin_macos" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           printf('%s %2d %s', strftime(ts, '%b'), day(ts),
+                  strftime(ts, '%H:%M:%S')) AS timestamp,
+           'host' || CAST(turn_idx % 5 AS VARCHAR) AS host,
+           'agentd' AS process,
+           CAST(turn_idx % 1000 AS BIGINT) AS pid,
+           'turn ' || CAST(turn_idx AS VARCHAR) || ' done' AS message,
+           'macos' AS log_type,
+           date_trunc('second', ts) AS event_ts
+           FROM t"""),
+
+      "q_plugin_haproxy" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           strftime(ts, '%b %d %H:%M:%S') AS timestamp,
+           'lb' || CAST(turn_idx % 3 AS VARCHAR) AS host,
+           'haproxy' AS process_name,
+           CAST(turn_idx % 1000 AS BIGINT) AS pid,
+           'connect turn ' || CAST(turn_idx AS VARCHAR) AS message,
+           'haproxy' AS log_type,
+           date_trunc('second', ts) AS event_ts
+           FROM t"""),
 
       "q_snapshot_search" -> Transcripts.withT(
         """SELECT conv_id, turn_idx, role, tool, text, ts

@@ -195,20 +195,49 @@ object EnrichOps {
     * string value via higher-order transform — still one codegen'd
     * projection, no UDF.
     */
-  def maskDeep(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+  def maskDeep(c: Column, dt: org.apache.spark.sql.types.DataType,
+               path: String = "", exclude: Set[String] = Set.empty): Column = {
     import org.apache.spark.sql.types._
     dt match {
       case StringType => maskString(c)
-      case ArrayType(et, _) => transform(c, x => maskDeep(x, et))
-      case MapType(_, vt, _) => transform_values(c, (_, x) => maskDeep(x, vt))
+      // slice strings mask within the parent's path (maskValue's
+      // ValueTypeSlice branch carries no per-element field name)
+      case ArrayType(et, _) => transform(c, x => maskDeep(x, et, path, exclude))
+      case st: StructType =>
+        struct(st.fields.map { f =>
+          val p = s"$path.${f.name}"
+          (if (exclude.contains(p)) c.getField(f.name)
+           else maskDeep(c.getField(f.name), f.dataType, p, exclude)).as(f.name)
+        }: _*)
+      case MapType(_, vt, _) =>
+        // dotted sub-path excludes (processor.go:174-178: maskValue returns
+        // BEFORE masking when the full dotted field matches, skipping the
+        // whole subtree). Map keys are runtime values, but the exclude list
+        // is static config — compile it to a when-chain over the known keys.
+        val prefix = s"$path."
+        val tails = exclude.collect {
+          case e if e.startsWith(prefix) => e.stripPrefix(prefix)
+        }
+        val direct = tails.filter(!_.contains('.')).toSeq
+        val deeperKeys = tails.filter(_.contains('.'))
+          .map(_.takeWhile(_ != '.')).toSeq.distinct
+        transform_values(c, (k, v) => {
+          val dflt = maskDeep(v, vt, "", Set.empty)
+          val withDeeper = deeperKeys.foldLeft(dflt) { (acc, key) =>
+            when(k === key, maskDeep(v, vt, s"$path.$key", exclude)).otherwise(acc)
+          }
+          if (direct.isEmpty) withDeeper
+          else when(k.isin(direct: _*), v).otherwise(withDeeper)
+        })
       case _ => c
     }
   }
 
   /** Field exclusion (maskprocessor processor.go:174-178): listed dotted
-    * paths are left unmasked. Schema-directed: exclusion is a plan-time
-    * choice of which columns get the masking projection at all; string,
-    * array- and map-typed columns all recurse.
+    * paths are left unmasked — whole top-level columns OR nested sub-paths
+    * ("attrs.secret"). Schema-directed: struct exclusions resolve at plan
+    * time; map-key exclusions compile to a when-chain over the configured
+    * keys. String, array-, map- and struct-typed columns all recurse.
     */
   def maskColumns(df: DataFrame, exclude: Set[String]): DataFrame = {
     import org.apache.spark.sql.types._
@@ -216,12 +245,13 @@ object EnrichOps {
       case StringType => true
       case ArrayType(et, _) => maskable(et)
       case MapType(_, vt, _) => maskable(vt)
+      case st: StructType => st.fields.exists(f => maskable(f.dataType))
       case _ => false
     }
     df.schema.fields
       .filter(f => maskable(f.dataType) && !exclude.contains(f.name))
       .foldLeft(df) { (acc, f) =>
-        acc.withColumn(f.name, maskDeep(col(f.name), f.dataType))
+        acc.withColumn(f.name, maskDeep(col(f.name), f.dataType, f.name, exclude))
       }
   }
 

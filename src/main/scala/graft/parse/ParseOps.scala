@@ -185,6 +185,63 @@ object ParseOps {
     StrptimeTable.foldLeft(layout) { case (acc, (from, to)) => acc.replace(from, to) }
   }
 
+  /** Go reference-time token → DateTimeFormatter letter table, longest
+    * match first (`layout_type: gotime`, used by 6+ shipped templates:
+    * plugins/macos_logs.yaml:71-72, haproxy_logs.yaml:127-128,
+    * common_event_format_logs.yaml:60-61, bindplane_logs.yaml:57,
+    * elasticsearch_logs.yaml:70, ubiquiti_logs.yaml:55).
+    */
+  private val GotimeTokens: Seq[(String, String)] = Seq(
+    "2006" -> "yyyy",
+    "January" -> "MMMM", "Jan" -> "MMM",
+    "Monday" -> "EEEE", "Mon" -> "EEE",
+    "Z07:00" -> "XXX", "-07:00" -> "XXX", "Z0700" -> "XX", "-0700" -> "xx",
+    "-07" -> "x",
+    ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS", ".000" -> ".SSS",
+    ".999999999" -> ".SSSSSSSSS", ".999999" -> ".SSSSSS", ".999" -> ".SSS",
+    "15" -> "HH", "01" -> "MM", "02" -> "dd", "03" -> "hh",
+    "04" -> "mm", "05" -> "ss", "06" -> "yy",
+    "PM" -> "a", "pm" -> "a",
+    "_2" -> "d", "1" -> "M", "2" -> "d", "3" -> "h", "4" -> "m", "5" -> "s")
+
+  /** Translate a Go reference-time layout to a DateTimeFormatter pattern.
+    * Non-token LETTER runs are single-quoted (a literal 'T' in the layout
+    * would otherwise be read as a pattern letter).
+    */
+  def gotimeToJava(layout: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < layout.length) {
+      GotimeTokens.find { case (tok, _) => layout.startsWith(tok, i) } match {
+        case Some((tok, pat)) => out ++= pat; i += tok.length
+        case None =>
+          val c = layout(i)
+          if (c.isLetter) out ++= s"'$c'" else out += c
+          i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** Parse a gotime-layout string column. Go's `_2` (space-padded day) has
+    * no DateTimeFormatter equivalent — runs of spaces in the input squeeze
+    * to one and the pattern uses bare `d`. Year-less layouts (the syslog
+    * family: 'Jan _2 15:04:05') parse with `defaultYear` prefixed — the
+    * batch analogue of stanza's timeutils.SetTimestampYear (which stamps
+    * the current year at ingest time; a deterministic engine takes it as
+    * config).
+    */
+  def gotimeParse(c: Column, layout: String, defaultYear: Option[Int] = None): Column = {
+    val pat = gotimeToJava(layout)
+    val squeezed =
+      if (layout.contains("_2")) regexp_replace(c, " +", " ") else c
+    defaultYear match {
+      case Some(y) if !pat.contains("y") =>
+        to_timestamp(concat(lit(s"$y "), squeezed), s"yyyy $pat")
+      case _ => to_timestamp(squeezed, pat)
+    }
+  }
+
   /** `layout_type: epoch` variants (stanza time_parser): seconds / millis /
     * micros integer layouts → timestamp. */
   def parseEpoch(c: Column, layout: String): Column = layout match {

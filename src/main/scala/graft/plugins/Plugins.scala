@@ -377,7 +377,8 @@ object Plugins {
     * severity mapping compiler.
     */
   object CefPlugin extends Plugin("common_event_format", Seq(
-    PluginParam("timezone", Some("UTC")))) {
+    PluginParam("timezone", Some("UTC")),
+    PluginParam("default_year", Some("2024")))) {
 
     import graft.parse.ParseOps.{ClassRule => _, _}
     val CefMapping: Seq[(Int, Seq[SevRule])] = Seq(
@@ -386,17 +387,31 @@ object Plugins {
       SevWarn -> Seq(RangeRule(4, 6), ExactRule("medium")),
       SevInfo -> Seq(RangeRule(0, 3), ExactRule("low")))
 
+    /** Syslog-framed prefix per the template regex_parser
+      * (common_event_format_logs.yaml:56-62); the prefix timestamp parses
+      * with `layout_type: gotime`, layout 'Jan 02 15:04:05' (:60-61) —
+      * year-less, so default_year applies (SetTimestampYear analogue).
+      * Prefix-less lines (bare CEF:) keep null event_ts/hostname.
+      */
     protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
-      val h = split(col("line"), "\\|")
-      input.filter(col("line").startsWith("CEF:"))
+      val pre = RegexExtractStruct.of(col("line"),
+        """^(?:(\w{3}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})\s+(?:([^\s]+)\s+)?)?(CEF:.*)$""",
+        Seq("timestamp", "hostname", "cef_headers"))
+      val h = split(col("__cef"), "\\|")
+      input.filter(col("line").contains("CEF:"))
+        .withColumn("__p", pre)
+        .withColumn("__cef", col("__p.cef_headers"))
         .select(col("conv_id"), col("turn_idx"),
-          regexp_extract(col("line"), "CEF:([^\\|]*)", 1).as("version"),
+          regexp_extract(col("__cef"), "CEF:([^\\|]*)", 1).as("version"),
           element_at(h, 2).as("device_vendor"),
           element_at(h, 3).as("device_product"),
           element_at(h, 5).as("signature_id"),
           element_at(h, 6).as("name"),
           element_at(h, 7).as("severity"),
-          element_at(h, 8).as("extensions"))
+          element_at(h, 8).as("extensions"),
+          col("__p.hostname").as("hostname"),
+          graft.parse.ParseOps.gotimeParse(col("__p.timestamp"),
+            "Jan 02 15:04:05", Some(p("default_year").toInt)).as("event_ts"))
         .withColumn("severity_number",
           graft.parse.ParseOps.compileSeverityMapping(col("severity"), CefMapping))
     }
@@ -495,11 +510,16 @@ object Plugins {
       severityField: Option[String] = Some("severity"),
       severityMapping: Seq[(Int, Seq[graft.parse.ParseOps.SevRule])] =
         graft.parse.ParseOps.DefaultSeverityPreset,
-      longFields: Set[String] = Set.empty)
+      longFields: Set[String] = Set.empty,
+      // `timestamp: layout_type: gotime` stanza on the template's
+      // regex_parser — (field, go layout); compiles to an `event_ts` column
+      timeLayout: Option[(String, String)] = None)
 
   final class RegexPlugin(d: RegexPluginDef) extends Plugin(d.name, Seq(
     PluginParam("log_type", Some(d.name)),
-    PluginParam("parse", Some("true"), Seq("true", "false")))) {
+    PluginParam("parse", Some("true"), Seq("true", "false")),
+    // year for year-less gotime layouts (timeutils.SetTimestampYear analogue)
+    PluginParam("default_year", Some("2024")))) {
 
     protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
       if (p("parse") != "true")
@@ -514,10 +534,16 @@ object Plugins {
               val c = col(s"g.$f")
               (if (d.longFields(f)) c.cast(LongType) else c).as(f)
             } :+ lit(p("log_type")).as("log_type"): _*)
-        d.severityField match {
-          case Some(f) => parsed.withColumn("severity_number",
-            graft.parse.ParseOps.compileSeverityMapping(col(f), d.severityMapping))
+        val timed = d.timeLayout match {
+          case Some((f, layout)) => parsed.withColumn("event_ts",
+            graft.parse.ParseOps.gotimeParse(col(f), layout,
+              Some(p("default_year").toInt)))
           case None => parsed
+        }
+        d.severityField match {
+          case Some(f) => timed.withColumn("severity_number",
+            graft.parse.ParseOps.compileSeverityMapping(col(f), d.severityMapping))
+          case None => timed
         }
       }
     }
@@ -640,7 +666,9 @@ object Plugins {
     RegexPluginDef("macos",
       """^(\w{3}\s*\d{1,2} \d{2}:\d{2}:\d{2}) ([^ ]*) ([^\[]*)\[([^\]]*)\]: (.*)$""",
       Seq("timestamp", "host", "process", "pid", "message"),
-      severityField = None, longFields = Set("pid")),
+      severityField = None, longFields = Set("pid"),
+      // plugins/macos_logs.yaml:71-72 (layout_type: gotime)
+      timeLayout = Some("timestamp" -> "Jan _2 15:04:05")),
     // plugins/apache_http_logs.yaml:84 — matches the combined fixture lines
     RegexPluginDef("apache_http",
       """^([^ ]*) ([^ ]*) ([^ ]*) \[([^\]]*)\] "(\S+) +([^ ]*) ([^"]*)" ([^ ]*) ([^ ]*)(?: .*)?$""",
@@ -673,7 +701,9 @@ object Plugins {
     RegexPluginDef("haproxy",
       """^(\w{3}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})\s+([^\s]+)\s+([^\[]+)\[([^\]]+)\]:\s?(.*)$""",
       Seq("timestamp", "host", "process_name", "pid", "message"),
-      severityField = None, longFields = Set("pid")),
+      severityField = None, longFields = Set("pid"),
+      // plugins/haproxy_logs.yaml:127-128 (layout_type: gotime)
+      timeLayout = Some("timestamp" -> "Jan 02 15:04:05")),
     // plugins/vcenter_logs.yaml:88 (frame-number prefix + syslog payload)
     RegexPluginDef("vcenter",
       """^(\d+ )?(.*)$""",
@@ -787,14 +817,32 @@ object Snapshot {
         col("text"), col("ts"))
     if (maxPayloadBytes == Long.MaxValue) hits
     else {
-      // snapshot payloads are small by construction — a single ordered
-      // window over the already-filtered hits is the honest cost here
+      // Two-phase running byte sum — scale-safe shape (a single global
+      // ordered window collapses to one task at scale):
+      //   1. per-hour-bucket byte totals (parallel hash aggregate),
+      //   2. running offsets over the TINY bucket relation (rows = #hours,
+      //      not #records), buckets past the budget pruned BEFORE the
+      //      expensive per-record work (ordered-limit pushdown),
+      //   3. within-bucket ordered windows (parallel across buckets; the
+      //      bucket key is a prefix of the global (ts, conv, turn) order,
+      //      so bucket_offset + within_bucket_cum IS the global prefix sum).
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("ts"), col("conv_id"), col("turn_idx"))
+      val bytes = octet_length(col("text")).cast("long")
+      val bucketed = hits.withColumn("__b", date_trunc("hour", col("ts")))
+      val wOff = Window.orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy(col("__b"))
+        .agg(sum(bytes).as("__bytes"))
+        .withColumn("__off", coalesce(sum(col("__bytes")).over(wOff), lit(0L)))
+        .filter(col("__off") <= maxPayloadBytes) // whole-bucket prune
+        .drop("__bytes")
+      val wCum = Window.partitionBy(col("__b"))
+        .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      hits.withColumn("__cum", sum(octet_length(col("text"))).over(w))
+      bucketed.join(broadcast(offsets), "__b")
+        .withColumn("__cum", col("__off") + sum(bytes).over(wCum))
         .filter(col("__cum") <= maxPayloadBytes)
-        .drop("__cum")
+        .drop("__cum", "__off", "__b")
     }
   }
 }

@@ -53,6 +53,23 @@ class EnrichEdgeSpec extends SparkTestBase {
     }
   }
 
+  test("mask excludes dotted sub-paths: map keys, deeper struct fields") {
+    val pii = "mail user1@example.com now"
+    val df = Seq(("c1", pii)).toDF("conv_id", "text")
+      .withColumn("attrs", map(lit("contact"), col("text"), lit("secret"), col("text")))
+      .withColumn("rec", struct(col("text").as("a"),
+        struct(col("text").as("inner")).as("b")))
+      .select(col("conv_id"), col("attrs"), col("rec"))
+    val out = EnrichOps.maskColumns(df,
+      Set("conv_id", "attrs.secret", "rec.b.inner")).collect().head
+    val attrs = out.getAs[Map[String, String]]("attrs")
+    assert(attrs("contact").contains("[masked_email]"))
+    assert(attrs("secret") == pii) // excluded map key untouched
+    val rec = out.getAs[org.apache.spark.sql.Row]("rec")
+    assert(rec.getAs[String]("a").contains("[masked_email]"))
+    assert(rec.getAs[org.apache.spark.sql.Row]("b").getAs[String]("inner") == pii)
+  }
+
   test("lookup CSV duplicate keys LAST-WIN; colliding columns overwrite matched rows only") {
     import EnrichOps.{LookupSpec, lookupCsv, lookupFixture}
     val df = Seq(("user", "orig"), ("tool", "orig")).toDF("role", "team")

@@ -74,6 +74,26 @@ class ParseSpec extends SparkTestBase {
     }
   }
 
+  test("gotime layouts translate to DateTimeFormatter patterns") {
+    assert(ParseOps.gotimeToJava("2006-01-02T15:04:05Z07:00") ==
+      "yyyy-MM-dd'T'HH:mm:ssXXX")
+    assert(ParseOps.gotimeToJava("Jan _2 15:04:05") == "MMM d HH:mm:ss")
+    assert(ParseOps.gotimeToJava("Jan 02 15:04:05") == "MMM dd HH:mm:ss")
+    assert(ParseOps.gotimeToJava("2006-01-02 15:04:05.000") ==
+      "yyyy-MM-dd HH:mm:ss.SSS")
+  }
+
+  test("gotime parse: space-padded day squeezes; year-less layouts take default_year") {
+    val df = Seq("Jan  2 15:04:05", "Jan 12 15:04:05").toDF("s")
+    val out = df.select(ParseOps.gotimeParse($"s", "Jan _2 15:04:05", Some(2024))
+        .cast("string").as("ts")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("2024-01-02 15:04:05", "2024-01-12 15:04:05"))
+    val iso = Seq("2024-03-04T05:06:07").toDF("s")
+      .select(ParseOps.gotimeParse($"s", "2006-01-02T15:04:05")
+        .cast("string").as("ts")).collect().head.getString(0)
+    assert(iso == "2024-03-04 05:06:07")
+  }
+
   test("assign_keys pads short value lists with nulls (per-record on_error)") {
     val df = Seq("a,b,c", "a,b").toDF("text")
     val keys = Seq("k1", "k2", "k3")

@@ -200,4 +200,29 @@ class ResumeSpec extends SparkTestBase {
     assert(resumed.rowsIn < fullCounts.values.sum)
     Bench.deleteRec(base)
   }
+
+  test("snapshot payload budget: per-record window is bucket-partitioned (no global sort)") {
+    import spark.implicits._
+    val rows = (0 until 100).map(i =>
+      (s"c$i", i, "user", "search hit " + ("x" * 40), "", s"2024-01-10 ${10 + i % 10}:00:${i % 60}"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "s")
+      .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+    val out = graft.plugins.Snapshot.search(rows, "search",
+      "2024-01-09 00:00:00", maxPayloadBytes = 1000)
+    // parity: equals the naive global running-sum prefix
+    val naive = rows.sort("ts", "conv_id", "turn_idx").collect()
+      .scanLeft(0L)((acc, r) => acc + r.getAs[String]("text").getBytes("UTF-8").length)
+      .tail.zip(rows.sort("ts", "conv_id", "turn_idx").collect())
+      .takeWhile(_._1 <= 1000).map(_._2.getAs[String]("conv_id")).toSet
+    assert(out.collect().map(_.getAs[String]("conv_id")).toSet == naive)
+    // plan shape: every per-record window partitions by the bucket key —
+    // the only SinglePartition exchange feeds the tiny per-bucket aggregate
+    val plan = out.queryExecution.executedPlan.toString
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windowSpecs.nonEmpty)
+    val perRecord = windowSpecs.filter(_.contains("conv_id"))
+    assert(perRecord.nonEmpty && perRecord.forall(_.contains("__b")),
+      s"per-record window not bucket-partitioned:\n$plan")
+  }
 }
