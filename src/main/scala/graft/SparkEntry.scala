@@ -223,6 +223,41 @@ object SparkEntry {
           col("ocsf.metadata.version").as("metadata_version"))
     }),
 
+    // OCSF runtime validation against the versioned schema table
+    // (processor.go:196-205 ValidateClass): records failing a required-field
+    // or enum constraint of their class are dropped
+    "q_ocsf_validate" -> ((s, d) => {
+      val j = ParseOps.parseJson(t(s, d))
+      val fields = Seq(
+        EnrichOps.FieldMapping("activity_id",
+          from = Some(when(col("status") >= 500, 2).otherwise(1))),
+        EnrichOps.FieldMapping("dst_endpoint",
+          from = Some(col("path")), default = Some(lit("/"))),
+        EnrichOps.FieldMapping("http_request",
+          from = Some(col("path")), default = Some(lit("/"))),
+        EnrichOps.FieldMapping("http_response",
+          from = Some(col("status")), default = Some(lit(0)),
+          ocsfType = Some("long")),
+        // enum violation: severity_id 7 is outside 0-6,99 → dropped
+        EnrichOps.FieldMapping("severity_id",
+          from = Some(when(col("turn_idx") % 7 === 0, 7)
+            .otherwise(when(col("status") >= 500, 2).otherwise(1)))),
+        // required-field violation: null src_endpoint → dropped
+        EnrichOps.FieldMapping("src_endpoint",
+          from = Some(when(col("turn_idx") % 5 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("10.0.0."), (col("turn_idx") % 256).cast("string"))))),
+        EnrichOps.FieldMapping("time", from = Some(col("turn_idx").cast("long"))))
+      val mappings = Seq(
+        EnrichOps.EventMapping(Some(lit(true)), 4002, fields))
+      EnrichOps.ocsfStandardizeConfig(j, mappings, runtimeValidation = true)
+        .select(col("conv_id"), col("turn_idx"),
+          col("ocsf.class_uid").as("class_uid"),
+          col("ocsf.activity_id").as("activity_id"),
+          col("ocsf.severity_id").as("severity_id"),
+          col("ocsf.src_endpoint").as("src_endpoint"),
+          col("ocsf.type_uid").as("type_uid"))
+    }),
+
     // ------------------------- route plane -------------------------
     "q_route_counts" -> ((s, d) =>
       Router.tagged(t(s, d)).groupBy(col("route")).agg(count(lit(1)).as("n"))),
@@ -442,12 +477,26 @@ object SparkEntry {
       graft.plugins.Plugins.registry("haproxy")(s)(
         t(s, d).select(col("conv_id"), col("turn_idx"), line.as("line")))
     }),
+    // metric-scan plugin (couchbase_metrics.yaml:34-156): scrape-as-scan →
+    // keep-list → renames → regex combines → aggregate_labels sum → metadata
+    "q_plugin_couchbase_metrics" -> ((s, d) =>
+      graft.plugins.Plugins.registry("couchbase_metrics")(s)(t(s, d))),
     "q_snapshot_search" -> ((s, d) =>
       graft.plugins.Snapshot.search(t(s, d), "search", "2024-01-10 00:00:00")),
     // payload budget: running byte sum caps the snapshot
     "q_snapshot_budget" -> ((s, d) =>
       graft.plugins.Snapshot.search(t(s, d), "search", "2024-01-10 00:00:00",
         maxPayloadBytes = 4096)),
+    // paged-pull source (splunksearchapireceiver receiver.go:124-206):
+    // earliest/latest bounds, deterministic result offsets, page ids
+    "q_paged_scan" -> ((s, d) => {
+      val spec = graft.pipeline.PagedSearch.SearchSpec(
+        "search", "2024-01-05T00:00", "2024-01-20T00:00",
+        eventBatchSize = 500, limit = 100000)
+      graft.pipeline.PagedSearch.pagedResults(t(s, d), spec)
+        .select(col("conv_id"), col("turn_idx"),
+          col("__offset").as("offset"), col("page"))
+    }),
     // rehydration entity-path parsing + inclusive time-range filter
     "q_rehydration_range" -> ((s, d) => {
       // ONE date_format renders the whole partition prefix per row
@@ -804,6 +853,71 @@ object SparkEntry {
            json_extract_string(text, '$.level') AS level, ts
            FROM t WHERE starts_with(text, '{')"""),
 
+      "q_plugin_couchbase_metrics" -> Transcripts.withT(
+        """, dp AS (
+             SELECT (['kv_ops','kv_vb_curr_items','kv_num_vbuckets',
+                      'kv_ep_cursor_memory_freed_bytes','kv_total_memory_used_bytes',
+                      'kv_ep_num_value_ejects','kv_ep_mem_high_wat','kv_ep_mem_low_wat',
+                      'kv_ep_tmp_oom_errors','kv_ep_oom_errors'])[turn_idx % 10 + 1]
+                    AS prom_name,
+                    CAST(turn_idx % 97 AS BIGINT) AS value, role AS instance
+             FROM t),
+           ren AS (
+             SELECT CASE prom_name
+               WHEN 'kv_ops' THEN 'couchbase.bucket.operation.count'
+               WHEN 'kv_vb_curr_items' THEN 'couchbase.bucket.item.count'
+               WHEN 'kv_num_vbuckets' THEN 'couchbase.bucket.vbucket.count'
+               WHEN 'kv_ep_cursor_memory_freed_bytes' THEN 'couchbase.bucket.memory.usage.free'
+               WHEN 'kv_total_memory_used_bytes' THEN 'couchbase.bucket.memory.usage.used'
+               WHEN 'kv_ep_num_value_ejects' THEN 'couchbase.bucket.item.ejection.count'
+               WHEN 'kv_ep_mem_high_wat' THEN 'couchbase.bucket.memory.high_water_mark.limit'
+               WHEN 'kv_ep_mem_low_wat' THEN 'couchbase.bucket.memory.low_water_mark.limit'
+               WHEN 'kv_ep_tmp_oom_errors' THEN 'couchbase.bucket.error.oom.count.recoverable'
+               WHEN 'kv_ep_oom_errors' THEN 'couchbase.bucket.error.oom.count.unrecoverable'
+             END AS m, value, instance FROM dp),
+           comb AS (
+             SELECT
+               CASE WHEN regexp_matches(m, '^couchbase\.bucket\.error\.oom\.count\.(unrecoverable|recoverable)$')
+                      THEN 'couchbase.bucket.error.oom.count'
+                    WHEN regexp_matches(m, '^couchbase\.bucket\.memory\.usage\.(free|used)$')
+                      THEN 'couchbase.bucket.memory.usage'
+                    ELSE m END AS metric_name,
+               CASE WHEN regexp_matches(m, '^couchbase\.bucket\.error\.oom\.count\.(unrecoverable|recoverable)$')
+                      THEN regexp_extract(m, '^couchbase\.bucket\.error\.oom\.count\.(unrecoverable|recoverable)$', 1)
+                    WHEN regexp_matches(m, '^couchbase\.bucket\.memory\.usage\.(free|used)$')
+                      THEN regexp_extract(m, '^couchbase\.bucket\.memory\.usage\.(free|used)$', 1)
+               END AS label,
+               value, instance FROM ren)
+           SELECT metric_name, instance, label,
+             CAST(COUNT(*) AS BIGINT) AS n_datapoints,
+             CAST(SUM(value) AS BIGINT) AS value_sum,
+             metric_name IN ('couchbase.bucket.operation.count',
+               'couchbase.bucket.item.ejection.count',
+               'couchbase.bucket.error.oom.count') AS is_monotonic,
+             CASE metric_name
+               WHEN 'couchbase.bucket.operation.count' THEN '{operations}'
+               WHEN 'couchbase.bucket.item.count' THEN '{items}'
+               WHEN 'couchbase.bucket.vbucket.count' THEN '{vbuckets}'
+               WHEN 'couchbase.bucket.memory.usage' THEN 'By'
+               WHEN 'couchbase.bucket.item.ejection.count' THEN '{ejections}'
+               WHEN 'couchbase.bucket.error.oom.count' THEN '{errors}'
+               WHEN 'couchbase.bucket.memory.high_water_mark.limit' THEN 'By'
+               WHEN 'couchbase.bucket.memory.low_water_mark.limit' THEN 'By'
+             END AS unit
+           FROM comb GROUP BY 1, 2, 3"""),
+
+      "q_paged_scan" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CAST(rn - 1 AS BIGINT) AS offset,
+           CAST((rn - 1) // 500 AS BIGINT) AS page
+           FROM (SELECT conv_id, turn_idx,
+                   row_number() OVER (ORDER BY ts, conv_id, turn_idx) AS rn
+                 FROM t
+                 WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+                   AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+                   AND contains(text, 'search'))
+           WHERE rn - 1 < 100000"""),
+
       "q_snapshot_budget" -> Transcripts.withT(
         """SELECT conv_id, turn_idx, role, tool, text, ts FROM (
              SELECT conv_id, turn_idx, role, tool, text, ts,
@@ -922,6 +1036,18 @@ object SparkEntry {
            CASE WHEN role = 'tool' THEN 'tool-' || tool
                 ELSE 'host-' || string_split(conv_id, '-')[1] END AS host
            FROM t"""),
+
+      "q_ocsf_validate" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           4002 AS class_uid,
+           CASE WHEN status >= 500 THEN 2 ELSE 1 END AS activity_id,
+           CASE WHEN status >= 500 THEN 2 ELSE 1 END AS severity_id,
+           '10.0.0.' || CAST(turn_idx % 256 AS VARCHAR) AS src_endpoint,
+           CAST(400200 + CASE WHEN status >= 500 THEN 2 ELSE 1 END AS BIGINT) AS type_uid
+           FROM (SELECT conv_id, turn_idx,
+                   CAST(json_extract(text, '$.status') AS INT) AS status
+                 FROM t WHERE starts_with(text, '{'))
+           WHERE turn_idx % 7 <> 0 AND turn_idx % 5 <> 0"""),
 
       "q_ocsf" -> Transcripts.withT(
         """SELECT conv_id, turn_idx,

@@ -203,14 +203,27 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       maxBucket)
 
-  /** LSH candidates verified by true Jaccard ≥ threshold. */
+  /** LSH candidates verified by true Jaccard ≥ threshold.
+    *
+    * Cache envelope: the verify joins read shingle arrays for CANDIDATE
+    * docs only — a left-semi join on the bounded pair list gates the
+    * (re-)shingling, so the persisted state is candidate-scale, never
+    * corpus-scale×k (at 100 TB a corpus-wide shingle cache would be the
+    * largest allocation in the pipeline; candidates are linear and capped
+    * by maxBucket).
+    */
   def minHashDedupPairs(docs: DataFrame, threshold: Double = 0.8,
                         portable: Boolean = false): DataFrame = {
-    val all = withPlantedDups(docs)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      // both verify joins read this — shingle the corpus once, not twice
+    val cands = minHashLshCandidates(docs, portable = portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minHashLshCandidates(docs, portable = portable)
+    val ids = cands.select(col("a_id").as("doc_id"))
+      .union(cands.select(col("b_id").as("doc_id"))).distinct()
+    val all = withPlantedDups(docs)
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      // both verify joins read this — shingle the candidate set once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands
       .join(all.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(all.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard",

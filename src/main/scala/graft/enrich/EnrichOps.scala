@@ -417,6 +417,46 @@ object EnrichOps {
                           fields: Seq[FieldMapping],
                           required: Seq[String] = Seq.empty)
 
+  /** Versioned OCSF schema tables for the classes this engine maps —
+    * required fields + enum constraints encoded from the reference's
+    * GENERATED validators (ocsf/v1_1_0/schema.go: validateHTTPActivity
+    * for 4002, validateAPIActivity for 6003; the full generated file is
+    * 167k LoC — the engine carries exactly the classes its configs use,
+    * same per-class dispatch as ValidateClass).
+    */
+  object OcsfSchema {
+    case class ClassSchema(required: Seq[String], enums: Map[String, Seq[Long]])
+
+    val V110: Map[Int, ClassSchema] = Map(
+      // HTTP Activity (schema.go validateHTTPActivity)
+      4002 -> ClassSchema(
+        required = Seq("activity_id", "category_uid", "class_uid",
+          "dst_endpoint", "http_request", "http_response", "metadata",
+          "severity_id", "src_endpoint", "time", "type_uid"),
+        enums = Map(
+          "activity_id" -> ((0L to 8L) :+ 99L),
+          "category_uid" -> Seq(4L),
+          "class_uid" -> Seq(4002L),
+          "severity_id" -> ((0L to 6L) :+ 99L),
+          "status_id" -> Seq(0L, 1L, 2L, 99L),
+          "type_uid" -> ((400200L to 400208L) :+ 400299L))),
+      // API Activity (schema.go validateAPIActivity)
+      6003 -> ClassSchema(
+        required = Seq("activity_id", "actor", "api", "category_uid",
+          "class_uid", "metadata", "severity_id", "src_endpoint", "time",
+          "type_uid"),
+        enums = Map(
+          "activity_id" -> ((0L to 4L) :+ 99L),
+          "category_uid" -> Seq(6L),
+          "class_uid" -> Seq(6003L),
+          "severity_id" -> ((0L to 6L) :+ 99L),
+          "status_id" -> Seq(0L, 1L, 2L, 99L),
+          "type_uid" -> ((600300L to 600304L) :+ 600399L))))
+
+    def forVersion(v: String): Map[Int, ClassSchema] =
+      if (v.startsWith("1.1")) V110 else Map.empty
+  }
+
   def ocsfStandardizeConfig(df: DataFrame, mappings: Seq[EventMapping],
                             version: String = "1.1.0",
                             runtimeValidation: Boolean = false,
@@ -478,15 +518,38 @@ object EnrichOps {
 
     val validated =
       if (runtimeValidation) {
-        // ValidateClass parity: a matched record missing a required field of
-        // its class is dropped, not emitted malformed
-        val okPerMapping = mappings.zipWithIndex
+        // ValidateClass parity (processor.go:196-205): a matched record that
+        // fails its class's schema validation — missing required field OR
+        // out-of-enum value — is dropped, not emitted malformed. The schema
+        // table (required + enums) comes from the versioned OCSF tables;
+        // config-declared `required` is honored for classes outside them.
+        val schemaTable = OcsfSchema.forVersion(version)
+        val allPathNames = allEntries.map(_._1)
+        def pathValue(p: String): Option[Column] =
+          allEntries.find(_._1 == p).map(_._2)
+            // nested struct presence (e.g. "metadata" via metadata.version)
+            .orElse(if (allPathNames.exists(_.startsWith(p + ".")))
+              Some(lit(true)) else None)
+        mappings.zipWithIndex
           .foldRight(lit(true): Column) { case ((m, i), acc) =>
-            when(col("__ocsf_idx") === i,
-              m.required.map(r => perPath(r).isNotNull)
-                .foldLeft(lit(true): Column)(_ && _)).otherwise(acc)
+            val cls = schemaTable.get(m.classId)
+            val required = cls.map(_.required).getOrElse(m.required)
+            val reqOk = required
+              // a path the mapping never sets fails validation outright
+              .map(r => pathValue(r).map(_.isNotNull).getOrElse(lit(false)))
+              .foldLeft(lit(true): Column)(_ && _)
+            val enumOk = cls.map(_.enums).getOrElse(Map.empty).toSeq
+              .sortBy(_._1)
+              .flatMap { case (f, vals) =>
+                // enum fields check only when present and integral
+                // (toInt64-guarded in the generated validators)
+                pathValue(f).map { v =>
+                  val n = v.try_cast("long")
+                  n.isNull || n.isin(vals: _*)
+                }
+              }.foldLeft(lit(true): Column)(_ && _)
+            when(col("__ocsf_idx") === i, reqOk && enumOk).otherwise(acc)
           }
-        okPerMapping
       } else lit(true)
 
     df.withColumn("__ocsf_idx", idx)

@@ -549,6 +549,148 @@ object Plugins {
     }
   }
 
+  /** Metric-scan plugin — the batch compilation of the *_metrics receiver
+    * templates (prometheus scrape / sqlquery poll → filter meta-metrics →
+    * metrics_transform renames + regex combines → aggregate_labels sum →
+    * gauge→sum metadata). The scrape becomes a scan producing datapoint
+    * rows deterministically from the transcript store; everything after is
+    * the template's real semantic chain.
+    */
+  final case class MetricPluginDef(
+      name: String,
+      // metric_relabel keep-list → OTel rename pairs (metrics_transform
+      // `action: update` rows); identity pairs model sqlquery receivers
+      renames: Seq[(String, String)],
+      // `action: combine` rows: (name regex with ONE group, label, new name)
+      combines: Seq[(String, String, String)] = Seq.empty,
+      // convert_gauge_to_sum(_, true) → monotonic sums
+      monotonic: Set[String] = Set.empty,
+      // set(unit, ...) statements
+      units: Map[String, String] = Map.empty)
+
+  /** Prometheus scraping meta-metrics excluded by every template's filter
+    * processor (e.g. couchbase_metrics.yaml:50-58).
+    */
+  val PromMetaMetrics: Seq[String] = Seq(
+    "scrape_samples_post_metric_relabeling", "scrape_series_added",
+    "scrape_duration_seconds", "scrape_samples_scraped", "up")
+
+  final class MetricScanPlugin(d: MetricPluginDef) extends Plugin(d.name, Seq(
+    PluginParam("endpoint", Some("localhost:9100")),
+    PluginParam("scrape_interval", Some("60s")),
+    PluginParam("username", Some("")),
+    PluginParam("password", Some("")))) {
+
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      val srcs = d.renames.map(_._1)
+      val n = srcs.length
+      // scrape-as-scan: each transcript row is one datapoint of one source
+      // metric (deterministic round-robin) with an integral value
+      val dp = input.select(
+        element_at(typedlit(srcs), (col("turn_idx") % n + 1).cast("int"))
+          .as("prom_name"),
+        (col("turn_idx") % 97).cast("long").as("value"),
+        col("role").as("instance"))
+      val kept = dp
+        .filter(!col("prom_name").isin(PromMetaMetrics: _*)) // filter processor
+        .filter(col("prom_name").isin(srcs: _*)) // metric_relabel keep
+      val renamed = kept.withColumn("metric_name",
+        element_at(typedlit(d.renames.toMap), col("prom_name")))
+      val combined = d.combines
+        .foldLeft(renamed.withColumn("label", lit(null).cast("string"))) {
+          case (df, (re, _, newName)) =>
+            df.withColumn("label",
+                when(col("metric_name").rlike(re),
+                  regexp_extract(col("metric_name"), re, 1))
+                  .otherwise(col("label")))
+              .withColumn("metric_name",
+                when(col("metric_name").rlike(re), newName)
+                  .otherwise(col("metric_name")))
+        }
+      // aggregate_labels sum over the surviving label set
+      combined.groupBy(col("metric_name"), col("instance"), col("label"))
+        .agg(count(lit(1)).as("n_datapoints"), sum(col("value")).as("value_sum"))
+        .withColumn("is_monotonic",
+          col("metric_name").isin(d.monotonic.toSeq: _*))
+        .withColumn("unit", element_at(typedlit(d.units), col("metric_name")))
+    }
+  }
+
+  /** The 3 metrics receiver templates as metric-scan config rows. */
+  val MetricTemplates: Seq[MetricPluginDef] = Seq(
+    // plugins/couchbase_metrics.yaml:34-156
+    MetricPluginDef("couchbase_metrics",
+      renames = Seq(
+        "kv_ops" -> "couchbase.bucket.operation.count",
+        "kv_vb_curr_items" -> "couchbase.bucket.item.count",
+        "kv_num_vbuckets" -> "couchbase.bucket.vbucket.count",
+        "kv_ep_cursor_memory_freed_bytes" -> "couchbase.bucket.memory.usage.free",
+        "kv_total_memory_used_bytes" -> "couchbase.bucket.memory.usage.used",
+        "kv_ep_num_value_ejects" -> "couchbase.bucket.item.ejection.count",
+        "kv_ep_mem_high_wat" -> "couchbase.bucket.memory.high_water_mark.limit",
+        "kv_ep_mem_low_wat" -> "couchbase.bucket.memory.low_water_mark.limit",
+        "kv_ep_tmp_oom_errors" -> "couchbase.bucket.error.oom.count.recoverable",
+        "kv_ep_oom_errors" -> "couchbase.bucket.error.oom.count.unrecoverable"),
+      combines = Seq(
+        ("""^couchbase\.bucket\.error\.oom\.count\.(unrecoverable|recoverable)$""",
+          "error_type", "couchbase.bucket.error.oom.count"),
+        ("""^couchbase\.bucket\.memory\.usage\.(free|used)$""",
+          "state", "couchbase.bucket.memory.usage")),
+      monotonic = Set("couchbase.bucket.operation.count",
+        "couchbase.bucket.item.ejection.count",
+        "couchbase.bucket.error.oom.count"),
+      units = Map(
+        "couchbase.bucket.operation.count" -> "{operations}",
+        "couchbase.bucket.item.count" -> "{items}",
+        "couchbase.bucket.vbucket.count" -> "{vbuckets}",
+        "couchbase.bucket.memory.usage" -> "By",
+        "couchbase.bucket.item.ejection.count" -> "{ejections}",
+        "couchbase.bucket.error.oom.count" -> "{errors}",
+        "couchbase.bucket.memory.high_water_mark.limit" -> "By",
+        "couchbase.bucket.memory.low_water_mark.limit" -> "By")),
+    // plugins/cockroachdb_metrics.yaml:137-216 (rename table prefix)
+    MetricPluginDef("cockroachdb_metrics",
+      renames = Seq(
+        "round_trip_latency" -> "crdb.round_trip.latency",
+        "sql_distsql_exec_latency" -> "crdb.sql.distsql.exec.latency",
+        "sql_exec_latency" -> "crdb.sql.exec.latency",
+        "sql_service_latency" -> "crdb.sql.service.latency",
+        "txn_aborts" -> "crdb.transaction.aborts",
+        "sql_query_count" -> "crdb.sql.query.count",
+        "txn_abandons" -> "crdb.transaction.abandons",
+        "txn_commits" -> "crdb.transaction.commits.count",
+        "txn_durations" -> "crdb.transaction.durations.time",
+        "exec_error" -> "crdb.exec.errors.count",
+        "timeseries_write_errors" -> "crdb.timeseries.write.errors.count",
+        "sys_cpu_user_percent" -> "crdb.sys.cpu.user.utilization",
+        "sys_cpu_sys_percent" -> "crdb.sys.cpu.sys.utilization",
+        "liveness_livenodes" -> "crdb.liveness.livenodes"),
+      monotonic = Set("crdb.sql.query.count", "crdb.transaction.commits.count",
+        "crdb.exec.errors.count")),
+    // plugins/oracledb_metrics.yaml:50-216 (sqlquery receiver: metric rows
+    // come straight from value_column scans — identity names, state labels
+    // via the combine rule on the two-variant metrics)
+    MetricPluginDef("oracledb_metrics",
+      renames = Seq(
+        "oracle.tablespace.size.free" -> "oracle.tablespace.size.free",
+        "oracle.tablespace.size.used" -> "oracle.tablespace.size.used",
+        "oracle.tablespace.count" -> "oracle.tablespace.count",
+        "oracle.backup.latest" -> "oracle.backup.latest",
+        "oracle.process.count" -> "oracle.process.count",
+        "oracle.process.limit" -> "oracle.process.limit",
+        "oracle.session.count" -> "oracle.session.count",
+        "oracle.session.limit" -> "oracle.session.limit",
+        "oracle.process.pga_memory.size.used" -> "oracle.process.pga_memory.size.used",
+        "oracle.process.pga_memory.size.free" -> "oracle.process.pga_memory.size.free"),
+      combines = Seq(
+        ("""^oracle\.tablespace\.size\.(free|used)$""",
+          "state", "oracle.tablespace.size"),
+        ("""^oracle\.process\.pga_memory\.size\.(used|free)$""",
+          "state", "oracle.process.pga_memory.size")),
+      units = Map(
+        "oracle.tablespace.size" -> "By",
+        "oracle.process.pga_memory.size" -> "By")))
+
   import graft.parse.ParseOps.{ExactRule, SevError, SevInfo, SevWarn}
 
   /** Template batch: one row per reference plugin, pattern + fields lifted
@@ -777,7 +919,8 @@ object Plugins {
     PostgresqlPlugin, W3cPlugin, ApacheCombinedPlugin, TcpPlugin,
     CefPlugin, KafkaPlugin, RedisPlugin, MysqlPlugin, FilePlugin,
     UdpPlugin, BindplanePlugin, IisPlugin) ++
-    RegexTemplates.map(new RegexPlugin(_)))
+    RegexTemplates.map(new RegexPlugin(_)) ++
+    MetricTemplates.map(new MetricScanPlugin(_)))
     .map(p => p.name -> p).toMap
 
   /** Minimal valid params per plugin — the registry-wide "renders with

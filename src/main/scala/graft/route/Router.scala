@@ -78,9 +78,12 @@ object Router {
     try {
       val routes = defaultRoutes(col("severity_number"), col("tool")).map(_.name)
       routes.map { name =>
+        // count via observe on the write itself — no re-scan of the output
+        val obs = new org.apache.spark.sql.Observation(s"fanout_$name")
         val rows = parent.filter(col("route") === name)
+          .observe(obs, count(lit(1)).as("n"))
         rows.write.mode("overwrite").parquet(s"$outDir/$name")
-        name -> spark.read.parquet(s"$outDir/$name").count()
+        name -> obs.get("n").asInstanceOf[Long]
       }.toMap
     } finally parent.unpersist()
   }

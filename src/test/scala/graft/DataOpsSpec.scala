@@ -44,6 +44,12 @@ class DedupSpec extends SparkTestBase {
     // near dup = one appended token; long docs stay >= 0.8 jaccard
     assert(found.size >= (plantedNear.size * 8) / 10,
       s"found only ${found.size}/${plantedNear.size} planted near-dups")
+    // cache envelope: the verify join's shingle input is gated by a
+    // left-semi join on the candidate ids (candidate-scale persist, never
+    // corpus-scale×k)
+    val plan = Dedup.minHashDedupPairs(docs).queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"verify-join shingles not candidate-gated:\n$plan")
   }
 
   test("portable (md5) minhash finds planted near-dups too") {

@@ -225,4 +225,36 @@ class ResumeSpec extends SparkTestBase {
     assert(perRecord.nonEmpty && perRecord.forall(_.contains("__b")),
       s"per-record window not bucket-partitioned:\n$plan")
   }
+
+  test("paged search: kill mid-run, resume skips completed pages, no double export") {
+    import graft.pipeline.PagedSearch
+    val base = java.nio.file.Files.createTempDirectory("paged").toString
+    val t = Transcripts.generate(spark, nTurns = 5000, nConvs = 20)
+    val spec = PagedSearch.SearchSpec("e", "2024-01-01T00:00", "2024-12-31T00:00",
+      eventBatchSize = 200)
+    val manifest = new Manifest(s"$base/_manifest")
+
+    // kill after 2 exported pages
+    val boom = intercept[RuntimeException] {
+      PagedSearch.run(spark, t, spec, s"$base/store", s"$base/out", manifest,
+        failAfterPages = 2)
+    }
+    assert(boom.getMessage.contains("injected failure"))
+    assert(manifest.committedPartitions().size == 2)
+    val afterKill = spark.read.parquet(s"$base/out").count()
+
+    // resume: completed pages skip, the rest export exactly once
+    val resumed = PagedSearch.run(spark, t, spec, s"$base/store", s"$base/out", manifest)
+    assert(resumed.pagesSkipped == 2)
+    val total = spark.read.parquet(s"$base/out")
+    val expected = PagedSearch.pagedResults(t, spec)
+    assert(total.count() == expected.count() && total.count() > afterKill)
+    // no page exported twice
+    assert(total.groupBy("page").count().collect()
+      .forall(_.getLong(1) <= spec.eventBatchSize))
+    // offsets are a dense 0..n-1 sequence in (ts, conv, turn) order
+    val offs = total.select("__offset").collect().map(_.getLong(0)).sorted
+    assert(offs.toSeq == (0L until offs.length).toSeq)
+    Bench.deleteRec(base)
+  }
 }
