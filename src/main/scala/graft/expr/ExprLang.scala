@@ -67,6 +67,20 @@ object ExprLang {
       case t => throw new IllegalArgumentException(s"expected '$op', got $t")
     }
 
+    /** expr-lang ternary `cond ? a : b` — lowest precedence. */
+    def parseTernary(): Column = {
+      val c = parseOr()
+      peek match {
+        case Some(Op("?")) =>
+          next()
+          val a = parseTernary()
+          expect(":")
+          val b = parseTernary()
+          when(coalesce(c, lit(false)), a).otherwise(b)
+        case _ => c
+      }
+    }
+
     def parseOr(): Column = {
       var l = parseAnd()
       while (peek.contains(Op("||")) || peek.contains(Ident("or"))) {
@@ -113,8 +127,28 @@ object ExprLang {
         case Some(Ident("contains")) => next(); l.contains(lit(str()))
         case Some(Ident("startsWith")) => next(); l.startsWith(str())
         case Some(Ident("endsWith")) => next(); l.endsWith(str())
+        // expr-lang membership: `x in ['a', 'b']` / `x not in [...]`
+        case Some(Ident("in")) => next(); l.isin(inList(): _*)
+        case Some(Ident("not")) if toks.drop(1).headOption.contains(Ident("in")) =>
+          next(); next(); !l.isin(inList(): _*)
         case _ => l
       }
+    }
+
+    private def inList(): Seq[Any] = {
+      expect("[")
+      val vals = scala.collection.mutable.ListBuffer[Any]()
+      def one(): Unit = next() match {
+        case Str(s) => vals += s
+        case Num(s) => vals += (if (s.contains('.')) s.toDouble else s.toLong)
+        case t => throw new IllegalArgumentException(s"expected literal in list, got $t")
+      }
+      if (!peek.contains(Op("]"))) {
+        one()
+        while (peek.contains(Op(","))) { next(); one() }
+      }
+      expect("]")
+      vals.toSeq
     }
 
     private def str(): String = next() match {
@@ -175,11 +209,11 @@ object ExprLang {
               case Some(Op("[")) =>
                 next()
                 if (!peek.contains(Op("]"))) {
-                  args += parseOr()
-                  while (peek.contains(Op(","))) { next(); args += parseOr() }
+                  args += parseTernary()
+                  while (peek.contains(Op(","))) { next(); args += parseTernary() }
                 }
                 expect("]")
-              case _ => args += parseOr()
+              case _ => args += parseTernary()
             }
             if (!peek.contains(Op(")"))) {
               parseArg()
@@ -378,11 +412,12 @@ object ExprLang {
 
   /** CreateBoolExpression parity: compile a predicate string to a Column. */
   def boolExpr(src: String, columns: Set[String]): Column =
-    new P(lex(src), defaultResolver(columns)).parseOr()
+    new P(lex(src), defaultResolver(columns)).parseTernary()
 
-  /** CreateValueExpression parity — full arithmetic grammar
-    * (expr/expression.go:134-137; ExtractFloat/Int at :68-117).
+  /** CreateValueExpression parity — full arithmetic grammar plus ternary
+    * and list membership (expr/expression.go:134-137; ExtractFloat/Int at
+    * :68-117).
     */
   def valueExpr(src: String, columns: Set[String]): Column =
-    new P(lex(src), defaultResolver(columns)).parseAdd()
+    new P(lex(src), defaultResolver(columns)).parseTernary()
 }

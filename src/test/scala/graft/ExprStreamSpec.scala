@@ -71,6 +71,18 @@ class ExprLangSpec extends SparkTestBase {
     assert(v("a * -b") == -30)
   }
 
+  test("ternary and list membership (expr-lang ?:, in, not in)") {
+    val df = Seq(("tool", 10), ("user", 3)).toDF("role", "n")
+    val ac = cols + "n"
+    def v(src: String) = df.filter(col("role") === "tool")
+      .select(ExprLang.valueExpr(src, ac).as("v")).collect().head.get(0)
+    assert(v("n > 5 ? 'big' : 'small'") == "big")
+    assert(v("n > 5 ? n * 2 : n") == 20L)
+    assert(df.filter(ExprLang.boolExpr("role in ['tool', 'system']", ac)).count() == 1)
+    assert(df.filter(ExprLang.boolExpr("role not in ['tool']", ac)).count() == 1)
+    assert(df.filter(ExprLang.boolExpr("n in [3, 10]", ac)).count() == 2)
+  }
+
   test("converter breadth: hash/string/case/time families (StandardConverters)") {
     val df = Seq(("Hello World", "2024-01-02 03:04:05")).toDF("text", "tstr")
     val ac = cols + "tstr"
