@@ -45,13 +45,51 @@ object Bench {
     }
   }
 
+  /** Task-metrics accumulator for the scaling forensics: bytes read/written,
+    * shuffle bytes, and executor CPU per run — the numbers that pin the
+    * single-socket DRAM-bandwidth diagnosis of the 8→32 efficiency collapse
+    * (BASELINE.md) instead of inferring it from wall time alone.
+    */
+  private final class MetricsListener extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    // NOTE: inputMetrics.bytesRead undercounts on local-fs vectorized
+    // parquet scans (FS-statistics path misses the mmap'd column reads) —
+    // the scan volume is instead reported as the measured on-disk table
+    // size (the pipeline scans the whole table every run). records/output/
+    // shuffle/CPU counters are reliable.
+    val recordsRead = new AtomicLong; val bytesWritten = new AtomicLong
+    val shuffleRead = new AtomicLong; val shuffleWrite = new AtomicLong
+    val cpuNs = new AtomicLong
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        recordsRead.addAndGet(m.inputMetrics.recordsRead)
+        bytesWritten.addAndGet(m.outputMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        cpuNs.addAndGet(m.executorCpuTime)
+      }
+    }
+    def reset(): Unit = Seq(recordsRead, bytesWritten, shuffleRead, shuffleWrite, cpuNs)
+      .foreach(_.set(0))
+    def snapshot: Map[String, Long] = Map(
+      "records_read" -> recordsRead.get, "bytes_written" -> bytesWritten.get,
+      "shuffle_read" -> shuffleRead.get, "shuffle_write" -> shuffleWrite.get,
+      "cpu_ns" -> cpuNs.get)
+  }
+
+  case class LevelResult(tps: Double, rows: Long, wallSec: Double,
+                         metrics: Map[String, Long])
+
   /** One full pipeline run at the given parallelism; returns steady-state
     * turns/sec (one untimed warmup run amortizes codegen + parquet footer
     * caches, then one timed run — the honest per-level rate).
     */
-  def pipelineRun(master: String, input: String, outRoot: String): (Double, Long) = {
+  def pipelineRun(master: String, input: String, outRoot: String): LevelResult = {
     val s = session(master)
     try {
+      val listener = new MetricsListener
+      s.sparkContext.addSparkListener(listener)
       deleteRec(outRoot)
       PipelineRunner.run(s, Pipeline.Canonical, input, outRoot, groupSize = 1000)
       // best-of-N timed runs: steady state; this host is a shared-tenant
@@ -59,18 +97,21 @@ object Bench {
       // honest measure of the code (repeated runs agree at the fast mode)
       // 3 reps × 2 interleaved cycles = 6 timed runs per level overall
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-      var best = 0.0
-      var rows = 0L
+      var best = LevelResult(0.0, 0L, 0.0, Map.empty)
       (1 to reps).foreach { _ =>
         deleteRec(outRoot) // fresh run: resume is benchmarked separately
+        listener.reset()
         val t0 = System.nanoTime()
         val report = PipelineRunner.run(s, Pipeline.Canonical, input, outRoot,
           groupSize = 1000)
         val secs = (System.nanoTime() - t0) / 1e9
-        best = math.max(best, report.rowsIn / secs)
-        rows = report.rowsIn
+        // listener events drain asynchronously; settle before snapshotting
+        org.apache.spark.GraftSparkBridge.waitListeners(s.sparkContext)
+        val tps = report.rowsIn / secs
+        if (tps > best.tps)
+          best = LevelResult(tps, report.rowsIn, secs, listener.snapshot)
       }
-      (best, rows)
+      best
     } finally s.stop()
   }
 
@@ -96,15 +137,15 @@ object Bench {
     val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "2,8,32")
       .split(",").map(_.trim.toInt).toSeq
     val cycles = sys.env.getOrElse("SPARK_GRAFT_BENCH_CYCLES", "2").toInt
-    val tps = scala.collection.mutable.Map[Int, (Double, Long)]()
+    val tps = scala.collection.mutable.Map[Int, LevelResult]()
     (1 to cycles).foreach { _ =>
       levels.foreach { n =>
         val r = pipelineRun(s"local[$n]", benchTable, s"$outRoot/p$n")
-        if (!tps.contains(n) || r._1 > tps(n)._1) tps(n) = r
+        if (!tps.contains(n) || r.tps > tps(n).tps) tps(n) = r
       }
     }
-    val rows = tps(levels.last)._2
-    val tpsTop = tps(levels.last)._1
+    val rows = tps(levels.last).rows
+    val tpsTop = tps(levels.last).tps
     // efficiency for every adjacent pair; headline = the N→4N criterion at
     // the least-saturated operating point (single-socket DRAM bandwidth is
     // shared across local[N] threads — a real 4N-executor cluster brings 4N
@@ -112,7 +153,7 @@ object Bench {
     val pairs =
       if (levels.size < 2) Seq((levels.head, levels.head, 1.0))
       else levels.sliding(2).collect { case Seq(a, b) =>
-        (a, b, (tps(b)._1 / tps(a)._1) / (b.toDouble / a))
+        (a, b, (tps(b).tps / tps(a).tps) / (b.toDouble / a))
       }.toSeq
     val (bn, b4n, efficiency) = pairs.maxBy(_._3)
 
@@ -135,10 +176,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val perLevel = levels.map(n =>
-      s""""turns_per_sec_local$n":${f"${tps(n)._1}%.0f"}""").mkString(",")
+      s""""turns_per_sec_local$n":${f"${tps(n).tps}%.0f"}""").mkString(",")
     val perPair = pairs.map { case (a, b, e) =>
       s""""efficiency_${a}_to_$b":${f"$e%.3f"}""" }.mkString(",")
+    // forensics: per-level io/shuffle/cpu of each level's BEST run — the
+    // rates behind the DRAM-bandwidth scaling diagnosis. scan_gb is the
+    // on-disk bench table size (scanned in full every run); cpu_util and
+    // cpu_sec expose the memory-stall CPU inflation at high thread counts.
+    def dirBytes(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(dirBytes).sum else f.length()
+    val tableGb = dirBytes(new java.io.File(benchTable)) / 1e9
+    val forensics = levels.map { n =>
+      val r = tps(n); val m = r.metrics
+      val cpuSec = m.getOrElse("cpu_ns", 0L) / 1e9
+      s""""local$n":{"wall_sec":${f"${r.wallSec}%.2f"},"scan_gb":${f"$tableGb%.3f"},"scan_gb_per_sec":${f"${tableGb / math.max(r.wallSec, 1e-9)}%.3f"},"records_read":${m.getOrElse("records_read", 0L)},"gb_written":${f"${m.getOrElse("bytes_written", 0L) / 1e9}%.3f"},"shuffle_read_mb":${f"${m.getOrElse("shuffle_read", 0L) / 1e6}%.3f"},"shuffle_write_mb":${f"${m.getOrElse("shuffle_write", 0L) / 1e6}%.3f"},"cpu_sec":${f"$cpuSec%.1f"},"cpu_util":${f"${cpuSec / math.max(r.wallSec * n, 1e-9)}%.2f"},"cpu_sec_per_mturn":${f"${cpuSec / math.max(r.rows / 1e6, 1e-9)}%.2f"}}"""
+    }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"pipeline_turns_per_sec","value":${f"$tpsTop%.0f"},"unit":"turns/sec","queries":$qs,"sf":"$sfDir","bench_turns":$rows,"scaling":{$perLevel,$perPair,"efficiency_N_to_4N":${f"$efficiency%.3f"},"efficiency_basis":"local[$bn] vs local[$b4n]"},"queries_total_sec":${f"${results.map(_._2).sum}%.1f"}}""")
+      s"""{"metric":"pipeline_turns_per_sec","value":${f"$tpsTop%.0f"},"unit":"turns/sec","queries":$qs,"sf":"$sfDir","bench_turns":$rows,"scaling":{$perLevel,$perPair,"efficiency_N_to_4N":${f"$efficiency%.3f"},"efficiency_basis":"local[$bn] vs local[$b4n]"},"forensics":$forensics,"queries_total_sec":${f"${results.map(_._2).sum}%.1f"}}""")
   }
 }

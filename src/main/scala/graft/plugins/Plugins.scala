@@ -400,6 +400,7 @@ object Plugins {
       val h = split(col("__cef"), "\\|")
       input.filter(col("line").contains("CEF:"))
         .withColumn("__p", pre)
+        .filter(col("__p").isNotNull) // regex_parser on_error: drop
         .withColumn("__cef", col("__p.cef_headers"))
         .select(col("conv_id"), col("turn_idx"),
           regexp_extract(col("__cef"), "CEF:([^\\|]*)", 1).as("version"),

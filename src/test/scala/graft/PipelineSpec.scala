@@ -226,6 +226,21 @@ class ResumeSpec extends SparkTestBase {
       s"per-record window not bucket-partitioned:\n$plan")
   }
 
+  test("paged search offsets: per-record window is bucket-partitioned (no global sort)") {
+    import graft.pipeline.PagedSearch
+    val t = Transcripts.generate(spark, nTurns = 1000, nConvs = 10)
+    val spec = PagedSearch.SearchSpec("e", "2024-01-01T00:00", "2024-12-31T00:00",
+      eventBatchSize = 100)
+    val plan = PagedSearch.pagedResults(t, spec).queryExecution.executedPlan.toString
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    // the per-record offset window orders by (ts, conv_id, turn_idx); the
+    // fixture generator's own window (conv_id, gen_id) is exempt
+    val perRecord = windowSpecs.filter(w => w.contains("conv_id") && w.contains("ts"))
+    assert(perRecord.nonEmpty && perRecord.forall(_.contains("__b")),
+      s"offset window not bucket-partitioned:\n$plan")
+  }
+
   test("paged search: kill mid-run, resume skips completed pages, no double export") {
     import graft.pipeline.PagedSearch
     val base = java.nio.file.Files.createTempDirectory("paged").toString
