@@ -293,6 +293,37 @@ object SparkEntry {
     "q_dedup" -> ((s, d) => AggOps.logDedup(t(s, d))),
     "q_datapoint_first" -> ((s, d) => AggOps.datapointFirst(t(s, d))),
     "q_salted_agg" -> ((s, d) => AggOps.saltedCountByConv(t(s, d))),
+    // EP1 config→DAG compiler end-to-end (pluginreceiver/plugin.go Render +
+    // CheckParameters + consumer chain): a SPEC (not code) compiles through
+    // validate/defaults into one Catalyst plan — severity, mask, filter,
+    // add, OTTL transform, retain, first-match routes
+    "q_config_compiled" -> ((s, d) => {
+      import graft.pipeline.Pipeline
+      val spec = Pipeline.PipelineSpec(
+        name = "oracle_config",
+        operators = Seq(
+          Pipeline.OperatorSpec("severity_tag"),
+          Pipeline.OperatorSpec("mask"),
+          Pipeline.OperatorSpec("filter", Map("drop_where" -> "role = 'system'")),
+          Pipeline.OperatorSpec("add", Map("field" -> "env", "value" -> "'prod'")),
+          Pipeline.OperatorSpec("transform",
+            Map("statements" -> "replace_pattern(body, '[0-9]+', '#')")),
+          Pipeline.OperatorSpec("retain",
+            Map("fields" -> "conv_id,turn_idx,role,text,severity_number,env"))),
+        routes = Seq(
+          Pipeline.RouteSpec("sink_errors", "severity_number >= 17"),
+          Pipeline.RouteSpec("sink_default", "true")),
+        sinks = Seq("sink_errors", "sink_default"))
+      Pipeline.compile(spec, s)(t(s, d))
+    }),
+    // ExpressionMap-driven attrs extraction (expr/map.go:27-37): named
+    // value expressions per record; failed/nil entries SILENTLY ABSENT
+    // (here: 'no_such_field' never appears in the attr maps)
+    "q_logcount_exprmap" -> ((s, d) =>
+      AggOps.logCountExprAttrs(t(s, d), Seq(
+        "role" -> "role",
+        "slow" -> "turn_idx % 3 == 0 ? 'y' : 'n'",
+        "missing" -> "no_such_field"))),
     // webhookexporter extractLogBodies (exporter_logs.go:90-123): the sink
     // payload is the raw body string per record
     "q_webhook_bodies" -> ((s, d) =>
@@ -1157,6 +1188,22 @@ object SparkEntry {
 
       "q_salted_agg" -> Transcripts.withT(
         "SELECT conv_id, COUNT(*) AS n_turns FROM t GROUP BY conv_id"),
+
+      "q_config_compiled" -> Transcripts.withT(
+        s"""SELECT conv_id, turn_idx, role,
+           regexp_replace(${EnrichOps.maskSqlExpr("text")}, '[0-9]+', '#', 'g') AS text,
+           sev AS severity_number, 'prod' AS env,
+           CASE WHEN sev >= 17 THEN 'sink_errors' ELSE 'sink_default' END AS route
+           FROM (SELECT conv_id, turn_idx, role, text, ${sevSql} AS sev FROM t)
+           WHERE role <> 'system'"""),
+
+      "q_logcount_exprmap" -> Transcripts.withT(
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           '{"role":"' || role ||
+             '","slow":"' || CASE WHEN turn_idx % 3 = 0 THEN 'y' ELSE 'n' END ||
+             '"}' AS attrs_json,
+           COUNT(*) AS log_count
+           FROM t GROUP BY 1, 2"""),
 
       "q_webhook_bodies" -> Transcripts.withT(
         "SELECT conv_id, turn_idx, text AS body FROM t"),

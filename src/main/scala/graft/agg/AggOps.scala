@@ -258,4 +258,18 @@ object AggOps {
         canonicalKey.as("attrs_json"))
       .agg(count(lit(1)).as("log_count"))
   }
+
+  /** CONFIG-DRIVEN attrs extraction: the reference evaluates an
+    * ExpressionMap of named expr-lang programs per record
+    * (logcount processor.go:121-132 `attrs.Extract`), failed/nil entries
+    * silently absent, then counts per canonical attr set. */
+  def logCountExprAttrs(t: DataFrame, specs: Seq[(String, String)],
+                        interval: String = "1 hour"): DataFrame = {
+    val attrs = graft.expr.ExprLang.expressionMap(specs, t.columns.toSet)
+    val canonicalKey = to_json(map_from_entries(array_sort(map_entries(attrs))))
+    t.groupBy(
+        windowStart(col("ts"), interval).as("window_start"),
+        canonicalKey.as("attrs_json"))
+      .agg(count(lit(1)).as("log_count"))
+  }
 }

@@ -410,6 +410,19 @@ object ExprLang {
     }
   }
 
+  /** ExpressionMap parity (expr/map.go:27-37): a NAMED set of value
+    * expressions evaluated per record into one map; entries whose
+    * expression fails or yields nil are SILENTLY SKIPPED — the key is
+    * absent from the map, not null (map.go:31-34). Used by the count
+    * processors' attrs extraction (logcount processor.go:121-132).
+    */
+  def expressionMap(specs: Seq[(String, String)], columns: Set[String]): Column =
+    map_filter(
+      map(specs.flatMap { case (k, src) =>
+        Seq(lit(k), valueExpr(src, columns).cast("string"))
+      }: _*),
+      (_, v) => v.isNotNull)
+
   /** CreateBoolExpression parity: compile a predicate string to a Column. */
   def boolExpr(src: String, columns: Set[String]): Column =
     new P(lex(src), defaultResolver(columns)).parseTernary()

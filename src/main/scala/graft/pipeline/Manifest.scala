@@ -62,7 +62,56 @@ final class Manifest(manifestDir: String) {
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    appendSnapshot(e)
   }
+
+  // -------------------------------------------------------------------
+  // Iceberg-shaped snapshot log: every commit also appends a
+  // sequence-numbered snapshot entry with a parent pointer — the lineage
+  // chain a real Iceberg catalog keeps per table commit. As-of reads
+  // reconstruct the committed partition set at any earlier snapshot
+  // (time travel over the run's own history). A real Iceberg catalog can
+  // replace this directory without touching callers.
+  // -------------------------------------------------------------------
+  private val snapDir: Path = dir.resolve("_snapshots")
+
+  private def snapshotSeqs(): Seq[Long] = {
+    if (!Files.isDirectory(snapDir)) return Seq.empty
+    val s = Files.list(snapDir)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong)
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  private def appendSnapshot(e: PartitionEntry): Unit = {
+    Files.createDirectories(snapDir)
+    val seq = snapshotSeqs().lastOption.getOrElse(0L) + 1
+    val parent = seq - 1
+    val json =
+      s"""{"sequence_number": $seq, "parent_id": $parent,
+         | "partition": ${q(e.partition)}, "rows_out": ${e.rowsWritten},
+         | "input_files": [${e.inputFiles.map(q).mkString(", ")}]}""".stripMargin
+    val tmp = snapDir.resolve(s".$seq.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, snapDir.resolve(f"$seq%d.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Current snapshot id (0 = empty table). */
+  def currentSnapshot(): Long = snapshotSeqs().lastOption.getOrElse(0L)
+
+  /** Time travel: the committed partition set as of snapshot `seq`. */
+  def committedPartitionsAsOf(seq: Long): Set[String] =
+    snapshotSeqs().filter(_ <= seq).map { n =>
+      val body = new String(Files.readAllBytes(snapDir.resolve(s"$n.json")),
+        StandardCharsets.UTF_8)
+      """"partition":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .getOrElse(throw new IllegalStateException(s"corrupt snapshot $n"))
+    }.toSet
 
   def clear(): Unit = {
     val s = Files.list(dir)

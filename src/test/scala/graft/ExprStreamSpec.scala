@@ -83,6 +83,18 @@ class ExprLangSpec extends SparkTestBase {
     assert(df.filter(ExprLang.boolExpr("n in [3, 10]", ac)).count() == 2)
   }
 
+  test("expressionMap: failed/nil entries silently absent (expr/map.go:31-34)") {
+    val df = Seq(("tool", 6), ("user", 5)).toDF("role", "n")
+    val m = df.select(ExprLang.expressionMap(Seq(
+        "role" -> "role",
+        "big" -> "n > 5 ? 'y' : 'n'",
+        "gone" -> "no_such_field"), cols + "n").as("m"))
+      .collect().map(_.getAs[Map[String, String]]("m"))
+    assert(m(0) == Map("role" -> "tool", "big" -> "y"))
+    assert(m(1) == Map("role" -> "user", "big" -> "n"))
+    assert(m.forall(!_.contains("gone"))) // skipped, not null
+  }
+
   test("converter breadth: hash/string/case/time families (StandardConverters)") {
     val df = Seq(("Hello World", "2024-01-02 03:04:05")).toDF("text", "tstr")
     val ac = cols + "tstr"

@@ -226,6 +226,22 @@ class ResumeSpec extends SparkTestBase {
       s"per-record window not bucket-partitioned:\n$plan")
   }
 
+  test("manifest snapshot log: lineage sequence + as-of time travel") {
+    val base = java.nio.file.Files.createTempDirectory("snap").toString
+    val m = new Manifest(base)
+    Seq("p1", "p2", "p3").foreach { p =>
+      m.commit(m.PartitionEntry(p, "committed", 1L, Map("out" -> 1L), Seq(p), 0L))
+    }
+    assert(m.currentSnapshot() == 3L)
+    assert(m.committedPartitionsAsOf(1L) == Set("p1"))
+    assert(m.committedPartitionsAsOf(2L) == Set("p1", "p2"))
+    assert(m.committedPartitionsAsOf(m.currentSnapshot()) == Set("p1", "p2", "p3"))
+    // as-of matches the live view at head
+    assert(m.committedPartitionsAsOf(3L).map(_.replaceAll("[^A-Za-z0-9=_-]", "_"))
+      == m.committedPartitions())
+    Bench.deleteRec(base)
+  }
+
   test("paged search offsets: per-record window is bucket-partitioned (no global sort)") {
     import graft.pipeline.PagedSearch
     val t = Transcripts.generate(spark, nTurns = 1000, nConvs = 10)
