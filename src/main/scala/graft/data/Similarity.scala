@@ -230,12 +230,19 @@ object Similarity {
     val banded = planted.select(col("vec_id").as("doc_id"),
       lit(0).as("band"), hyperplaneBucket(col("v")).cast("string").as("bucket"))
     val pairs = Dedup.candidatePairs(banded)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verify joins read CANDIDATE vectors only (left-semi gate on the
+    // bounded pair ids) — at corpus scale the join sides stay
+    // candidate-sized, mirroring the MinHash verify-path bound
+    val ids = pairs.select(col("a_id").as("vec_id"))
+      .union(pairs.select(col("b_id").as("vec_id"))).distinct()
+    val candVecs = planted.join(ids, Seq("vec_id"), "left_semi")
     val d = dot(col("a_v"), col("b_v"))
     val cos = signum(d) * d * d /
       (dot(col("a_v"), col("a_v")) * dot(col("b_v"), col("b_v"))).cast("double")
     pairs
-      .join(planted.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
-      .join(planted.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")
+      .join(candVecs.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(candVecs.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")
       .withColumn("cos2_e6", round(cos * 1000000).cast("long"))
       .filter(col("cos2_e6") >= math.round(threshold * threshold * 1000000))
       .select(col("a_id"), col("b_id"), col("cos2_e6"))
