@@ -1426,6 +1426,7 @@ object SparkEntry {
            'org.apache.Catalina' AS source,
            'request ' || CAST(turn_idx AS VARCHAR) AS message,
            'tomcat' AS log_type,
+           date_trunc('second', ts) AS event_ts,
            CASE regexp_extract(text, 'level=(\w+)', 1)
                 WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
            FROM t WHERE starts_with(text, 'level=')"""),
@@ -1454,7 +1455,9 @@ object SparkEntry {
            regexp_extract(text, '$nginxPat', 6) AS protocol,
            CAST(regexp_extract(text, '$nginxPat', 7) AS BIGINT) AS status,
            CAST(regexp_extract(text, '$nginxPat', 8) AS BIGINT) AS body_bytes_sent,
-           'apache_http' AS log_type
+           'apache_http' AS log_type,
+           CAST(strptime(regexp_extract(text, '$nginxPat', 3),
+                '%d/%b/%Y:%H:%M:%S %z') AS TIMESTAMP) AS event_ts
            FROM t WHERE regexp_matches(text, '^10\\.')"""),
 
       "q_plugin_cassandra" -> Transcripts.withT(
@@ -1464,6 +1467,7 @@ object SparkEntry {
            strftime(ts, '%Y-%m-%d %H:%M:%S') || ',000' AS timestamp,
            'compaction ' || CAST(turn_idx AS VARCHAR) AS message,
            'apache_cassandra' AS log_type,
+           date_trunc('second', ts) AS event_ts,
            CASE regexp_extract(text, 'level=(\w+)', 1)
                 WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
            FROM t WHERE starts_with(text, 'level=')"""),

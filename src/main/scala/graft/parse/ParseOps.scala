@@ -177,6 +177,9 @@ object ParseOps {
     "%Y-%m-%dT%H:%M:%S" -> "yyyy-MM-dd'T'HH:mm:ss",
     "%Y-%m-%d %H:%M:%S" -> "yyyy-MM-dd HH:mm:ss",
     "%b %d %H:%M:%S" -> "MMM dd HH:mm:ss",
+    // ctimefmt composites/directives the shipped templates use
+    "%F" -> "yyyy-MM-dd", "%T" -> "HH:mm:ss", "%L" -> "SSS",
+    "%f" -> "SSSSSS", "%a" -> "EEE", "%h" -> "MMM",
     "%z" -> "Z", "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
     "%H" -> "HH", "%M" -> "mm", "%S" -> "ss", "%b" -> "MMM")
 
@@ -232,15 +235,27 @@ object ParseOps {
     * config).
     */
   def gotimeParse(c: Column, layout: String, defaultYear: Option[Int] = None): Column = {
-    val pat = gotimeToJava(layout)
     val squeezed =
       if (layout.contains("_2")) regexp_replace(c, " +", " ") else c
+    parseWithPattern(squeezed, gotimeToJava(layout), defaultYear)
+  }
+
+  /** strptime-layout variant for compiled plugins (same year-default
+    * handling). Both use try_to_timestamp: a regex-matched line whose
+    * timestamp text still fails the layout yields null, not a job abort
+    * (stanza time_parser on_error semantics; ANSI to_timestamp would throw).
+    */
+  def strptimeParse(c: Column, layout: String,
+                    defaultYear: Option[Int] = None): Column =
+    parseWithPattern(c, strptimeToJava(layout), defaultYear)
+
+  private def parseWithPattern(c: Column, pat: String,
+                               defaultYear: Option[Int]): Column =
     defaultYear match {
       case Some(y) if !pat.contains("y") =>
-        to_timestamp(concat(lit(s"$y "), squeezed), s"yyyy $pat")
-      case _ => to_timestamp(squeezed, pat)
+        try_to_timestamp(concat(lit(s"$y "), c), lit(s"yyyy $pat"))
+      case _ => try_to_timestamp(c, lit(pat))
     }
-  }
 
   /** `layout_type: epoch` variants (stanza time_parser): seconds / millis /
     * micros integer layouts → timestamp. */

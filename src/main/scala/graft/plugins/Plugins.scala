@@ -512,9 +512,10 @@ object Plugins {
       severityMapping: Seq[(Int, Seq[graft.parse.ParseOps.SevRule])] =
         graft.parse.ParseOps.DefaultSeverityPreset,
       longFields: Set[String] = Set.empty,
-      // `timestamp: layout_type: gotime` stanza on the template's
-      // regex_parser — (field, go layout); compiles to an `event_ts` column
-      timeLayout: Option[(String, String)] = None)
+      // the template regex_parser's `timestamp:` stanza — (field, layout);
+      // compiles to an `event_ts` column via the matching layout translator
+      timeLayout: Option[(String, String)] = None,
+      timeLayoutType: String = "gotime") // "gotime" | "strptime"
 
   final class RegexPlugin(d: RegexPluginDef) extends Plugin(d.name, Seq(
     PluginParam("log_type", Some(d.name)),
@@ -536,9 +537,14 @@ object Plugins {
               (if (d.longFields(f)) c.cast(LongType) else c).as(f)
             } :+ lit(p("log_type")).as("log_type"): _*)
         val timed = d.timeLayout match {
-          case Some((f, layout)) => parsed.withColumn("event_ts",
-            graft.parse.ParseOps.gotimeParse(col(f), layout,
-              Some(p("default_year").toInt)))
+          case Some((f, layout)) =>
+            val y = Some(p("default_year").toInt)
+            parsed.withColumn("event_ts", d.timeLayoutType match {
+              case "gotime" => graft.parse.ParseOps.gotimeParse(col(f), layout, y)
+              case "strptime" => graft.parse.ParseOps.strptimeParse(col(f), layout, y)
+              case other => throw new IllegalArgumentException(
+                s"layout_type '$other'")
+            })
           case None => parsed
         }
         d.severityField match {
@@ -703,33 +709,47 @@ object Plugins {
     RegexPluginDef("tomcat",
       """^(\d{2}-\w{3}-\d{4} \d{2}:\d{2}:\d{2}\.\d{3}) (\w+) \[([^\]]+)\] (\S+) (.+)$""",
       Seq("timestamp", "severity", "thread", "source", "message"),
+      timeLayout = Some("timestamp" -> "%d-%b-%Y %H:%M:%S.%L"),
+      timeLayoutType = "strptime",
       severityMapping = graft.parse.ParseOps.DefaultSeverityPreset ++
         Seq(SevWarn -> Seq(ExactRule("warning")), SevError -> Seq(ExactRule("severe")))),
     // plugins/jboss_logs.yaml:59
     RegexPluginDef("jboss",
       """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),\d{3}\s*(\w+)\s*\[([^\]]*)\]\s*\(([^)]*)\) (.+)$""",
-      Seq("timestamp", "severity", "category", "thread", "message")),
+      Seq("timestamp", "severity", "category", "thread", "message"),
+      timeLayout = Some("timestamp" -> "%Y-%m-%d %H:%M:%S"),
+      timeLayoutType = "strptime"),
     // plugins/wildfly_logs.yaml:77
     RegexPluginDef("wildfly",
       """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),\d{3}\s+(\w+)(?:\s+\[(.+?)\])?(?:\s+\((.+?)\))?\s+(.*)$""",
-      Seq("timestamp", "severity", "source", "thread", "message")),
+      Seq("timestamp", "severity", "source", "thread", "message"),
+      timeLayout = Some("timestamp" -> "%Y-%m-%d %H:%M:%S"),
+      timeLayoutType = "strptime"),
     // plugins/hadoop_logs.yaml:99
     RegexPluginDef("hadoop",
       """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),\d{3} ([A-Z]+) ([A-Za-z0-9.$]+): (.+)$""",
-      Seq("timestamp", "severity", "fqcn", "message")),
+      Seq("timestamp", "severity", "fqcn", "message"),
+      timeLayout = Some("timestamp" -> "%Y-%m-%d %H:%M:%S"),
+      timeLayoutType = "strptime"),
     // plugins/hbase_logs.yaml:75
     RegexPluginDef("hbase",
       """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),\d{3}\s+([A-Z]+)\s*\[([^\]]*)\] ([^:]*): (.+)$""",
-      Seq("timestamp", "severity", "thread", "source", "message")),
+      Seq("timestamp", "severity", "thread", "source", "message"),
+      timeLayout = Some("timestamp" -> "%Y-%m-%d %H:%M:%S"),
+      timeLayoutType = "strptime"),
     // plugins/zookeeper_logs.yaml:62
     RegexPluginDef("zookeeper",
       """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),\d{3} \[myid:(\d+)?\] - (\w+)\s+\[(.+):(.+)@(\d+)\]\s+-\s*(.*)$""",
       Seq("timestamp", "myid", "severity", "thread", "source", "line_no", "message"),
-      longFields = Set("myid", "line_no")),
+      longFields = Set("myid", "line_no"),
+      timeLayout = Some("timestamp" -> "%Y-%m-%d %H:%M:%S"),
+      timeLayoutType = "strptime"),
     // plugins/apache_cassandra_logs.yaml:75 (severity LEADS the line)
     RegexPluginDef("apache_cassandra",
       """^([A-Z]+)\s+\[([^\]]+)\]\s+(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3})\s+(.+)$""",
-      Seq("severity", "type", "timestamp", "message")),
+      Seq("severity", "type", "timestamp", "message"),
+      timeLayout = Some("timestamp" -> "%F %T,%L"),
+      timeLayoutType = "strptime"),
     // plugins/mongodb_logs.yaml:79 (single-letter severities)
     RegexPluginDef("mongodb",
       """^(\S+)\s+(\w)\s+([\w-]+)\s+\[(\S+)\]\s+(.*)$""",
@@ -752,7 +772,9 @@ object Plugins {
     // plugins/pgbouncer_logs.yaml:51
     RegexPluginDef("pgbouncer",
       """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}) (\d+) (\w+) (.*)$""",
-      Seq("timestamp", "pid", "severity", "message"), longFields = Set("pid")),
+      Seq("timestamp", "pid", "severity", "message"), longFields = Set("pid"),
+      timeLayout = Some("timestamp" -> "%Y-%m-%d %H:%M:%S.%L"),
+      timeLayoutType = "strptime"),
     // plugins/solr_logs.yaml:56 (core form)
     RegexPluginDef("solr",
       """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3,6}) (\w+)\s+\(([^)]+)\) (\S+) (.*)$""",
@@ -772,12 +794,15 @@ object Plugins {
     RegexPluginDef("esxi",
       """^<(\d*)>([A-Za-z]+ \d{2} \d{2}:\d{2}:\d{2}) ([^ ]+) ([^:]+): (.*)$""",
       Seq("priority", "timestamp", "hostname", "service", "message"),
-      severityField = None, longFields = Set("priority")),
+      severityField = None, longFields = Set("priority"),
+      timeLayout = Some("timestamp" -> "%b %d %H:%M:%S"),
+      timeLayoutType = "strptime"),
     // plugins/ubiquiti_logs.yaml:52
     RegexPluginDef("ubiquiti",
       """^<([^>]+)>(\w{3}\s*\d{1,2}\s*\d{2}:\d{2}:\d{2})\s*([^,]*),([^:]*):\s*([^:]*)\s*:(.*)$""",
       Seq("priority", "timestamp", "mac_address", "device", "process", "message"),
-      severityField = None),
+      severityField = None,
+      timeLayout = Some("timestamp" -> "Jan 2 15:04:05")),
     // plugins/cisco_asa_logs.yaml:39
     RegexPluginDef("cisco_asa",
       """^([\d\w\s:\-]+?)(?: asa )?: %([\w\d-]+):\s(.*)$""",
@@ -817,7 +842,9 @@ object Plugins {
       """^([^ ]*) ([^ ]*) ([^ ]*) \[([^\]]*)\] "(\S+) +([^ ]*) ([^"]*)" ([^ ]*) ([^ ]*)(?: .*)?$""",
       Seq("remote_addr", "remote_host", "remote_user", "timestamp", "method",
         "path", "protocol", "status", "body_bytes_sent"),
-      severityField = None, longFields = Set("status", "body_bytes_sent")),
+      severityField = None, longFields = Set("status", "body_bytes_sent"),
+      timeLayout = Some("timestamp" -> "%d/%b/%Y:%H:%M:%S %z"),
+      timeLayoutType = "strptime"),
     // plugins/active_directory_logs.yaml:60
     RegexPluginDef("active_directory",
       """^(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(.*)$""",
@@ -828,7 +855,9 @@ object Plugins {
       """^([^ ]*) ([^ ]*) ([^ ]*) \[([^\]]*)\] "(\S+) +([^ ]*) ([^"]*)" ([^ ]*) ([^ ]*)(?: .*)?$""",
       Seq("remote_addr", "remote_host", "remote_user", "timestamp", "method",
         "path", "protocol", "status", "body_bytes_sent"),
-      severityField = None, longFields = Set("status", "body_bytes_sent")),
+      severityField = None, longFields = Set("status", "body_bytes_sent"),
+      timeLayout = Some("timestamp" -> "%d/%b/%Y:%H:%M:%S %z"),
+      timeLayoutType = "strptime"),
     // plugins/cisco_meraki_logs.yaml:42
     RegexPluginDef("cisco_meraki",
       """^<([^>]+)>(\d+)\s*([\d.]*)\s*([^\s]*)\s*([^\s]*)\s*(.*)$""",

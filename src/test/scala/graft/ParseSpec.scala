@@ -94,6 +94,26 @@ class ParseSpec extends SparkTestBase {
     assert(iso == "2024-03-04 05:06:07")
   }
 
+  test("strptime parse: ctimefmt directives, zone offsets, year default, null on mismatch") {
+    val df = Seq("02-Jan-2024 03:04:05.123").toDF("s")
+    val out = df.select(ParseOps.strptimeParse($"s", "%d-%b-%Y %H:%M:%S.%L")
+      .cast("string").as("ts")).collect().head.getString(0)
+    assert(out == "2024-01-02 03:04:05.123")
+    val zoned = Seq("02/Jan/2024:21:07:50 +0100").toDF("s")
+      .select(ParseOps.strptimeParse($"s", "%d/%b/%Y:%H:%M:%S %z")
+        .cast("string").as("ts")).collect().head.getString(0)
+    assert(zoned == "2024-01-02 20:07:50") // offset applied, session UTC
+    val yearless = Seq("Mar 05 06:07:08").toDF("s")
+      .select(ParseOps.strptimeParse($"s", "%b %d %H:%M:%S", Some(2024))
+        .cast("string").as("ts")).collect().head.getString(0)
+    assert(yearless == "2024-03-05 06:07:08")
+    // regex-matched but layout-invalid text yields null, not a job abort
+    val bad = Seq("Xyz 99 99:99:99").toDF("s")
+      .select(ParseOps.strptimeParse($"s", "%b %d %H:%M:%S", Some(2024)).as("ts"))
+      .collect().head
+    assert(bad.isNullAt(0))
+  }
+
   test("assign_keys pads short value lists with nulls (per-record on_error)") {
     val df = Seq("a,b,c", "a,b").toDF("text")
     val keys = Seq("k1", "k2", "k3")
