@@ -490,6 +490,47 @@ object SparkEntry {
         "listen_port" -> "601", "add_attributes" -> "true"))(t(s, d))),
     "q_plugin_udp" -> ((s, d) =>
       graft.plugins.Plugins.UdpPlugin(s, Map("listen_port" -> "514"))(t(s, d))),
+    // zookeeper (zookeeper_logs.yaml:62): optional myid long field, text
+    // severity preset, strptime event_ts
+    "q_plugin_zookeeper" -> ((s, d) => {
+      val kv = t(s, d).filter(ParseOps.isKv)
+      val lvl = upper(regexp_extract(col("text"), "level=(\\w+)", 1))
+      val line = format_string("%s,123 [myid:%d] - %s  [main:ServerCnxn@%d] - packet %d",
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), col("turn_idx") % 5 + 1,
+        lvl, col("turn_idx") % 900 + 100, col("turn_idx"))
+      graft.plugins.Plugins.registry("zookeeper")(s)(
+        kv.select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
+    // esxi (esxi_logs.yaml:71): syslog-framed numeric priority, YEAR-LESS
+    // strptime layout '%b %d %H:%M:%S' resolved via default_year
+    "q_plugin_esxi" -> ((s, d) => {
+      val line = format_string("<%d>%s esx%d Hostd: task %d",
+        col("turn_idx") % 8 + 160, date_format(col("ts"), "MMM dd HH:mm:ss"),
+        col("turn_idx") % 4, col("turn_idx"))
+      graft.plugins.Plugins.registry("esxi")(s)(
+        t(s, d).select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
+    // ubiquiti (ubiquiti_logs.yaml:52-55): gotime 'Jan 2 15:04:05' — day
+    // WITHOUT zero pad
+    "q_plugin_ubiquiti" -> ((s, d) => {
+      val line = format_string("<30>%s %s,UAP: hostapd:sta %d connected",
+        date_format(col("ts"), "MMM d HH:mm:ss"),
+        format_string("aa-bb-cc-%02d", col("turn_idx") % 100), col("turn_idx"))
+      graft.plugins.Plugins.registry("ubiquiti")(s)(
+        t(s, d).select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
+    // kubelet (kubelet_logs.yaml:61): klog framing, single-letter severity
+    // classes through the mapping compiler
+    "q_plugin_kubelet" -> ((s, d) => {
+      val kv = t(s, d).filter(ParseOps.isKv)
+      val lvl = regexp_extract(col("text"), "level=(\\w+)", 1)
+      val sev = when(lvl === "error", "E").when(lvl === "warn", "W").otherwise("I")
+      val line = format_string("%s%s.123456 %d kubelet.go:%d] sync %d",
+        sev, date_format(col("ts"), "MMdd HH:mm:ss"),
+        col("turn_idx") % 9000 + 1000, col("turn_idx") % 2000, col("turn_idx"))
+      graft.plugins.Plugins.registry("kubelet")(s)(
+        kv.select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
     // gotime layout 'Jan _2 15:04:05' (macos_logs.yaml:71-72): space-padded
     // day, year-less — event_ts parses via the gotime→DateTimeFormatter layer
     "q_plugin_macos" -> ((s, d) => {
@@ -1480,6 +1521,57 @@ object SparkEntry {
 
       "q_plugin_udp" -> Transcripts.withT(
         "SELECT conv_id, turn_idx, text AS body, 'udp' AS log_type FROM t"),
+
+      "q_plugin_zookeeper" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS timestamp,
+           CAST(turn_idx % 5 + 1 AS BIGINT) AS myid,
+           upper(regexp_extract(text, 'level=(\w+)', 1)) AS severity,
+           'main' AS thread, 'ServerCnxn' AS source,
+           CAST(turn_idx % 900 + 100 AS BIGINT) AS line_no,
+           'packet ' || CAST(turn_idx AS VARCHAR) AS message,
+           'zookeeper' AS log_type,
+           date_trunc('second', ts) AS event_ts,
+           CASE regexp_extract(text, 'level=(\w+)', 1)
+                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
+           FROM t WHERE starts_with(text, 'level=')"""),
+
+      "q_plugin_esxi" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CAST(turn_idx % 8 + 160 AS BIGINT) AS priority,
+           strftime(ts, '%b %d %H:%M:%S') AS timestamp,
+           'esx' || CAST(turn_idx % 4 AS VARCHAR) AS hostname,
+           'Hostd' AS service,
+           'task ' || CAST(turn_idx AS VARCHAR) AS message,
+           'esxi' AS log_type,
+           date_trunc('second', ts) AS event_ts
+           FROM t"""),
+
+      "q_plugin_ubiquiti" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           '30' AS priority,
+           strftime(ts, '%b ') || CAST(day(ts) AS VARCHAR) ||
+             strftime(ts, ' %H:%M:%S') AS timestamp,
+           printf('aa-bb-cc-%02d', turn_idx % 100) AS mac_address,
+           'UAP' AS device, 'hostapd' AS process,
+           'sta ' || CAST(turn_idx AS VARCHAR) || ' connected' AS message,
+           'ubiquiti' AS log_type,
+           date_trunc('second', ts) AS event_ts
+           FROM t"""),
+
+      "q_plugin_kubelet" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CASE regexp_extract(text, 'level=(\w+)', 1)
+                WHEN 'error' THEN 'E' WHEN 'warn' THEN 'W' ELSE 'I' END AS severity,
+           strftime(ts, '%m%d %H:%M:%S') || '.123456' AS timestamp,
+           CAST(turn_idx % 9000 + 1000 AS BIGINT) AS pid,
+           'kubelet.go' AS src,
+           CAST(turn_idx % 2000 AS VARCHAR) AS src_line,
+           'sync ' || CAST(turn_idx AS VARCHAR) AS message,
+           'kubelet' AS log_type,
+           CASE regexp_extract(text, 'level=(\w+)', 1)
+                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
+           FROM t WHERE starts_with(text, 'level=')"""),
 
       "q_plugin_macos" -> Transcripts.withT(
         """SELECT conv_id, turn_idx,

@@ -325,4 +325,35 @@ class StreamingSpec extends SparkTestBase {
       assert(after == 2L, "late row must not re-open or re-emit the window")
     } finally q.stop()
   }
+
+  test("OTTL statements apply identically in a streaming micro-batch (batch parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      WmTurn("c1", 0, "assistant", "hello user42", "search", ts("2024-01-01 10:00:00")),
+      WmTurn("c1", 1, "user", "plain", "", ts("2024-01-01 10:01:00")))
+    val stmts = Seq(
+      "set(flag, 'hot') where role == 'assistant'",
+      "replace_pattern(body, 'user[0-9]+', '***')")
+    val cols = Set("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val input = MemoryStream[WmTurn]
+    // OTTL compiles to stateless column edits — the same transform applies
+    // to a streaming relation unchanged (no state, no watermark needed)
+    val q = graft.expr.Ottl(stmts, cols)(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ottl_stream").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ottl_stream")
+        .select("conv_id", "turn_idx", "flag", "text")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.expr.Ottl(stmts, cols)(rows.toDF())
+        .select("conv_id", "turn_idx", "flag", "text")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(batch.exists(_.contains("hello ***")))
+    } finally q.stop()
+  }
 }
