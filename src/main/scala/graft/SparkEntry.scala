@@ -1481,6 +1481,7 @@ object SparkEntry {
            'conn' || CAST(turn_idx % 100 AS VARCHAR) AS context,
            'op ' || CAST(turn_idx AS VARCHAR) AS message,
            'mongodb' AS log_type,
+           date_trunc('millisecond', ts) AS event_ts,
            CASE regexp_extract(text, 'level=(\w+)', 1)
                 WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
            FROM t WHERE starts_with(text, 'level=')"""),
@@ -1569,6 +1570,7 @@ object SparkEntry {
            CAST(turn_idx % 2000 AS VARCHAR) AS src_line,
            'sync ' || CAST(turn_idx AS VARCHAR) AS message,
            'kubelet' AS log_type,
+           date_trunc('second', ts) + INTERVAL 123456 MICROSECOND AS event_ts,
            CASE regexp_extract(text, 'level=(\w+)', 1)
                 WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
            FROM t WHERE starts_with(text, 'level=')"""),

@@ -172,20 +172,38 @@ object ParseOps {
   // -------------------------------------------------------------------
   /** strptime → java.time DateTimeFormatter translation for the layouts the
     * shipped plugins use (`%d/%b/%Y:%H:%M:%S %z` et al.). */
+  /** ctimefmt directive → DateTimeFormatter letter table (the directives
+    * the shipped templates use). */
   val StrptimeTable: Seq[(String, String)] = Seq(
-    "%d/%b/%Y:%H:%M:%S" -> "dd/MMM/yyyy:HH:mm:ss",
-    "%Y-%m-%dT%H:%M:%S" -> "yyyy-MM-dd'T'HH:mm:ss",
-    "%Y-%m-%d %H:%M:%S" -> "yyyy-MM-dd HH:mm:ss",
-    "%b %d %H:%M:%S" -> "MMM dd HH:mm:ss",
-    // ctimefmt composites/directives the shipped templates use
     "%F" -> "yyyy-MM-dd", "%T" -> "HH:mm:ss", "%L" -> "SSS",
     "%f" -> "SSSSSS", "%a" -> "EEE", "%h" -> "MMM",
-    "%z" -> "Z", "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
+    "%z" -> "Z", "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
     "%H" -> "HH", "%M" -> "mm", "%S" -> "ss", "%b" -> "MMM")
 
+  /** Directive scanner (not blind substring replacement): `%X` maps through
+    * the table; literal LETTERS between directives are single-quoted — an
+    * unquoted 'T' or 'Z' in the translated pattern would be read as a
+    * DateTimeFormatter pattern letter ('%Y-%m-%dT%H:%M:%S.%LZ' must become
+    * "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").
+    */
   def strptimeToJava(layout: String): String = {
-    // longest-first replacement of composite layouts, then single directives
-    StrptimeTable.foldLeft(layout) { case (acc, (from, to)) => acc.replace(from, to) }
+    val out = new StringBuilder
+    var i = 0
+    while (i < layout.length) {
+      if (layout(i) == '%' && i + 1 < layout.length) {
+        val d = layout.substring(i, i + 2)
+        StrptimeTable.find(_._1 == d) match {
+          case Some((_, pat)) => out ++= pat; i += 2
+          case None => throw new IllegalArgumentException(
+            s"unsupported strptime directive '$d' in: $layout")
+        }
+      } else {
+        val c = layout(i)
+        if (c.isLetter) out ++= s"'$c'" else out += c
+        i += 1
+      }
+    }
+    out.toString
   }
 
   /** Go reference-time token → DateTimeFormatter letter table, longest

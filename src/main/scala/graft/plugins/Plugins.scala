@@ -759,7 +759,9 @@ object Plugins {
         SevError -> Seq(ExactRule("e")),
         SevWarn -> Seq(ExactRule("w")),
         SevInfo -> Seq(ExactRule("i")),
-        5 -> Seq(ExactRule("d")))),
+        5 -> Seq(ExactRule("d"))),
+      timeLayout = Some("timestamp" -> "%Y-%m-%dT%H:%M:%S.%LZ"),
+      timeLayoutType = "strptime"),
     // plugins/rabbitmq_logs.yaml:55
     RegexPluginDef("rabbitmq",
       """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d+\+\d{2}:\d{2}) \[([a-z]+)\] <(\d+\.\d+\.\d+)> (.*)$""",
@@ -815,17 +817,23 @@ object Plugins {
     RegexPluginDef("kubelet",
       """^(\w)(\d{4} \d{2}:\d{2}:\d{2}\.\d+)\s+(\d+)\s+([^:]*):([^\]]*)\] (.*)$""",
       Seq("severity", "timestamp", "pid", "src", "src_line", "message"),
-      severityMapping = KlogSeverities, longFields = Set("pid")),
+      severityMapping = KlogSeverities, longFields = Set("pid"),
+      timeLayout = Some("timestamp" -> "%m%d %H:%M:%S.%f"),
+      timeLayoutType = "strptime"),
     // plugins/ingress_nginx_logs.yaml:61 (same klog controller framing)
     RegexPluginDef("ingress_nginx",
       """^(\w)(\d{4} \d{2}:\d{2}:\d{2}\.\d+)\s+(\d+)\s+([^:]*):([^\]]*)\] (.*)$""",
       Seq("severity", "timestamp", "pid", "src", "src_line", "message"),
-      severityMapping = KlogSeverities, longFields = Set("pid")),
+      severityMapping = KlogSeverities, longFields = Set("pid"),
+      timeLayout = Some("timestamp" -> "%m%d %H:%M:%S.%f"),
+      timeLayoutType = "strptime"),
     // plugins/cockroachdb_logs.yaml:134 (core form)
     RegexPluginDef("cockroachdb",
       """^([IWEF])(\d{6}\s+\d{2}:\d{2}:\d{2}\.\d{6})\s+(\d+)\s+(\S+)\s+(\[[^\]]+\])\s+(.*)$""",
       Seq("severity", "timestamp", "goid", "location", "node", "message"),
-      severityMapping = KlogSeverities, longFields = Set("goid")),
+      severityMapping = KlogSeverities, longFields = Set("goid"),
+      timeLayout = Some("timestamp" -> "%y%m%d %H:%M:%S.%f"),
+      timeLayoutType = "strptime"),
     // plugins/couchbase_logs.yaml:106
     RegexPluginDef("couchbase",
       """^\[([^:]*):([^,]*),(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d+-\d{2}:\d{2}),([^@]*)@([^:]*):([^\]]+)\](.*)$""",
