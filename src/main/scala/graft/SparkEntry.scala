@@ -400,6 +400,18 @@ object SparkEntry {
     }),
     "q_plugin_apache" -> ((s, d) =>
       graft.plugins.Plugins.ApacheCombinedPlugin(s)(t(s, d))),
+    // bindplane agent logs (bindplane_logs.yaml:50): json_parser + severity
+    "q_plugin_bindplane" -> ((s, d) =>
+      graft.plugins.Plugins.BindplanePlugin(s)(t(s, d))),
+    // iis (iis_logs.yaml): w3c delegation with the space-delimited header
+    // (zone stripped first — the fixture time_local embeds ' +0000')
+    "q_plugin_iis" -> ((s, d) => {
+      val csvRows = t(s, d).filter(ParseOps.isCsv)
+      val line = regexp_replace(regexp_replace(col("text"), " \\+0000", ""), ",", " ")
+      graft.plugins.Plugins.IisPlugin(s, Map(
+        "header" -> "date level component code latency_ms"))(
+        csvRows.select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
     "q_plugin_cef" -> ((s, d) => {
       // CEF-framed lines; severity alternates numeric ranges / text aliases
       val kv = t(s, d).filter(ParseOps.isKv)
@@ -1390,6 +1402,25 @@ object SparkEntry {
            'w3c' AS log_type
            FROM t WHERE regexp_matches(text, '^\d{2}/') AND turn_idx % 7 <> 0"""),
 
+      "q_plugin_bindplane" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           json_extract_string(text, '$.level') AS level,
+           json_extract_string(text, '$.msg') AS message,
+           'bindplane' AS log_type,
+           CASE json_extract_string(text, '$.level')
+                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
+           FROM t WHERE starts_with(text, '{')"""),
+
+      "q_plugin_iis" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           replace(string_split(text, ',')[1], ' +0000', '') AS date,
+           string_split(text, ',')[2] AS level,
+           string_split(text, ',')[3] AS component,
+           string_split(text, ',')[4] AS code,
+           string_split(text, ',')[5] AS latency_ms,
+           'iis' AS log_type
+           FROM t WHERE regexp_matches(text, '^\d{2}/')"""),
+
       "q_plugin_apache" -> Transcripts.withT(
         s"""SELECT conv_id, turn_idx,
            regexp_extract(text, '$nginxPat', 1) AS remote_addr,
@@ -1469,7 +1500,10 @@ object SparkEntry {
            'tomcat' AS log_type,
            date_trunc('second', ts) AS event_ts,
            CASE regexp_extract(text, 'level=(\w+)', 1)
-                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
+                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number,
+           CASE regexp_extract(text, 'level=(\w+)', 1)
+                WHEN 'error' THEN 'ERROR' WHEN 'warn' THEN 'WARN'
+                ELSE 'INFO' END AS severity_text
            FROM t WHERE starts_with(text, 'level=')"""),
 
       "q_plugin_mongodb" -> Transcripts.withT(
@@ -1483,7 +1517,10 @@ object SparkEntry {
            'mongodb' AS log_type,
            date_trunc('millisecond', ts) AS event_ts,
            CASE regexp_extract(text, 'level=(\w+)', 1)
-                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
+                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number,
+           CASE regexp_extract(text, 'level=(\w+)', 1)
+                WHEN 'error' THEN 'ERROR' WHEN 'warn' THEN 'WARN'
+                ELSE 'INFO' END AS severity_text
            FROM t WHERE starts_with(text, 'level=')"""),
 
       "q_plugin_apache_http" -> Transcripts.withT(
@@ -1511,7 +1548,10 @@ object SparkEntry {
            'apache_cassandra' AS log_type,
            date_trunc('second', ts) AS event_ts,
            CASE regexp_extract(text, 'level=(\w+)', 1)
-                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
+                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number,
+           CASE regexp_extract(text, 'level=(\w+)', 1)
+                WHEN 'error' THEN 'ERROR' WHEN 'warn' THEN 'WARN'
+                ELSE 'INFO' END AS severity_text
            FROM t WHERE starts_with(text, 'level=')"""),
 
       "q_plugin_tcp" -> Transcripts.withT(
@@ -1534,7 +1574,10 @@ object SparkEntry {
            'zookeeper' AS log_type,
            date_trunc('second', ts) AS event_ts,
            CASE regexp_extract(text, 'level=(\w+)', 1)
-                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
+                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number,
+           CASE regexp_extract(text, 'level=(\w+)', 1)
+                WHEN 'error' THEN 'ERROR' WHEN 'warn' THEN 'WARN'
+                ELSE 'INFO' END AS severity_text
            FROM t WHERE starts_with(text, 'level=')"""),
 
       "q_plugin_esxi" -> Transcripts.withT(
@@ -1572,7 +1615,10 @@ object SparkEntry {
            'kubelet' AS log_type,
            date_trunc('second', ts) + INTERVAL 123456 MICROSECOND AS event_ts,
            CASE regexp_extract(text, 'level=(\w+)', 1)
-                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number
+                WHEN 'error' THEN 17 WHEN 'warn' THEN 13 ELSE 9 END AS severity_number,
+           CASE regexp_extract(text, 'level=(\w+)', 1)
+                WHEN 'error' THEN 'ERROR' WHEN 'warn' THEN 'WARN'
+                ELSE 'INFO' END AS severity_text
            FROM t WHERE starts_with(text, 'level=')"""),
 
       "q_plugin_macos" -> Transcripts.withT(

@@ -548,8 +548,12 @@ object Plugins {
           case None => parsed
         }
         d.severityField match {
-          case Some(f) => timed.withColumn("severity_number",
-            graft.parse.ParseOps.compileSeverityMapping(col(f), d.severityMapping))
+          case Some(f) => timed
+            .withColumn("severity_number",
+              graft.parse.ParseOps.compileSeverityMapping(col(f), d.severityMapping))
+            // severity_parser sets BOTH the number and the text enum
+            .withColumn("severity_text",
+              graft.parse.ParseOps.severityText(col("severity_number")))
           case None => timed
         }
       }
