@@ -204,11 +204,14 @@ object EnrichOps {
       // ValueTypeSlice branch carries no per-element field name)
       case ArrayType(et, _) => transform(c, x => maskDeep(x, et, path, exclude))
       case st: StructType =>
-        struct(st.fields.map { f =>
+        val rebuilt = struct(st.fields.map { f =>
           val p = s"$path.${f.name}"
           (if (exclude.contains(p)) c.getField(f.name)
            else maskDeep(c.getField(f.name), f.dataType, p, exclude)).as(f.name)
         }: _*)
+        // a NULL struct must stay null (struct(getField...) would otherwise
+        // produce a non-null row of nulls)
+        when(c.isNull, lit(null).cast(st)).otherwise(rebuilt)
       case MapType(_, vt, _) =>
         // dotted sub-path excludes (processor.go:174-178: maskValue returns
         // BEFORE masking when the full dotted field matches, skipping the

@@ -236,7 +236,7 @@ object ExprLang {
             }
         }
       case Op("(") =>
-        val e = parseOr()
+        val e = parseTernary() // full grammar inside parens, incl. `?:`
         expect(")")
         e
       case t => throw new IllegalArgumentException(s"unexpected token $t")
@@ -356,7 +356,9 @@ object ExprLang {
     },
     "Keys" -> (args => map_keys(args.head)),
     "Values" -> (args => map_values(args.head)),
-    "IsString" -> (args => args.head.isNotNull && args.head.cast("string").isNotNull),
+    // NOTE: no IsString — a Column-level implementation can't see the
+    // resolved type, and "non-null ⇒ true" would silently diverge from
+    // upstream's type check; configs using it fail loudly instead
     "Log" -> (args => log(args.head.cast("double"))),
     "Sqrt" -> (args => sqrt(args.head.cast("double"))),
     "Abs" -> (args => abs(args.head)))
@@ -372,16 +374,27 @@ object ExprLang {
   private val NamedGroupRe = """\(\?<([A-Za-z][A-Za-z0-9]*)>""".r
   private def namedGroups(pat: String): Seq[String] =
     NamedGroupRe.findAllMatchIn(pat).map(_.group(1)).toSeq
-  /** 1-based index of named group `n` among ALL capture groups of `pat`. */
+  /** 1-based index of named group `n` among ALL capture groups of `pat`.
+    * Scanner is escape- and character-class-aware: `\(`, parens inside
+    * `[...]`, non-capturing `(?:`, and lookarounds `(?=  (?!  (?<=  (?<!`
+    * do NOT count; only plain `(` and named `(?<name>` do.
+    */
   private def groupIndex(pat: String, n: String): Int = {
-    var idx = 0; var found = -1; var i = 0
+    var idx = 0; var found = -1; var i = 0; var inClass = false
     while (i < pat.length && found < 0) {
-      if (pat(i) == '(' && (i == 0 || pat(i - 1) != '\\')) {
-        val rest = pat.substring(i)
-        if (!rest.startsWith("(?") || rest.startsWith("(?<")) {
-          idx += 1
-          if (rest.startsWith(s"(?<$n>")) found = idx
-        }
+      pat(i) match {
+        case '\\' => i += 1 // skip the escaped char
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass =>
+          val rest = pat.substring(i)
+          val isNamed = rest.startsWith("(?<") &&
+            !rest.startsWith("(?<=") && !rest.startsWith("(?<!")
+          if (isNamed || !rest.startsWith("(?")) {
+            idx += 1
+            if (rest.startsWith(s"(?<$n>")) found = idx
+          }
+        case _ =>
       }
       i += 1
     }

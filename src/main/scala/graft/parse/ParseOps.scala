@@ -197,11 +197,13 @@ object ParseOps {
           case None => throw new IllegalArgumentException(
             s"unsupported strptime directive '$d' in: $layout")
         }
-      } else {
-        val c = layout(i)
-        if (c.isLetter) out ++= s"'$c'" else out += c
-        i += 1
-      }
+      } else if (layout(i).isLetter) {
+        // quote the whole literal run (see gotimeToJava note)
+        var end = i + 1
+        while (end < layout.length && layout(end).isLetter) end += 1
+        out ++= "'" + layout.substring(i, end) + "'"
+        i = end
+      } else { out += layout(i); i += 1 }
     }
     out.toString
   }
@@ -237,8 +239,16 @@ object ParseOps {
         case Some((tok, pat)) => out ++= pat; i += tok.length
         case None =>
           val c = layout(i)
-          if (c.isLetter) out ++= s"'$c'" else out += c
-          i += 1
+          if (c.isLetter) {
+            // quote the whole literal run ('UTC', not 'U''T''C' — adjacent
+            // quoted sections read '' as an ESCAPED quote character)
+            var end = i + 1
+            while (end < layout.length && layout(end).isLetter &&
+              GotimeTokens.forall { case (tok, _) => !layout.startsWith(tok, end) })
+              end += 1
+            out ++= "'" + layout.substring(i, end) + "'"
+            i = end
+          } else { out += c; i += 1 }
       }
     }
     out.toString

@@ -75,6 +75,10 @@ final class Manifest(manifestDir: String) {
   // -------------------------------------------------------------------
   private val snapDir: Path = dir.resolve("_snapshots")
 
+  // cached head sequence: one directory listing at construction, O(1) per
+  // commit after (a per-commit full listing would be O(N²) over a run)
+  private var lastSeq: Long = -1L
+
   private def snapshotSeqs(): Seq[Long] = {
     if (!Files.isDirectory(snapDir)) return Seq.empty
     val s = Files.list(snapDir)
@@ -88,7 +92,8 @@ final class Manifest(manifestDir: String) {
 
   private def appendSnapshot(e: PartitionEntry): Unit = {
     Files.createDirectories(snapDir)
-    val seq = snapshotSeqs().lastOption.getOrElse(0L) + 1
+    if (lastSeq < 0) lastSeq = snapshotSeqs().lastOption.getOrElse(0L)
+    val seq = lastSeq + 1
     val parent = seq - 1
     val json =
       s"""{"sequence_number": $seq, "parent_id": $parent,
@@ -98,6 +103,7 @@ final class Manifest(manifestDir: String) {
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, snapDir.resolve(f"$seq%d.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    lastSeq = seq
   }
 
   /** Current snapshot id (0 = empty table). */
@@ -117,6 +123,14 @@ final class Manifest(manifestDir: String) {
     val s = Files.list(dir)
     try s.iterator().asScala.filter(_.toString.endsWith(".json")).foreach(Files.delete)
     finally s.close()
+    // the snapshot lineage must clear WITH the partition state, else
+    // time travel would claim cleared partitions are still committed
+    if (Files.isDirectory(snapDir)) {
+      val sn = Files.list(snapDir)
+      try sn.iterator().asScala.filter(_.toString.endsWith(".json")).foreach(Files.delete)
+      finally sn.close()
+    }
+    lastSeq = 0L
   }
 
   private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9=_-]", "_")

@@ -76,12 +76,16 @@ object PagedSearch {
           storeDir: String, outDir: String, manifest: Manifest,
           failAfterPages: Long = Long.MaxValue): RunResult = {
     val storePath = s"$storeDir/paged_store"
+    val results = pagedResults(t, spec)
     // the store itself is part of the search (searchID): materialize only once
     if (!new java.io.File(s"$storePath/_SUCCESS").exists()) {
-      pagedResults(t, spec).write.mode("overwrite")
-        .partitionBy("page").parquet(storePath)
+      results.write.mode("overwrite").partitionBy("page").parquet(storePath)
     }
-    val store = spark.read.option("basePath", storePath).parquet(storePath)
+    // explicit schema: an empty search writes only _SUCCESS, and schema
+    // inference over zero files would abort instead of returning an empty
+    // RunResult (the reference receiver ends an empty search gracefully)
+    val store = spark.read.schema(results.schema)
+      .option("basePath", storePath).parquet(storePath)
     // partition-column inference reads `page` back as int — normalize
     val pages = store.select(col("page").cast("long")).distinct().collect()
       .map(_.getLong(0)).sorted // bounded: rows/eventBatchSize entries

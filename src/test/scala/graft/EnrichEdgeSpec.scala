@@ -70,6 +70,17 @@ class EnrichEdgeSpec extends SparkTestBase {
     assert(rec.getAs[org.apache.spark.sql.Row]("b").getAs[String]("inner") == pii)
   }
 
+  test("mask: a NULL struct value stays null (no non-null row of nulls)") {
+    val df = Seq(("c1", Some("mail a@b.io x")), ("c2", None))
+      .toDF("conv_id", "s")
+      .withColumn("rec", when(col("s").isNotNull,
+        struct(col("s").as("a"))))
+      .select(col("conv_id"), col("rec"))
+    val out = EnrichOps.maskColumns(df, Set("conv_id"))
+      .collect().map(r => r.getAs[String]("conv_id") -> r.isNullAt(1)).toMap
+    assert(!out("c1") && out("c2"))
+  }
+
   test("lookup CSV duplicate keys LAST-WIN; colliding columns overwrite matched rows only") {
     import EnrichOps.{LookupSpec, lookupCsv, lookupFixture}
     val df = Seq(("user", "orig"), ("tool", "orig")).toDF("role", "team")

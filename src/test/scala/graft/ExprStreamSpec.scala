@@ -81,6 +81,17 @@ class ExprLangSpec extends SparkTestBase {
     assert(df.filter(ExprLang.boolExpr("role in ['tool', 'system']", ac)).count() == 1)
     assert(df.filter(ExprLang.boolExpr("role not in ['tool']", ac)).count() == 1)
     assert(df.filter(ExprLang.boolExpr("n in [3, 10]", ac)).count() == 2)
+    // ternary must parse INSIDE parens and compose with arithmetic
+    assert(v("(n > 5 ? 'big' : 'small')") == "big")
+    assert(v("(n > 5 ? 1 : 2) * 3") == 3L)
+  }
+
+  test("ExtractPatterns group numbering skips lookbehinds and class parens") {
+    val df = Seq("code 42 end").toDF("text")
+    val m = df.select(ExprLang.valueExpr(
+        """ExtractPatterns(body, '(?<!x)(?<num>[0-9]+)')""", cols).as("m"))
+      .collect().head.getAs[Map[String, String]]("m")
+    assert(m == Map("num" -> "42"))
   }
 
   test("expressionMap: failed/nil entries silently absent (expr/map.go:31-34)") {

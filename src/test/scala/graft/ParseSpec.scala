@@ -74,6 +74,14 @@ class ParseSpec extends SparkTestBase {
     }
   }
 
+  test("layout translators quote literal-letter RUNS as one section") {
+    // 'U''T''C' would read '' as an escaped quote; must be 'UTC'
+    assert(ParseOps.strptimeToJava("%H:%M:%S UTC") == "HH:mm:ss 'UTC'")
+    assert(ParseOps.gotimeToJava("15:04:05 UTC") == "HH:mm:ss 'UTC'")
+    assert(ParseOps.strptimeToJava("%Y-%m-%dT%H:%M:%S.%LZ") ==
+      "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+  }
+
   test("gotime layouts translate to DateTimeFormatter patterns") {
     assert(ParseOps.gotimeToJava("2006-01-02T15:04:05Z07:00") ==
       "yyyy-MM-dd'T'HH:mm:ssXXX")

@@ -239,6 +239,24 @@ class ResumeSpec extends SparkTestBase {
     // as-of matches the live view at head
     assert(m.committedPartitionsAsOf(3L).map(_.replaceAll("[^A-Za-z0-9=_-]", "_"))
       == m.committedPartitions())
+    // clear() resets the snapshot lineage WITH the partition state
+    m.clear()
+    assert(m.currentSnapshot() == 0L && m.committedPartitions().isEmpty)
+    m.commit(m.PartitionEntry("p9", "committed", 1L, Map("out" -> 1L), Seq("p9"), 0L))
+    assert(m.currentSnapshot() == 1L)
+    assert(m.committedPartitionsAsOf(1L) == Set("p9"))
+    Bench.deleteRec(base)
+  }
+
+  test("paged search: zero-match search returns an empty result, not an abort") {
+    import graft.pipeline.PagedSearch
+    val base = java.nio.file.Files.createTempDirectory("paged0").toString
+    val t = Transcripts.generate(spark, nTurns = 100, nConvs = 5)
+    val spec = PagedSearch.SearchSpec("no_such_substring_zzz",
+      "2024-01-01T00:00", "2024-12-31T00:00", eventBatchSize = 10)
+    val r = PagedSearch.run(spark, t, spec, s"$base/store", s"$base/out",
+      new Manifest(s"$base/_manifest"))
+    assert(r == PagedSearch.RunResult(0, 0, 0))
     Bench.deleteRec(base)
   }
 
