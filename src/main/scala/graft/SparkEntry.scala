@@ -565,6 +565,10 @@ object SparkEntry {
     // keep-list → renames → regex combines → aggregate_labels sum → metadata
     "q_plugin_couchbase_metrics" -> ((s, d) =>
       graft.plugins.Plugins.registry("couchbase_metrics")(s)(t(s, d))),
+    "q_plugin_cockroachdb_metrics" -> ((s, d) =>
+      graft.plugins.Plugins.registry("cockroachdb_metrics")(s)(t(s, d))),
+    "q_plugin_oracledb_metrics" -> ((s, d) =>
+      graft.plugins.Plugins.registry("oracledb_metrics")(s)(t(s, d))),
     "q_snapshot_search" -> ((s, d) =>
       graft.plugins.Snapshot.search(t(s, d), "search", "2024-01-10 00:00:00")),
     // payload budget: running byte sum caps the snapshot
@@ -987,6 +991,76 @@ object SparkEntry {
                WHEN 'couchbase.bucket.error.oom.count' THEN '{errors}'
                WHEN 'couchbase.bucket.memory.high_water_mark.limit' THEN 'By'
                WHEN 'couchbase.bucket.memory.low_water_mark.limit' THEN 'By'
+             END AS unit
+           FROM comb GROUP BY 1, 2, 3"""),
+
+      "q_plugin_cockroachdb_metrics" -> Transcripts.withT(
+        """, dp AS (
+             SELECT (['round_trip_latency','sql_distsql_exec_latency',
+                      'sql_exec_latency','sql_service_latency','txn_aborts',
+                      'sql_query_count','txn_abandons','txn_commits',
+                      'txn_durations','exec_error','timeseries_write_errors',
+                      'sys_cpu_user_percent','sys_cpu_sys_percent',
+                      'liveness_livenodes'])[turn_idx % 14 + 1] AS prom_name,
+                    CAST(turn_idx % 97 AS BIGINT) AS value, role AS instance
+             FROM t),
+           ren AS (
+             SELECT CASE prom_name
+               WHEN 'round_trip_latency' THEN 'crdb.round_trip.latency'
+               WHEN 'sql_distsql_exec_latency' THEN 'crdb.sql.distsql.exec.latency'
+               WHEN 'sql_exec_latency' THEN 'crdb.sql.exec.latency'
+               WHEN 'sql_service_latency' THEN 'crdb.sql.service.latency'
+               WHEN 'txn_aborts' THEN 'crdb.transaction.aborts'
+               WHEN 'sql_query_count' THEN 'crdb.sql.query.count'
+               WHEN 'txn_abandons' THEN 'crdb.transaction.abandons'
+               WHEN 'txn_commits' THEN 'crdb.transaction.commits.count'
+               WHEN 'txn_durations' THEN 'crdb.transaction.durations.time'
+               WHEN 'exec_error' THEN 'crdb.exec.errors.count'
+               WHEN 'timeseries_write_errors' THEN 'crdb.timeseries.write.errors.count'
+               WHEN 'sys_cpu_user_percent' THEN 'crdb.sys.cpu.user.utilization'
+               WHEN 'sys_cpu_sys_percent' THEN 'crdb.sys.cpu.sys.utilization'
+               WHEN 'liveness_livenodes' THEN 'crdb.liveness.livenodes'
+             END AS metric_name, value, instance FROM dp)
+           SELECT metric_name, instance, CAST(NULL AS VARCHAR) AS label,
+             CAST(COUNT(*) AS BIGINT) AS n_datapoints,
+             CAST(SUM(value) AS BIGINT) AS value_sum,
+             metric_name IN ('crdb.sql.query.count',
+               'crdb.transaction.commits.count', 'crdb.exec.errors.count')
+               AS is_monotonic,
+             CAST(NULL AS VARCHAR) AS unit
+           FROM ren GROUP BY 1, 2"""),
+
+      "q_plugin_oracledb_metrics" -> Transcripts.withT(
+        """, dp AS (
+             SELECT (['oracle.tablespace.size.free','oracle.tablespace.size.used',
+                      'oracle.tablespace.count','oracle.backup.latest',
+                      'oracle.process.count','oracle.process.limit',
+                      'oracle.session.count','oracle.session.limit',
+                      'oracle.process.pga_memory.size.used',
+                      'oracle.process.pga_memory.size.free'])[turn_idx % 10 + 1]
+                    AS m,
+                    CAST(turn_idx % 97 AS BIGINT) AS value, role AS instance
+             FROM t),
+           comb AS (
+             SELECT
+               CASE WHEN regexp_matches(m, '^oracle\.tablespace\.size\.(free|used)$')
+                      THEN 'oracle.tablespace.size'
+                    WHEN regexp_matches(m, '^oracle\.process\.pga_memory\.size\.(used|free)$')
+                      THEN 'oracle.process.pga_memory.size'
+                    ELSE m END AS metric_name,
+               CASE WHEN regexp_matches(m, '^oracle\.tablespace\.size\.(free|used)$')
+                      THEN regexp_extract(m, '^oracle\.tablespace\.size\.(free|used)$', 1)
+                    WHEN regexp_matches(m, '^oracle\.process\.pga_memory\.size\.(used|free)$')
+                      THEN regexp_extract(m, '^oracle\.process\.pga_memory\.size\.(used|free)$', 1)
+               END AS label,
+               value, instance FROM dp)
+           SELECT metric_name, instance, label,
+             CAST(COUNT(*) AS BIGINT) AS n_datapoints,
+             CAST(SUM(value) AS BIGINT) AS value_sum,
+             false AS is_monotonic,
+             CASE metric_name
+               WHEN 'oracle.tablespace.size' THEN 'By'
+               WHEN 'oracle.process.pga_memory.size' THEN 'By'
              END AS unit
            FROM comb GROUP BY 1, 2, 3"""),
 
