@@ -228,7 +228,13 @@ object SparkEntry {
     // or enum constraint of their class are dropped
     "q_ocsf_validate" -> ((s, d) => {
       val j = ParseOps.parseJson(t(s, d))
-      val fields = Seq(
+      val sevId = when(col("turn_idx") % 7 === 0, 7) // enum violation → drop
+        .otherwise(when(col("status") >= 500, 2).otherwise(1))
+      val srcEp = when(col("turn_idx") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("10.0.0."), (col("turn_idx") % 256).cast("string")))
+      val timeCol = col("turn_idx").cast("long")
+      // HTTP Activity (4002): severity enum + required src_endpoint exercised
+      val httpFields = Seq(
         EnrichOps.FieldMapping("activity_id",
           from = Some(when(col("status") >= 500, 2).otherwise(1))),
         EnrichOps.FieldMapping("dst_endpoint",
@@ -238,17 +244,27 @@ object SparkEntry {
         EnrichOps.FieldMapping("http_response",
           from = Some(col("status")), default = Some(lit(0)),
           ocsfType = Some("long")),
-        // enum violation: severity_id 7 is outside 0-6,99 → dropped
+        EnrichOps.FieldMapping("severity_id", from = Some(sevId)),
+        EnrichOps.FieldMapping("src_endpoint", from = Some(srcEp)),
+        EnrichOps.FieldMapping("time", from = Some(timeCol)))
+      // API Activity (6003): its own activity_id enum (0-4, 99) exercised —
+      // 7 is invalid for this class too and those records drop
+      val apiFields = Seq(
+        EnrichOps.FieldMapping("activity_id",
+          from = Some(when(col("turn_idx") % 11 === 0, 7)
+            .otherwise(when(col("status") >= 500, lit(99)).otherwise(3)))),
+        EnrichOps.FieldMapping("actor",
+          from = Some(concat(lit("agent-"), (col("turn_idx") % 4).cast("string")))),
+        EnrichOps.FieldMapping("api", from = Some(col("path")),
+          default = Some(lit("/api"))),
         EnrichOps.FieldMapping("severity_id",
-          from = Some(when(col("turn_idx") % 7 === 0, 7)
-            .otherwise(when(col("status") >= 500, 2).otherwise(1)))),
-        // required-field violation: null src_endpoint → dropped
+          from = Some(when(col("status") >= 500, 2).otherwise(1))),
         EnrichOps.FieldMapping("src_endpoint",
-          from = Some(when(col("turn_idx") % 5 === 0, lit(null).cast("string"))
-            .otherwise(concat(lit("10.0.0."), (col("turn_idx") % 256).cast("string"))))),
-        EnrichOps.FieldMapping("time", from = Some(col("turn_idx").cast("long"))))
+          from = Some(concat(lit("10.0.1."), (col("turn_idx") % 256).cast("string")))),
+        EnrichOps.FieldMapping("time", from = Some(timeCol)))
       val mappings = Seq(
-        EnrichOps.EventMapping(Some(lit(true)), 4002, fields))
+        EnrichOps.EventMapping(Some(col("level") === "error"), 4002, httpFields),
+        EnrichOps.EventMapping(Some(lit(true)), 6003, apiFields))
       EnrichOps.ocsfStandardizeConfig(j, mappings, runtimeValidation = true)
         .select(col("conv_id"), col("turn_idx"),
           col("ocsf.class_uid").as("class_uid"),
@@ -1196,16 +1212,24 @@ object SparkEntry {
            FROM t"""),
 
       "q_ocsf_validate" -> Transcripts.withT(
-        """SELECT conv_id, turn_idx,
-           4002 AS class_uid,
-           CASE WHEN status >= 500 THEN 2 ELSE 1 END AS activity_id,
-           CASE WHEN status >= 500 THEN 2 ELSE 1 END AS severity_id,
-           '10.0.0.' || CAST(turn_idx % 256 AS VARCHAR) AS src_endpoint,
-           CAST(400200 + CASE WHEN status >= 500 THEN 2 ELSE 1 END AS BIGINT) AS type_uid
-           FROM (SELECT conv_id, turn_idx,
-                   CAST(json_extract(text, '$.status') AS INT) AS status
-                 FROM t WHERE starts_with(text, '{'))
-           WHERE turn_idx % 7 <> 0 AND turn_idx % 5 <> 0"""),
+        """, j AS (SELECT conv_id, turn_idx,
+             CAST(json_extract(text, '$.status') AS INT) AS status,
+             json_extract_string(text, '$.level') AS level
+           FROM t WHERE starts_with(text, '{'))
+           SELECT conv_id, turn_idx, 4002 AS class_uid,
+             CASE WHEN status >= 500 THEN 2 ELSE 1 END AS activity_id,
+             CASE WHEN status >= 500 THEN 2 ELSE 1 END AS severity_id,
+             '10.0.0.' || CAST(turn_idx % 256 AS VARCHAR) AS src_endpoint,
+             CAST(400200 + CASE WHEN status >= 500 THEN 2 ELSE 1 END AS BIGINT) AS type_uid
+           FROM j WHERE level = 'error'
+             AND turn_idx % 7 <> 0 AND turn_idx % 5 <> 0
+           UNION ALL
+           SELECT conv_id, turn_idx, 6003,
+             CASE WHEN status >= 500 THEN 99 ELSE 3 END,
+             CASE WHEN status >= 500 THEN 2 ELSE 1 END,
+             '10.0.1.' || CAST(turn_idx % 256 AS VARCHAR),
+             CAST(600300 + CASE WHEN status >= 500 THEN 99 ELSE 3 END AS BIGINT)
+           FROM j WHERE COALESCE(level, '') <> 'error' AND turn_idx % 11 <> 0"""),
 
       "q_ocsf" -> Transcripts.withT(
         """SELECT conv_id, turn_idx,
