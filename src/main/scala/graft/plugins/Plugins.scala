@@ -411,8 +411,12 @@ object Plugins {
           element_at(h, 7).as("severity"),
           element_at(h, 8).as("extensions"),
           col("__p.hostname").as("hostname"),
-          graft.parse.ParseOps.gotimeParse(col("__p.timestamp"),
-            "Jan 02 15:04:05", Some(p("default_year").toInt)).as("event_ts"))
+          // `location:` semantics (cef yaml:62): the zone-less timestamp is
+          // wall time in the configured timezone → convert to UTC
+          to_utc_timestamp(
+            graft.parse.ParseOps.gotimeParse(col("__p.timestamp"),
+              "Jan 02 15:04:05", Some(p("default_year").toInt)),
+            p("timezone")).as("event_ts"))
         .withColumn("severity_number",
           graft.parse.ParseOps.compileSeverityMapping(col("severity"), CefMapping))
     }

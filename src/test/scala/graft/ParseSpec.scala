@@ -122,6 +122,17 @@ class ParseSpec extends SparkTestBase {
     assert(bad.isNullAt(0))
   }
 
+  test("CEF plugin timezone param: zone-less timestamps convert from location to UTC") {
+    val line = "Jan 02 10:00:00 sec1 CEF:0|v|p|1|SIG|ev|2|x=1"
+    val df = Seq(("c1", 0, line)).toDF("conv_id", "turn_idx", "line")
+    def tsWith(tz: String) = graft.plugins.Plugins.CefPlugin(
+        spark, Map("timezone" -> tz))(df)
+      .select(col("event_ts").cast("string")).collect().head.getString(0)
+    assert(tsWith("UTC") == "2024-01-02 10:00:00")
+    // 10:00 wall time in UTC+2 (no DST in January) = 08:00 UTC
+    assert(tsWith("Europe/Helsinki") == "2024-01-02 08:00:00")
+  }
+
   test("assign_keys pads short value lists with nulls (per-record on_error)") {
     val df = Seq("a,b,c", "a,b").toDF("text")
     val keys = Seq("k1", "k2", "k3")
