@@ -525,7 +525,9 @@ object Plugins {
     PluginParam("log_type", Some(d.name)),
     PluginParam("parse", Some("true"), Seq("true", "false")),
     // year for year-less gotime layouts (timeutils.SetTimestampYear analogue)
-    PluginParam("default_year", Some("2024")))) {
+    PluginParam("default_year", Some("2024")),
+    // time_parser `location:` — zone-less layouts are wall time here
+    PluginParam("timezone", Some("UTC")))) {
 
     protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
       if (p("parse") != "true")
@@ -543,12 +545,15 @@ object Plugins {
         val timed = d.timeLayout match {
           case Some((f, layout)) =>
             val y = Some(p("default_year").toInt)
-            parsed.withColumn("event_ts", d.timeLayoutType match {
+            val naive = d.timeLayoutType match {
               case "gotime" => graft.parse.ParseOps.gotimeParse(col(f), layout, y)
               case "strptime" => graft.parse.ParseOps.strptimeParse(col(f), layout, y)
               case other => throw new IllegalArgumentException(
                 s"layout_type '$other'")
-            })
+            }
+            // location semantics: identity for the UTC default; zone-BEARING
+            // layouts (%z) already resolve their own offset
+            parsed.withColumn("event_ts", to_utc_timestamp(naive, p("timezone")))
           case None => parsed
         }
         d.severityField match {
