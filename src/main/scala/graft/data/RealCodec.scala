@@ -73,7 +73,13 @@ object RealCodec {
     val h = buf.getInt(22)
     require(buf.getShort(28) == 24, "only 24bpp BMP supported")
     require(buf.getInt(30) == 0, "only uncompressed BMP supported")
+    // header fields are untrusted input: validate before reading pixels so
+    // malformed payloads fail as clean codec errors, not raw AIOOBE
+    require(w > 0 && h > 0, "not a BMP payload: non-positive dimensions")
     val rowSize = ((w * 3 + 3) / 4) * 4
+    require(dataOffset >= 54 &&
+      dataOffset.toLong + rowSize.toLong * h <= b.length,
+      "not a BMP payload: pixel data exceeds payload bounds")
     val px = new Array[Int](w * h)
     var fy = 0
     while (fy < h) {
@@ -184,6 +190,7 @@ object RealCodec {
     * length-prefixed container without materializing the rest.
     */
   def sampleFrames(b: Array[Byte], stride: Int): Seq[Array[Byte]] = {
+    require(stride > 0, s"stride must be positive, got $stride")
     val n = frameCount(b)
     val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()

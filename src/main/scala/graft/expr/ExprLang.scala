@@ -301,7 +301,11 @@ object ExprLang {
         case "lower" => lower(c)
         case "upper" => upper(c)
         case "snake" =>
-          lower(regexp_replace(c, "([a-z0-9])([A-Z])", "$1_$2"))
+          // both strcase boundaries: acronym-run end (HTTPServer →
+          // HTTP_Server) THEN lower-to-upper (fooBar → foo_Bar)
+          lower(regexp_replace(
+            regexp_replace(c, "([A-Z]+)([A-Z][a-z])", "$1_$2"),
+            "([a-z0-9])([A-Z])", "$1_$2"))
         case "camel" => // strcase.ToCamel: capitalize each _-part, join
           concat_ws("", transform(split(c, "_"), p => initcap(p)))
         case other => throw new IllegalArgumentException(s"ConvertCase '$other'")

@@ -106,6 +106,41 @@ final class Manifest(manifestDir: String) {
     lastSeq = seq
   }
 
+  // Crash reconciliation: commit() writes the partition entry, then the
+  // snapshot entry — a kill between the two leaves a committed partition
+  // with no lineage row (isCommitted() then skips it on resume, so the
+  // lineage would disagree with committedPartitions() forever). Heal at
+  // construction: re-append a snapshot entry for every committed partition
+  // the lineage is missing, reconstructed from the partition file itself.
+  locally {
+    val inLineage: Set[String] =
+      if (!Files.isDirectory(snapDir)) Set.empty
+      else snapshotSeqs().flatMap { n =>
+        val body = new String(Files.readAllBytes(snapDir.resolve(s"$n.json")),
+          StandardCharsets.UTF_8)
+        """"partition":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      }.toSet
+    val lineageStems = inLineage.map(sanitize)
+    committedPartitions().toSeq.sorted
+      .filterNot(stem => lineageStems.contains(stem)).foreach { stem =>
+        val body = new String(
+          Files.readAllBytes(dir.resolve(s"$stem.json")), StandardCharsets.UTF_8)
+        // the raw (unsanitized) partition name lives in the entry body
+        val p = """"partition":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+          .getOrElse(stem)
+        val rowsOut = """"rows_out":\s*(-?\d+)""".r.findFirstMatchIn(body)
+          .map(_.group(1).toLong).getOrElse(-1L)
+        val files = """"input_files":\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+          .map(_.group(1)).getOrElse("")
+          .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq
+        appendSnapshot(PartitionEntry(p, "committed", -1L, Map.empty,
+          files, 0L, rowsOut))
+      }
+  }
+
   /** Current snapshot id (0 = empty table). */
   def currentSnapshot(): Long = snapshotSeqs().lastOption.getOrElse(0L)
 

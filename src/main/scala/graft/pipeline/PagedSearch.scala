@@ -75,7 +75,14 @@ object PagedSearch {
   def run(spark: SparkSession, t: DataFrame, spec: SearchSpec,
           storeDir: String, outDir: String, manifest: Manifest,
           failAfterPages: Long = Long.MaxValue): RunResult = {
-    val storePath = s"$storeDir/paged_store"
+    // the store is keyed by a fingerprint of the FULL spec, not just the
+    // directory: a resumed run with the same spec reuses the materialized
+    // search, while a different query/bounds/batch-size against the same
+    // storeDir builds its own store instead of exporting stale results
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${spec.query}|${spec.earliest}|${spec.latest}|${spec.eventBatchSize}|${spec.limit}"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val storePath = s"$storeDir/paged_store_$fp"
     val results = pagedResults(t, spec)
     // the store itself is part of the search (searchID): materialize only once
     if (!new java.io.File(s"$storePath/_SUCCESS").exists()) {
@@ -97,8 +104,12 @@ object PagedSearch {
           throw new RuntimeException(s"injected failure before page $p")
         val t0 = System.nanoTime()
         val pageDf = store.filter(col("page") === p) // partition-pruned scan
-        pageDf.write.mode("append").parquet(outDir)
-        val n = pageDf.count()
+        // count via observe on the write itself (Router.fanOut pattern) —
+        // one pruned scan per page, no second pass
+        val obs = new org.apache.spark.sql.Observation(s"page_$p")
+        pageDf.observe(obs, count(lit(1)).as("n"))
+          .write.mode("append").parquet(outDir)
+        val n = obs.get("n").asInstanceOf[Long]
         manifest.commit(manifest.PartitionEntry(
           partition = s"page=$p", status = "committed", rowsIn = n,
           sinkCounts = Map("out" -> n),

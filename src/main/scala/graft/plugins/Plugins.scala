@@ -551,9 +551,18 @@ object Plugins {
               case other => throw new IllegalArgumentException(
                 s"layout_type '$other'")
             }
-            // location semantics: identity for the UTC default; zone-BEARING
-            // layouts (%z) already resolve their own offset
-            parsed.withColumn("event_ts", to_utc_timestamp(naive, p("timezone")))
+            // location semantics: stanza applies `location:` only to
+            // zone-LESS layouts — a zone-bearing layout (%z / gotime -0700 /
+            // Z07:00 / MST) already resolved its own offset, and a second
+            // to_utc_timestamp would double-shift it
+            val hasZone = d.timeLayoutType match {
+              case "strptime" => layout.contains("%z") || layout.contains("%Z")
+              case _ => layout.contains("-07") || layout.contains("Z07") ||
+                layout.contains("MST")
+            }
+            if (hasZone) parsed.withColumn("event_ts", naive)
+            else parsed.withColumn("event_ts",
+              to_utc_timestamp(naive, p("timezone")))
           case None => parsed
         }
         d.severityField match {

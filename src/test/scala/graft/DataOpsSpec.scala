@@ -273,6 +273,28 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("codec hardening: malformed payloads fail as clean codec errors") {
+    import graft.data.RealCodec
+    // stride must be positive, not an ArithmeticException downstream
+    val vid = RealCodec.encodeVideo(Seq(RealCodec.encodeBmp(2, 2, seed = 1)))
+    assert(intercept[IllegalArgumentException] {
+      RealCodec.sampleFrames(vid, 0)
+    }.getMessage.contains("stride"))
+    // truncated pixel data: bounds-checked, not AIOOBE
+    val good = RealCodec.encodeBmp(4, 4, seed = 2)
+    val truncated = good.take(good.length - 10)
+    assert(intercept[IllegalArgumentException] {
+      RealCodec.decodeBmp(truncated)
+    }.getMessage.contains("BMP"))
+    // header lies about dimensions: caught before allocation
+    val lying = good.clone()
+    java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 1000000) // width far beyond payload
+    assert(intercept[IllegalArgumentException] {
+      RealCodec.decodeBmp(lying)
+    }.getMessage.contains("BMP"))
+  }
+
   test("real-codec corpus: every payload is format-conformant and decodable") {
     val decoded = Multimodal.mediaDecodeSummary(spark, sfDir).cache()
     assert(decoded.count() == 500)

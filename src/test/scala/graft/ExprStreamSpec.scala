@@ -118,6 +118,9 @@ class ExprLangSpec extends SparkTestBase {
     assert(v("TrimSpace('  x  ')") == "x")
     assert(v("Format('%s-%d', ['a', 7])") == "a-7") // slice arg flattens
     assert(v("ConvertCase('FooBarBaz', 'snake')") == "foo_bar_baz")
+    // strcase acronym boundary: uppercase runs split before the last capital
+    assert(v("ConvertCase('HTTPServer', 'snake')") == "http_server")
+    assert(v("ConvertCase('parseJSONBody', 'snake')") == "parse_json_body")
     assert(v("ConvertCase('foo_bar', 'camel')") == "FooBar")
     assert(v("Split(body, ' ')").asInstanceOf[scala.collection.Seq[String]]
       .toSeq == Seq("Hello", "World"))

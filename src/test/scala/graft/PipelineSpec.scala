@@ -248,6 +248,41 @@ class ResumeSpec extends SparkTestBase {
     Bench.deleteRec(base)
   }
 
+  test("manifest heals a commit/snapshot split: partition committed, lineage missing") {
+    val base = java.nio.file.Files.createTempDirectory("snapheal").toString
+    val m = new Manifest(base)
+    m.commit(m.PartitionEntry("p1", "committed", 1L, Map("out" -> 1L), Seq("f1"), 0L))
+    m.commit(m.PartitionEntry("p2", "committed", 2L, Map("out" -> 2L), Seq("f2"), 0L))
+    // simulate a kill between the partition write and appendSnapshot():
+    // delete p2's lineage entry, keep its partition file
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$base/_snapshots/2.json"))
+    // a fresh Manifest reconciles: p2 re-enters the lineage
+    val m2 = new Manifest(base)
+    assert(m2.committedPartitionsAsOf(m2.currentSnapshot()) == Set("p1", "p2"))
+    assert(m2.currentSnapshot() == 2L) // healed entry fills the lineage head
+    // idempotent: constructing again appends nothing
+    val m3 = new Manifest(base)
+    assert(m3.currentSnapshot() == 2L)
+    Bench.deleteRec(base)
+  }
+
+  test("paged search: a different spec against the same storeDir rebuilds, no stale reuse") {
+    import graft.pipeline.PagedSearch
+    val base = java.nio.file.Files.createTempDirectory("pagedfp").toString
+    val t = Transcripts.generate(spark, nTurns = 500, nConvs = 5)
+    val specA = PagedSearch.SearchSpec("e", "2024-01-01T00:00", "2024-12-31T00:00",
+      eventBatchSize = 100)
+    val rA = PagedSearch.run(spark, t, specA, s"$base/store", s"$base/outA",
+      new Manifest(s"$base/_mA"))
+    // same storeDir, different query: must export ITS OWN results
+    val specB = specA.copy(query = "no_such_substring_zzz")
+    val rB = PagedSearch.run(spark, t, specB, s"$base/store", s"$base/outB",
+      new Manifest(s"$base/_mB"))
+    assert(rA.rowsExported > 0 && rB == PagedSearch.RunResult(0, 0, 0),
+      s"stale store reused across specs: $rA vs $rB")
+    Bench.deleteRec(base)
+  }
+
   test("paged search: zero-match search returns an empty result, not an abort") {
     import graft.pipeline.PagedSearch
     val base = java.nio.file.Files.createTempDirectory("paged0").toString
