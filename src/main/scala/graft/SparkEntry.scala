@@ -274,6 +274,89 @@ object SparkEntry {
           col("ocsf.type_uid").as("type_uid"))
     }),
 
+    // 4-class v1.1.0 validation breadth: File System Activity (1001),
+    // Authentication (3002, incl. the at-least-one-of [dst_endpoint,
+    // service] constraint), Network Activity (4001), HTTP Activity (4002) —
+    // each record validates against ITS matched class's generated schema
+    // table (ocsf/v1_1_0/schema.go per-class dispatch)
+    "q_ocsf_multiclass" -> ((s, d) => {
+      val j = ParseOps.parseJson(t(s, d))
+      val st = col("status")
+      val timeCol = col("turn_idx").cast("long")
+      val sev = EnrichOps.FieldMapping("severity_id", from = Some(lit(1)))
+      val time = EnrichOps.FieldMapping("time", from = Some(timeCol))
+      val fileFields = Seq(
+        EnrichOps.FieldMapping("activity_id", from = Some(st % 16)),
+        EnrichOps.FieldMapping("actor", from = Some(lit("agent"))),
+        EnrichOps.FieldMapping("device", from = Some(lit("host-1"))),
+        EnrichOps.FieldMapping("file", from = Some(col("path"))),
+        sev, time)
+      val authFields = Seq(
+        EnrichOps.FieldMapping("activity_id", from = Some(st % 7)),
+        EnrichOps.FieldMapping("user", from = Some(col("level"))),
+        EnrichOps.FieldMapping("dst_endpoint", from = Some(
+          when(col("turn_idx") % 3 === 0, lit(null).cast("string"))
+            .otherwise(lit("10.0.0.1")))),
+        EnrichOps.FieldMapping("service", from = Some(
+          when(col("turn_idx") % 5 === 0, lit("auth-svc"))
+            .otherwise(lit(null).cast("string")))),
+        EnrichOps.FieldMapping("logon_type_id", from = Some(
+          when(col("turn_idx") % 9 === 0, 1).otherwise(2))),
+        sev, time)
+      val netFields = Seq(
+        EnrichOps.FieldMapping("activity_id", from = Some(st % 8)),
+        EnrichOps.FieldMapping("dst_endpoint", from = Some(col("path"))),
+        EnrichOps.FieldMapping("src_endpoint", from = Some(lit("10.1.1.1"))),
+        sev, time)
+      val httpFields = Seq(
+        EnrichOps.FieldMapping("activity_id", from = Some(st % 10)),
+        EnrichOps.FieldMapping("dst_endpoint", from = Some(col("path"))),
+        EnrichOps.FieldMapping("http_request", from = Some(col("path"))),
+        EnrichOps.FieldMapping("http_response", from = Some(st),
+          ocsfType = Some("long")),
+        EnrichOps.FieldMapping("src_endpoint", from = Some(lit("10.2.2.2"))),
+        sev, time)
+      val mappings = Seq(
+        EnrichOps.EventMapping(Some(col("turn_idx") % 4 === 0), 1001, fileFields),
+        EnrichOps.EventMapping(Some(col("turn_idx") % 4 === 1), 3002, authFields),
+        EnrichOps.EventMapping(Some(col("turn_idx") % 4 === 2), 4001, netFields),
+        EnrichOps.EventMapping(Some(lit(true)), 4002, httpFields))
+      EnrichOps.ocsfStandardizeConfig(j, mappings, runtimeValidation = true)
+        .select(col("conv_id"), col("turn_idx"),
+          col("ocsf.class_uid").as("class_uid"),
+          col("ocsf.category_uid").as("category_uid"),
+          col("ocsf.activity_id").as("activity_id"),
+          col("ocsf.type_uid").as("type_uid"))
+    }),
+    // version dimension: the SAME authentication mapping under OCSF 1.7.0 —
+    // logon_type_id=1 and activity_id 6-7 are valid here, invalid in 1.1.0
+    // (v1_7_0/schema.go validateAuthentication vs v1_1_0's)
+    "q_ocsf_v17" -> ((s, d) => {
+      val j = ParseOps.parseJson(t(s, d))
+      val authFields = Seq(
+        EnrichOps.FieldMapping("activity_id", from = Some(col("status") % 9)),
+        EnrichOps.FieldMapping("user", from = Some(col("level"))),
+        EnrichOps.FieldMapping("dst_endpoint", from = Some(
+          when(col("turn_idx") % 3 === 0, lit(null).cast("string"))
+            .otherwise(lit("10.0.0.1")))),
+        EnrichOps.FieldMapping("service", from = Some(
+          when(col("turn_idx") % 5 === 0, lit("auth-svc"))
+            .otherwise(lit(null).cast("string")))),
+        EnrichOps.FieldMapping("logon_type_id", from = Some(
+          when(col("turn_idx") % 9 === 0, 1).otherwise(2))),
+        EnrichOps.FieldMapping("severity_id", from = Some(lit(1))),
+        EnrichOps.FieldMapping("time", from = Some(col("turn_idx").cast("long"))))
+      EnrichOps.ocsfStandardizeConfig(j,
+          Seq(EnrichOps.EventMapping(Some(lit(true)), 3002, authFields)),
+          version = "1.7.0", runtimeValidation = true)
+        .select(col("conv_id"), col("turn_idx"),
+          col("ocsf.class_uid").as("class_uid"),
+          col("ocsf.activity_id").as("activity_id"),
+          col("ocsf.logon_type_id").as("logon_type_id"),
+          col("ocsf.type_uid").as("type_uid"),
+          col("ocsf.metadata.version").as("ocsf_version"))
+    }),
+
     // ------------------------- route plane -------------------------
     "q_route_counts" -> ((s, d) =>
       Router.tagged(t(s, d)).groupBy(col("route")).agg(count(lit(1)).as("n"))),
@@ -292,6 +375,28 @@ object SparkEntry {
     "q_logcount" -> ((s, d) => AggOps.logCount(t(s, d))),
     "q_logcount_attrs" -> ((s, d) => AggOps.logCountByAttrs(t(s, d))),
     "q_datapoint_count" -> ((s, d) => AggOps.datapointCount(t(s, d))),
+    // eachDatapoint parity across ALL FIVE metric shapes (gauge/sum/
+    // histogram/exponential_histogram/summary) — datapointcountprocessor/
+    // processor.go:241-278
+    "q_datapoint_count_typed" -> ((s, d) => AggOps.datapointCountTyped(t(s, d))),
+    // the aggregate shapes' payloads (bucket-count arrays, quantiles) are
+    // folded on the datapoint rows themselves
+    "q_datapoint_shapes" -> ((s, d) => AggOps.datapointShapeStats(t(s, d))),
+    // lookupprocessor over the datapoint plane: every shape's attributes
+    // enrich through the same broadcast dim (lookupprocessor/processor.go:
+    // 228-239 switches over all five types)
+    "q_datapoint_lookup" -> ((s, d) =>
+      EnrichOps.lookupCsv(s, AggOps.allDatapoints(t(s, d)),
+          EnrichOps.LookupSpec(
+            EnrichOps.lookupFixture("level_lookup.csv",
+              "level,oncall,urgency", Seq(
+                ("info", "none", "low"),
+                ("warn", "sre", "medium"),
+                ("error", "sre", "high"))), "attributes", "level"))
+        .groupBy(col("metric_type"), col("oncall"), col("urgency"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_int")).as("gauge_sum"),
+          sum(col("dp_count")).as("agg_count_sum"))),
     "q_metric_extract" -> ((s, d) =>
       AggOps.metricExtract(t(s, d))
         .select(col("conv_id"), col("turn_idx"), col("metric_name"),
@@ -1231,6 +1336,41 @@ object SparkEntry {
              CAST(600300 + CASE WHEN status >= 500 THEN 99 ELSE 3 END AS BIGINT)
            FROM j WHERE COALESCE(level, '') <> 'error' AND turn_idx % 11 <> 0"""),
 
+      "q_ocsf_multiclass" -> Transcripts.withT(
+        """, j AS (SELECT conv_id, turn_idx, turn_idx % 4 AS cls,
+             CAST(json_extract(text, '$.status') AS INT) AS st
+           FROM t WHERE starts_with(text, '{')),
+           g AS (SELECT conv_id, turn_idx, cls, st,
+             CASE cls WHEN 0 THEN st%16 WHEN 1 THEN st%7
+                      WHEN 2 THEN st%8 ELSE st%10 END AS aid,
+             CASE cls WHEN 0 THEN 1001 WHEN 1 THEN 3002
+                      WHEN 2 THEN 4001 ELSE 4002 END AS cu,
+             CASE cls
+               WHEN 0 THEN st%16 <= 14
+               WHEN 1 THEN st%7 <= 5
+                 AND NOT (turn_idx%3 = 0 AND turn_idx%5 <> 0)
+                 AND turn_idx%9 <> 0
+               WHEN 2 THEN st%8 <= 6
+               ELSE st%10 <= 8 END AS valid
+           FROM j)
+           SELECT conv_id, turn_idx, cu AS class_uid,
+             CASE cls WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS category_uid,
+             aid AS activity_id,
+             CAST(cu AS BIGINT) * 100 + aid AS type_uid
+           FROM g WHERE valid"""),
+
+      "q_ocsf_v17" -> Transcripts.withT(
+        """, j AS (SELECT conv_id, turn_idx,
+             CAST(json_extract(text, '$.status') AS INT) AS st
+           FROM t WHERE starts_with(text, '{'))
+           SELECT conv_id, turn_idx, 3002 AS class_uid,
+             st%9 AS activity_id,
+             CASE WHEN turn_idx%9 = 0 THEN 1 ELSE 2 END AS logon_type_id,
+             CAST(300200 + st%9 AS BIGINT) AS type_uid,
+             '1.7.0' AS ocsf_version
+           FROM j WHERE st%9 <= 7
+             AND NOT (turn_idx%3 = 0 AND turn_idx%5 <> 0)"""),
+
       "q_ocsf" -> Transcripts.withT(
         """SELECT conv_id, turn_idx,
            class_uid,
@@ -1292,6 +1432,48 @@ object SparkEntry {
            json_extract_string(text, '$.level') AS level,
            COUNT(*) AS datapoint_count
            FROM t WHERE starts_with(text, '{') GROUP BY 1, 2"""),
+
+      "q_datapoint_count_typed" -> Transcripts.withT(
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           mt.metric_type AS metric_type, COUNT(*) AS datapoint_count
+           FROM t CROSS JOIN (VALUES ('gauge'), ('sum'), ('histogram'),
+             ('exponential_histogram'), ('summary')) AS mt(metric_type)
+           WHERE starts_with(text, '{') GROUP BY 1, 2"""),
+
+      "q_datapoint_shapes" -> Transcripts.withT(
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           CAST(SUM(lat%3 + lat%5 + lat%7 + lat%11) AS BIGINT) AS hist_bucket_total,
+           CAST(SUM(lat%2 + 1 + lat%3 + 1 + lat%5) AS BIGINT) AS exp_bucket_total,
+           CAST(MAX(lat%4) AS INT) AS max_scale,
+           MAX(CAST(lat AS DOUBLE) * CAST(0.95 AS DOUBLE)) AS max_q95,
+           CAST(SUM(lat%13) AS BIGINT) AS summary_count
+           FROM (SELECT ts, CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS lat
+                 FROM t WHERE starts_with(text, '{'))
+           GROUP BY 1"""),
+
+      "q_datapoint_lookup" -> Transcripts.withT(
+        """SELECT d.metric_type AS metric_type, lk.oncall AS oncall,
+           lk.urgency AS urgency, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN d.metric_type IN ('gauge', 'sum')
+                         THEN d.lat END) AS BIGINT) AS gauge_sum,
+           CAST(SUM(CASE WHEN d.metric_type = 'histogram'
+                           THEN d.lat%3 + d.lat%5 + d.lat%7 + d.lat%11
+                         WHEN d.metric_type = 'exponential_histogram'
+                           THEN d.lat%2 + 1 + d.lat%3 + 1 + d.lat%5
+                         WHEN d.metric_type = 'summary'
+                           THEN d.lat%13 END) AS BIGINT) AS agg_count_sum
+           FROM (
+             SELECT mt.metric_type, j.lat, j.level
+             FROM (SELECT CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS lat,
+                     json_extract_string(text, '$.level') AS level
+                   FROM t WHERE starts_with(text, '{')) j
+             CROSS JOIN (VALUES ('gauge'), ('sum'), ('histogram'),
+               ('exponential_histogram'), ('summary')) AS mt(metric_type)
+           ) d
+           LEFT JOIN (VALUES ('info', 'none', 'low'), ('warn', 'sre', 'medium'),
+             ('error', 'sre', 'high')) AS lk(level, oncall, urgency)
+             ON d.level = lk.level
+           GROUP BY 1, 2, 3"""),
 
       "q_metric_extract" -> Transcripts.withT(
         """SELECT conv_id, turn_idx,

@@ -45,6 +45,96 @@ object AggOps {
       .agg(count(lit(1)).as("datapoint_count"))
 
   // -------------------------------------------------------------------
+  // Five-shape datapoint plane — eachDatapoint parity: the reference's
+  // datapoint traversal visits Gauge, Sum, Histogram, ExponentialHistogram
+  // and Summary points alike (datapointcountprocessor/processor.go:241-278;
+  // lookupprocessor/processor.go:228-239 enriches every shape's attributes).
+  // One row per datapoint; number-point columns are null on the aggregate
+  // shapes and vice versa. The shapes are synthesized deterministically
+  // from the JSON turns (pure column arithmetic, so the DuckDB oracle can
+  // mirror every value), and the whole plane is ONE scan: the five shapes
+  // explode out of a literal-constructed array, never five passes over t.
+  // -------------------------------------------------------------------
+  def allDatapoints(t: DataFrame): DataFrame = {
+    val parsed = t.filter(ParseOps.isJson)
+      .withColumn("p", from_json(col("text"), ParseOps.JsonBodySchema))
+    val lat = col("p.latency_ms").cast("long")
+    val nullL = lit(null).cast("long")
+    val nullD = lit(null).cast("double")
+    val nullI = lit(null).cast("int")
+    val nullAL = lit(null).cast("array<bigint>")
+    val nullAD = lit(null).cast("array<double>")
+    def shape(tpe: String, name: String, vInt: Column, vDbl: Column,
+              bounds: Column, counts: Column, scale: Column, pos: Column,
+              q50: Column, q95: Column, dpSum: Column, dpCount: Column) =
+      struct(
+        lit(name).as("metric_name"), lit(tpe).as("metric_type"),
+        vInt.cast("long").as("value_int"), vDbl.cast("double").as("value_double"),
+        bounds.as("explicit_bounds"), counts.as("bucket_counts"),
+        scale.cast("int").as("scale"), pos.as("positive_counts"),
+        q50.cast("double").as("quantile_50"), q95.cast("double").as("quantile_95"),
+        dpSum.cast("double").as("dp_sum"), dpCount.cast("long").as("dp_count"))
+    val histCounts = array(lat % 3, lat % 5, lat % 7, lat % 11)
+    val expCounts = array(lat % 2 + 1, lat % 3 + 1, lat % 5)
+    parsed.select(
+        col("conv_id"), col("turn_idx"), col("ts"), col("p.level").as("level"),
+        explode(array(
+          shape("gauge", "request.latency_ms",
+            lat, lat.cast("double"), nullAD, nullAL, nullI, nullAL,
+            nullD, nullD, nullD, nullL),
+          shape("sum", "request.latency_total",
+            lat, lat.cast("double"), nullAD, nullAL, nullI, nullAL,
+            nullD, nullD, nullD, nullL),
+          shape("histogram", "request.latency_hist",
+            nullL, nullD,
+            array(lit(50.0), lit(200.0), lit(500.0)), histCounts,
+            nullI, nullAL, nullD, nullD,
+            lat.cast("double"), lat % 3 + lat % 5 + lat % 7 + lat % 11),
+          shape("exponential_histogram", "request.latency_exphist",
+            nullL, nullD, nullAD, nullAL,
+            (lat % 4).cast("int"), expCounts, nullD, nullD,
+            (lat * 2).cast("double"), lat % 2 + 1 + lat % 3 + 1 + lat % 5),
+          shape("summary", "request.latency_summary",
+            nullL, nullD, nullAD, nullAL, nullI, nullAL,
+            lat.cast("double") / 2.0, lat.cast("double") * 0.95,
+            lat.cast("double"), lat % 13)
+        )).as("dp"))
+      .select(col("conv_id"), col("turn_idx"), col("ts"), col("level"),
+        col("dp.*"))
+  }
+
+  /** datapointcount over ALL five shapes — a histogram/summary datapoint
+    * counts exactly like a number point (eachDatapoint parity).
+    */
+  def datapointCountTyped(t: DataFrame, interval: String = "1 hour"): DataFrame =
+    allDatapoints(t)
+      .groupBy(windowStart(col("ts"), interval).as("window_start"),
+        col("metric_type"))
+      .agg(count(lit(1)).as("datapoint_count"))
+
+  /** The aggregate shapes' payloads are first-class: fold the bucket-count
+    * arrays on the datapoint rows (map-side, codegen'd `aggregate`), never
+    * by re-deriving from the source record.
+    */
+  def datapointShapeStats(t: DataFrame, interval: String = "1 hour"): DataFrame = {
+    val dps = allDatapoints(t)
+    val arraySum = (c: Column) =>
+      aggregate(c, lit(0L), (acc, x) => acc + x)
+    dps.groupBy(windowStart(col("ts"), interval).as("window_start"))
+      .agg(
+        sum(when(col("metric_type") === "histogram",
+          arraySum(col("bucket_counts")))).as("hist_bucket_total"),
+        sum(when(col("metric_type") === "exponential_histogram",
+          arraySum(col("positive_counts")))).as("exp_bucket_total"),
+        max(when(col("metric_type") === "exponential_histogram",
+          col("scale"))).as("max_scale"),
+        max(when(col("metric_type") === "summary",
+          col("quantile_95"))).as("max_q95"),
+        sum(when(col("metric_type") === "summary",
+          col("dp_count"))).as("summary_count"))
+  }
+
+  // -------------------------------------------------------------------
   // metricextractprocessor — matching records → numeric datapoints with
   // extracted attrs and the record timestamp
   // (processor/metricextractprocessor/processor_ottl.go:87-186; ts fallback

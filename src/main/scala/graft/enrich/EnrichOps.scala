@@ -428,9 +428,50 @@ object EnrichOps {
     * same per-class dispatch as ValidateClass).
     */
   object OcsfSchema {
-    case class ClassSchema(required: Seq[String], enums: Map[String, Seq[Long]])
+    /** `anyOf`: the generated "at least one of [...] must be set"
+      * constraints (e.g. authentication requires dst_endpoint OR service).
+      */
+    case class ClassSchema(required: Seq[String], enums: Map[String, Seq[Long]],
+                           anyOf: Seq[Seq[String]] = Seq.empty)
 
     val V110: Map[Int, ClassSchema] = Map(
+      // File System Activity (v1_1_0/schema.go validateFileActivity)
+      1001 -> ClassSchema(
+        required = Seq("activity_id", "actor", "category_uid", "class_uid",
+          "device", "file", "metadata", "severity_id", "time", "type_uid"),
+        enums = Map(
+          "activity_id" -> ((0L to 14L) :+ 99L),
+          "category_uid" -> Seq(1L),
+          "class_uid" -> Seq(1001L),
+          "severity_id" -> ((0L to 6L) :+ 99L),
+          "status_id" -> Seq(0L, 1L, 2L, 99L),
+          "type_uid" -> ((100100L to 100114L) :+ 100199L))),
+      // Authentication (v1_1_0/schema.go validateAuthentication)
+      3002 -> ClassSchema(
+        required = Seq("activity_id", "category_uid", "class_uid",
+          "metadata", "severity_id", "time", "type_uid", "user"),
+        anyOf = Seq(Seq("dst_endpoint", "service")),
+        enums = Map(
+          "activity_id" -> ((0L to 5L) :+ 99L),
+          "auth_protocol_id" -> ((0L to 10L) :+ 99L),
+          "category_uid" -> Seq(3L),
+          "class_uid" -> Seq(3002L),
+          "logon_type_id" -> (Seq(0L, 2L, 3L, 4L, 5L) ++ (7L to 13L) :+ 99L),
+          "severity_id" -> ((0L to 6L) :+ 99L),
+          "status_id" -> Seq(0L, 1L, 2L, 99L),
+          "type_uid" -> ((300200L to 300205L) :+ 300299L))),
+      // Network Activity (v1_1_0/schema.go validateNetworkActivity)
+      4001 -> ClassSchema(
+        required = Seq("activity_id", "category_uid", "class_uid",
+          "dst_endpoint", "metadata", "severity_id", "src_endpoint", "time",
+          "type_uid"),
+        enums = Map(
+          "activity_id" -> ((0L to 6L) :+ 99L),
+          "category_uid" -> Seq(4L),
+          "class_uid" -> Seq(4001L),
+          "severity_id" -> ((0L to 6L) :+ 99L),
+          "status_id" -> Seq(0L, 1L, 2L, 99L),
+          "type_uid" -> ((400100L to 400106L) :+ 400199L))),
       // HTTP Activity (schema.go validateHTTPActivity)
       4002 -> ClassSchema(
         required = Seq("activity_id", "category_uid", "class_uid",
@@ -456,8 +497,43 @@ object EnrichOps {
           "status_id" -> Seq(0L, 1L, 2L, 99L),
           "type_uid" -> ((600300L to 600304L) :+ 600399L))))
 
+    /** v1.7.0 tables — the version dimension is real: 1.7 WIDENS enums
+      * (authentication activity_id 0-7 vs 0-5; http activity_id 0-9 vs 0-8)
+      * and RELAXES http requirements into an any-of constraint
+      * (v1_7_0/schema.go validateAuthentication, validateHTTPActivity).
+      */
+    val V170: Map[Int, ClassSchema] = Map(
+      3002 -> ClassSchema(
+        required = Seq("activity_id", "category_uid", "class_uid",
+          "metadata", "severity_id", "time", "type_uid", "user"),
+        anyOf = Seq(Seq("dst_endpoint", "service")),
+        enums = Map(
+          "account_switch_type_id" -> Seq(0L, 1L, 2L, 99L),
+          "activity_id" -> ((0L to 7L) :+ 99L),
+          "auth_protocol_id" -> ((0L to 12L) :+ 99L),
+          "category_uid" -> Seq(3L),
+          "class_uid" -> Seq(3002L),
+          "logon_type_id" -> (Seq(0L, 1L, 2L, 3L, 4L, 5L) ++ (7L to 13L) :+ 99L),
+          "severity_id" -> ((0L to 6L) :+ 99L),
+          "status_id" -> Seq(0L, 1L, 2L, 99L),
+          "type_uid" -> ((300200L to 300207L) :+ 300299L))),
+      4002 -> ClassSchema(
+        required = Seq("activity_id", "category_uid", "class_uid",
+          "metadata", "severity_id", "time", "type_uid"),
+        anyOf = Seq(Seq("http_request", "http_response")),
+        enums = Map(
+          "activity_id" -> ((0L to 9L) :+ 99L),
+          "category_uid" -> Seq(4L),
+          "class_uid" -> Seq(4002L),
+          "observation_point_id" -> ((0L to 4L) :+ 99L),
+          "severity_id" -> ((0L to 6L) :+ 99L),
+          "status_id" -> Seq(0L, 1L, 2L, 99L),
+          "type_uid" -> ((400200L to 400209L) :+ 400299L))))
+
     def forVersion(v: String): Map[Int, ClassSchema] =
-      if (v.startsWith("1.1")) V110 else Map.empty
+      if (v.startsWith("1.1")) V110
+      else if (v.startsWith("1.7")) V170
+      else Map.empty
   }
 
   def ocsfStandardizeConfig(df: DataFrame, mappings: Seq[EventMapping],
@@ -551,7 +627,14 @@ object EnrichOps {
                   n.isNull || n.isin(vals: _*)
                 }
               }.foldLeft(lit(true): Column)(_ && _)
-            when(col("__ocsf_idx") === i, reqOk && enumOk).otherwise(acc)
+            // "at least one of [...] must be set" constraint groups
+            val anyOfOk = cls.map(_.anyOf).getOrElse(Seq.empty)
+              .map(_.map(p => pathValue(p).map(_.isNotNull)
+                  .getOrElse(lit(false)))
+                .foldLeft(lit(false): Column)(_ || _))
+              .foldLeft(lit(true): Column)(_ && _)
+            when(col("__ocsf_idx") === i, reqOk && enumOk && anyOfOk)
+              .otherwise(acc)
           }
       } else lit(true)
 
