@@ -788,6 +788,43 @@ object SparkEntry {
         u("URL(url)").getField("path").as("url_path"),
         u("URL(url)").getField("query").as("url_query"))
     }),
+    // converter tail: ParseKeyValue, Duration, Base64Decode, ParseCSV,
+    // MergeMaps (upsert/insert/update strategies) — upstream
+    // ottlfuncs.StandardConverters next tier (expr/ottl.go:92-100)
+    "q_ottl_converters2" -> ((s, d) => {
+      val tt = t(s, d)
+        .withColumn("dur_str", format_string("%dh%dm%ds",
+          col("turn_idx") % 5, col("turn_idx") % 60, col("turn_idx") % 60))
+        .withColumn("dur_ms", format_string("%dms", col("turn_idx") % 1000))
+        .withColumn("b64", base64(col("role").cast("binary")))
+        .withColumn("csv_line", format_string("%s,%s,%d",
+          col("role"), col("tool"), col("turn_idx") % 7))
+      val out = graft.expr.Ottl(Seq(
+        "set(kvmap, ParseKeyValue(text))",
+        "set(nanos, Duration(dur_str))",
+        "set(ms_nanos, Duration(dur_ms))",
+        "set(bad_dur, Duration(role))",
+        "set(decoded, Base64Decode(b64))",
+        "set(csvmap, ParseCSV(csv_line, 'role,tool,idx'))",
+        "set(m1, ParseKeyValue(Format('a=%s b=%s', [role, tool])))",
+        "set(m2, ParseKeyValue(Format('b=zz c=%s', [role])))",
+        "set(up, MergeMaps(m1, m2, 'upsert'))",
+        "set(ins, MergeMaps(m1, m2, 'insert'))",
+        "set(upd, MergeMaps(m1, m2, 'update'))"
+      ), tt.columns.toSet)(tt)
+      out.select(col("conv_id"), col("turn_idx"),
+        col("kvmap").getItem("component").as("kv_component"),
+        col("nanos"), col("ms_nanos"), col("bad_dur"),
+        col("decoded"),
+        col("csvmap").getItem("tool").as("csv_tool"),
+        col("up").getItem("b").as("up_b"),
+        col("up").getItem("c").as("up_c"),
+        col("ins").getItem("b").as("ins_b"),
+        col("ins").getItem("c").as("ins_c"),
+        col("upd").getItem("b").as("upd_b"),
+        col("upd").getItem("c").as("upd_c"),
+        size(col("upd")).as("upd_size"))
+    }),
     "q_groupby_attrs" -> ((s, d) =>
       EnrichOps.transpose(t(s, d))
         .groupBy(col("host")).agg(count(lit(1)).as("n_records"))),
@@ -1950,6 +1987,22 @@ object SparkEntry {
            turn_idx / 4 AS v_div,
            CAST(-turn_idx + 100 AS BIGINT) AS v_neg,
            CAST((turn_idx - 1) * (turn_idx + 1) AS BIGINT) AS v_paren
+           FROM t"""),
+
+      "q_ottl_converters2" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CASE WHEN starts_with(text, 'level=')
+                THEN regexp_extract(text, 'component=([^ ]*)', 1) END AS kv_component,
+           CAST((turn_idx%5)*3600 + (turn_idx%60)*60 + (turn_idx%60) AS BIGINT)
+             * 1000000000 AS nanos,
+           CAST(turn_idx%1000 AS BIGINT) * 1000000 AS ms_nanos,
+           CAST(NULL AS BIGINT) AS bad_dur,
+           role AS decoded,
+           tool AS csv_tool,
+           'zz' AS up_b, role AS up_c,
+           tool AS ins_b, role AS ins_c,
+           'zz' AS upd_b, CAST(NULL AS VARCHAR) AS upd_c,
+           2 AS upd_size
            FROM t"""),
 
       "q_ottl_converters" -> Transcripts.withT(

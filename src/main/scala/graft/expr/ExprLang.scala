@@ -365,7 +365,65 @@ object ExprLang {
     // upstream's type check; configs using it fail loudly instead
     "Log" -> (args => log(args.head.cast("double"))),
     "Sqrt" -> (args => sqrt(args.head.cast("double"))),
-    "Abs" -> (args => abs(args.head)))
+    "Abs" -> (args => abs(args.head)),
+    "SHA512" -> (args => sha2(args.head.cast("string"), 512)),
+    "Base64Decode" -> (args => unbase64(args.head).cast("string")),
+    // ParseKeyValue(target[, delimiter[, pair_delimiter]]) — defaults "=", " "
+    "ParseKeyValue" -> {
+      // str_to_map delimiters are regexes; OTTL's are literal strings
+      case c :: Nil => str_to_map(c, lit(" "), lit("="))
+      case c :: delim :: Nil =>
+        str_to_map(c, lit(" "),
+          lit(java.util.regex.Pattern.quote(extractLit(delim))))
+      case c :: delim :: pair :: Nil =>
+        str_to_map(c,
+          lit(java.util.regex.Pattern.quote(extractLit(pair))),
+          lit(java.util.regex.Pattern.quote(extractLit(delim))))
+      case args => throw new IllegalArgumentException(
+        s"ParseKeyValue(value[, delimiter[, pair_delimiter]]) expects 1-3 args, got ${args.length}")
+    },
+    // ParseCSV(target, headers[, delimiter]) → header→field map; a short row
+    // zip-pads with null values (the lenient mode), never errors
+    "ParseCSV" -> {
+      case c :: headers :: rest if rest.size <= 1 =>
+        val delim = rest.headOption.map(extractLit).getOrElse(",")
+        val hs = split(lit(extractLit(headers)), ",")
+        map_from_entries(zip_with(hs, split(c, java.util.regex.Pattern.quote(delim)),
+          (h, v) => struct(h.as("key"), v.as("value"))))
+      case args => throw new IllegalArgumentException(
+        s"ParseCSV(value, headers[, delimiter]) expects 2-3 args, got ${args.length}")
+    },
+    // Go time.ParseDuration: "1h30m", "100ms" → nanoseconds; an invalid
+    // duration string returns nil (null), matching the converter contract
+    "Duration" -> (args => {
+      val c = args.head.cast("string")
+      def part(unit: String, mult: Double): Column =
+        coalesce(regexp_extract(c, s"(\\d+(?:\\.\\d+)?)$unit", 1)
+          .try_cast("double"), lit(0.0)) * mult
+      val ns = part("h", 3600e9) + part("m(?!s)", 60e9) + part("s(?![a-z])", 1e9) +
+        part("ms", 1e6) + part("us", 1e3) + part("ns", 1.0)
+      when(c.rlike("^(\\d+(?:\\.\\d+)?(h|m|s|ms|us|ns))+$"), ns.cast("long"))
+        .otherwise(lit(null).cast("long"))
+    }),
+    // merge_maps(target, source, strategy) — ottlfuncs editor semantics:
+    // upsert = source wins, insert = only keys absent from target,
+    // update = only keys present in target
+    "MergeMaps" -> {
+      case target :: source :: strat :: Nil => extractLit(strat) match {
+        case "upsert" => map_concat(
+          map_filter(target, (k, _) => !array_contains(map_keys(source), k)),
+          source)
+        case "insert" => map_concat(target,
+          map_filter(source, (k, _) => !array_contains(map_keys(target), k)))
+        case "update" => map_filter(
+          map_zip_with(target, source, (_, v1, v2) => coalesce(v2, v1)),
+          (k, _) => array_contains(map_keys(target), k))
+        case other => throw new IllegalArgumentException(
+          s"MergeMaps strategy '$other' (upsert|insert|update)")
+      }
+      case args => throw new IllegalArgumentException(
+        s"MergeMaps(target, source, strategy) expects 3 args, got ${args.length}")
+    })
 
   /** URL decomposition via Spark's native parse_url (codegen'd). */
   private def urlStruct(c: Column): Column = struct(

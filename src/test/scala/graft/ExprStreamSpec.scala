@@ -124,6 +124,36 @@ class ExprLangSpec extends SparkTestBase {
     assert(v("ConvertCase('foo_bar', 'camel')") == "FooBar")
     assert(v("Split(body, ' ')").asInstanceOf[scala.collection.Seq[String]]
       .toSeq == Seq("Hello", "World"))
+    assert(v("SHA512('abc')") ==
+      "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a" +
+      "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f")
+    assert(v("Base64Decode('aGVsbG8=')") == "hello")
+    // Go time.ParseDuration semantics: composite units to nanoseconds,
+    // invalid input → nil
+    assert(v("Duration('1h30m')") == 5400000000000L)
+    assert(v("Duration('1.5s')") == 1500000000L)
+    assert(v("Duration('250ms')") == 250000000L)
+    assert(v("Duration('2us')") == 2000L)
+    assert(v("Duration('7ns')") == 7L)
+    assert(v("Duration('oops')") == null)
+    val kv = v("ParseKeyValue('k1=a k2=b')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(kv("k1") == "a" && kv("k2") == "b")
+    val kvCustom = v("ParseKeyValue('k1:a|k2:b', ':', '|')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(kvCustom("k2") == "b")
+    val csv = v("ParseCSV('x,y', 'c1,c2,c3')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(csv("c1") == "x" && csv("c2") == "y" && csv("c3") == null)
+    val up = v("MergeMaps(ParseKeyValue('a=1 b=2'), ParseKeyValue('b=9 c=3'), 'upsert')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(up == Map("a" -> "1", "b" -> "9", "c" -> "3"))
+    val ins = v("MergeMaps(ParseKeyValue('a=1 b=2'), ParseKeyValue('b=9 c=3'), 'insert')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(ins == Map("a" -> "1", "b" -> "2", "c" -> "3"))
+    val upd = v("MergeMaps(ParseKeyValue('a=1 b=2'), ParseKeyValue('b=9 c=3'), 'update')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(upd == Map("a" -> "1", "b" -> "9"))
     assert(v("Hour(Time(tstr, '%Y-%m-%d %H:%M:%S'))") == 3L)
     assert(v("URL('https://h.io/p/q?a=1')").asInstanceOf[org.apache.spark.sql.Row]
       .getAs[String]("host") == "h.io")
