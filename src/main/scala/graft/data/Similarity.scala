@@ -38,6 +38,10 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, k: Int = 3, nQueries: Int = 10): DataFrame = {
     val q = emb.filter(col("vec_id") < nQueries)
+      // the filter already bounds this side to nQueries rows (vec_id is
+      // unique); the explicit limit makes that bound visible to the
+      // planner/plan-gate, which stats alone cannot prove
+      .limit(nQueries)
       .select(col("vec_id").as("q_id"), quantized(col("embedding")).as("q_vec"))
     val c = emb.select(col("vec_id").as("n_id"), quantized(col("embedding")).as("n_vec"))
     val d = dot(col("q_vec"), col("n_vec"))
