@@ -18,7 +18,18 @@ import scala.jdk.CollectionConverters._
   * one entry per hour partition; a real Iceberg catalog can replace the
   * directory without touching callers (the [[Manifest]] API is the seam).
   */
-final class Manifest(manifestDir: String) {
+final class Manifest(manifestDir: String) extends TableFormat {
+
+  // ---- TableFormat conformance (the Iceberg-replaceable surface) ----
+  override def commitPartition(partition: String, rowsOut: Long,
+                               inputFiles: Seq[String]): Unit =
+    commit(PartitionEntry(partition, "committed", rowsOut,
+      Map("out" -> rowsOut), inputFiles, 0L))
+  override def isPartitionCommitted(partition: String): Boolean =
+    isCommitted(partition)
+  override def committed(): Set[String] = committedPartitions()
+  override def committedAsOf(snapshot: Long): Set[String] =
+    committedPartitionsAsOf(snapshot).map(sanitize)
 
   private val dir: Path = Paths.get(manifestDir)
   Files.createDirectories(dir)
