@@ -138,11 +138,18 @@ object Bench {
       .split(",").map(_.trim.toInt).toSeq
     val cycles = sys.env.getOrElse("SPARK_GRAFT_BENCH_CYCLES", "2").toInt
     val tps = scala.collection.mutable.Map[Int, LevelResult]()
-    (1 to cycles).foreach { _ =>
+    // every cycle's per-level result is kept AND emitted (scaling.runs[]):
+    // the ≥0.8 criterion must be auditable from the artifact alone, not
+    // just the cross-cycle best pair
+    val cycleRuns = scala.collection.mutable.ArrayBuffer[(Int, Map[Int, LevelResult])]()
+    (1 to cycles).foreach { c =>
+      val cycleTps = scala.collection.mutable.Map[Int, LevelResult]()
       levels.foreach { n =>
         val r = pipelineRun(s"local[$n]", benchTable, s"$outRoot/p$n")
+        cycleTps(n) = r
         if (!tps.contains(n) || r.tps > tps(n).tps) tps(n) = r
       }
+      cycleRuns += ((c, cycleTps.toMap))
     }
     val rows = tps(levels.last).rows
     val tpsTop = tps(levels.last).tps
@@ -179,6 +186,18 @@ object Bench {
       s""""turns_per_sec_local$n":${f"${tps(n).tps}%.0f"}""").mkString(",")
     val perPair = pairs.map { case (a, b, e) =>
       s""""efficiency_${a}_to_$b":${f"$e%.3f"}""" }.mkString(",")
+    // per-cycle audit trail: each interleaved cycle's levels + adjacent-pair
+    // efficiencies (the headline pair is the max over cycles AND over the
+    // cross-cycle bests above)
+    val runsJson = cycleRuns.map { case (c, m) =>
+      val lv = levels.map(n => s""""local$n":${f"${m(n).tps}%.0f"}""").mkString(",")
+      val effs =
+        if (levels.size < 2) ""
+        else "," + levels.sliding(2).collect { case Seq(a, b) =>
+          s""""efficiency_${a}_to_$b":${f"${(m(b).tps / m(a).tps) / (b.toDouble / a)}%.3f"}"""
+        }.mkString(",")
+      s"""{"cycle":$c,$lv$effs}"""
+    }.mkString("[", ",", "]")
     // forensics: per-level io/shuffle/cpu of each level's BEST run — the
     // rates behind the DRAM-bandwidth scaling diagnosis. scan_gb is the
     // on-disk bench table size (scanned in full every run); cpu_util and
@@ -192,6 +211,6 @@ object Bench {
       s""""local$n":{"wall_sec":${f"${r.wallSec}%.2f"},"scan_gb":${f"$tableGb%.3f"},"scan_gb_per_sec":${f"${tableGb / math.max(r.wallSec, 1e-9)}%.3f"},"records_read":${m.getOrElse("records_read", 0L)},"gb_written":${f"${m.getOrElse("bytes_written", 0L) / 1e9}%.3f"},"shuffle_read_mb":${f"${m.getOrElse("shuffle_read", 0L) / 1e6}%.3f"},"shuffle_write_mb":${f"${m.getOrElse("shuffle_write", 0L) / 1e6}%.3f"},"cpu_sec":${f"$cpuSec%.1f"},"cpu_util":${f"${cpuSec / math.max(r.wallSec * n, 1e-9)}%.2f"},"cpu_sec_per_mturn":${f"${cpuSec / math.max(r.rows / 1e6, 1e-9)}%.2f"}}"""
     }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"pipeline_turns_per_sec","value":${f"$tpsTop%.0f"},"unit":"turns/sec","queries":$qs,"sf":"$sfDir","bench_turns":$rows,"scaling":{$perLevel,$perPair,"efficiency_N_to_4N":${f"$efficiency%.3f"},"efficiency_basis":"local[$bn] vs local[$b4n]"},"forensics":$forensics,"queries_total_sec":${f"${results.map(_._2).sum}%.1f"}}""")
+      s"""{"metric":"pipeline_turns_per_sec","value":${f"$tpsTop%.0f"},"unit":"turns/sec","queries":$qs,"sf":"$sfDir","bench_turns":$rows,"scaling":{$perLevel,$perPair,"efficiency_N_to_4N":${f"$efficiency%.3f"},"efficiency_basis":"local[$bn] vs local[$b4n]","runs":$runsJson},"forensics":$forensics,"queries_total_sec":${f"${results.map(_._2).sum}%.1f"}}""")
   }
 }
