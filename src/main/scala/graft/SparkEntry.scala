@@ -382,6 +382,16 @@ object SparkEntry {
     // the aggregate shapes' payloads (bucket-count arrays, quantiles) are
     // folded on the datapoint rows themselves
     "q_datapoint_shapes" -> ((s, d) => AggOps.datapointShapeStats(t(s, d))),
+    // expr-env parity (expr/datapoint.go:84-95): `datapoint_value` exists
+    // ONLY on number points — a value match over the five-shape plane
+    // evaluates null→false on histogram/exp-histogram/summary points, so
+    // they silently never count (expression.go false-on-error)
+    "q_datapoint_count_match" -> ((s, d) =>
+      AggOps.allDatapoints(t(s, d))
+        .filter(coalesce(col("value_int") > 200, lit(false)))
+        .groupBy(AggOps.windowStart(col("ts"), "1 hour").as("window_start"),
+          col("metric_type"))
+        .agg(count(lit(1)).as("datapoint_count"))),
     // lookupprocessor over the datapoint plane: every shape's attributes
     // enrich through the same broadcast dim (lookupprocessor/processor.go:
     // 228-239 switches over all five types)
@@ -445,6 +455,16 @@ object SparkEntry {
         "role" -> "role",
         "slow" -> "turn_idx % 3 == 0 ? 'y' : 'n'",
         "missing" -> "no_such_field"))),
+    // OTTL config surface of logcount (config.go:49-51): ottl_match
+    // condition + ottl_attributes value map, same windowed count — the expr
+    // and OTTL surfaces are mutually exclusive at validation time (:56-70,
+    // AggSpec asserts the rejection)
+    "q_logcount_ottl" -> ((s, d) =>
+      AggOps.logCountConfigured(t(s, d), AggOps.LogCountConfig(
+        ottlMatch = Some("Len(text) > 60"),
+        ottlAttrs = Some(Seq(
+          "role_upper" -> "ConvertCase(role, 'upper')",
+          "kind" -> "IsMatch(text, '^\\{') ? 'json' : 'plain'"))))),
     // webhookexporter extractLogBodies (exporter_logs.go:90-123): the sink
     // payload is the raw body string per record
     "q_webhook_bodies" -> ((s, d) =>
@@ -1477,6 +1497,14 @@ object SparkEntry {
              ('exponential_histogram'), ('summary')) AS mt(metric_type)
            WHERE starts_with(text, '{') GROUP BY 1, 2"""),
 
+      "q_datapoint_count_match" -> Transcripts.withT(
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           mt.metric_type AS metric_type, COUNT(*) AS datapoint_count
+           FROM t CROSS JOIN (VALUES ('gauge'), ('sum')) AS mt(metric_type)
+           WHERE starts_with(text, '{')
+             AND CAST(json_extract(text, '$.latency_ms') AS BIGINT) > 200
+           GROUP BY 1, 2"""),
+
       "q_datapoint_shapes" -> Transcripts.withT(
         """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            CAST(SUM(lat%3 + lat%5 + lat%7 + lat%11) AS BIGINT) AS hist_bucket_total,
@@ -1574,6 +1602,13 @@ object SparkEntry {
              '"}' AS attrs_json,
            COUNT(*) AS log_count
            FROM t GROUP BY 1, 2"""),
+
+      "q_logcount_ottl" -> Transcripts.withT(
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           '{"kind":"' || CASE WHEN starts_with(text, '{') THEN 'json' ELSE 'plain' END ||
+             '","role_upper":"' || upper(role) || '"}' AS attrs_json,
+           COUNT(*) AS log_count
+           FROM t WHERE length(text) > 60 GROUP BY 1, 2"""),
 
       "q_webhook_bodies" -> Transcripts.withT(
         "SELECT conv_id, turn_idx, text AS body FROM t"),

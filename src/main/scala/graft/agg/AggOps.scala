@@ -362,4 +362,41 @@ object AggOps {
         canonicalKey.as("attrs_json"))
       .agg(count(lit(1)).as("log_count"))
   }
+
+  /** Full logcount config surface: the reference accepts EITHER the
+    * expr-lang fields (match/attributes) OR the OTTL fields (ottl_match/
+    * ottl_attributes) and rejects any mix at config-validation time
+    * (logcountprocessor/config.go:49-51, 56-70). Both surfaces compile to
+    * the same windowed count; a match that errors counts as false
+    * (expression.go false-on-error).
+    */
+  case class LogCountConfig(
+      exprMatch: Option[String] = None,
+      exprAttrs: Option[Seq[(String, String)]] = None,
+      ottlMatch: Option[String] = None,
+      ottlAttrs: Option[Seq[(String, String)]] = None)
+
+  def logCountConfigured(t: DataFrame, cfg: LogCountConfig,
+                         interval: String = "1 hour"): DataFrame = {
+    // config.go:56-70: the four cross-surface combinations are errors
+    require(!(cfg.exprMatch.isDefined && cfg.ottlMatch.isDefined),
+      "match and ottl_match cannot both be set")
+    require(!(cfg.exprAttrs.isDefined && cfg.ottlAttrs.isDefined),
+      "attributes and ottl_attributes cannot both be set")
+    require(!(cfg.exprMatch.isDefined && cfg.ottlAttrs.isDefined),
+      "match and ottl_attributes cannot both be set")
+    require(!(cfg.ottlMatch.isDefined && cfg.exprAttrs.isDefined),
+      "ottl_match and attributes cannot both be set")
+    val cols = t.columns.toSet
+    val matched = cfg.exprMatch.orElse(cfg.ottlMatch)
+      .map(m => t.filter(
+        coalesce(graft.expr.ExprLang.boolExpr(m, cols), lit(false))))
+      .getOrElse(t)
+    cfg.exprAttrs.orElse(cfg.ottlAttrs) match {
+      case Some(specs) => logCountExprAttrs(matched, specs, interval)
+      case None => matched
+        .groupBy(windowStart(col("ts"), interval).as("window_start"))
+        .agg(count(lit(1)).as("log_count"))
+    }
+  }
 }

@@ -77,4 +77,28 @@ class AggSpec extends SparkTestBase {
     assert(bad == 0)
     assert(lc.agg(sum(col("log_count"))).collect().head.getLong(0) == t.count())
   }
+
+  test("logcount config rejects mixing the expr and OTTL surfaces") {
+    // logcountprocessor/config.go:56-70: all four cross combinations error
+    val combos = Seq(
+      AggOps.LogCountConfig(exprMatch = Some("true"), ottlMatch = Some("true")),
+      AggOps.LogCountConfig(exprAttrs = Some(Seq("a" -> "role")),
+        ottlAttrs = Some(Seq("a" -> "role"))),
+      AggOps.LogCountConfig(exprMatch = Some("true"),
+        ottlAttrs = Some(Seq("a" -> "role"))),
+      AggOps.LogCountConfig(ottlMatch = Some("true"),
+        exprAttrs = Some(Seq("a" -> "role"))))
+    combos.foreach { cfg =>
+      assertThrows[IllegalArgumentException] {
+        AggOps.logCountConfigured(t, cfg)
+      }
+    }
+    // a pure surface (either one) is accepted and counts identically
+    val e = AggOps.logCountConfigured(t, AggOps.LogCountConfig(
+      exprMatch = Some("true")))
+    val o = AggOps.logCountConfigured(t, AggOps.LogCountConfig(
+      ottlMatch = Some("Len(text) >= 0")))
+    assert(e.agg(sum(col("log_count"))).collect().head.getLong(0) ==
+      o.agg(sum(col("log_count"))).collect().head.getLong(0))
+  }
 }
