@@ -830,7 +830,10 @@ object SparkEntry {
         "set(m2, ParseKeyValue(Format('b=zz c=%s', [role])))",
         "set(up, MergeMaps(m1, m2, 'upsert'))",
         "set(ins, MergeMaps(m1, m2, 'insert'))",
-        "set(upd, MergeMaps(m1, m2, 'update'))"
+        "set(upd, MergeMaps(m1, m2, 'update'))",
+        "set(dur_hours, Hours(Duration(dur_str)))",
+        "set(dur_millis, Milliseconds(Duration(dur_str)))",
+        "set(snake2, ToSnakeCase(Concat('HTTP', role, 'Turn')))"
       ), tt.columns.toSet)(tt)
       out.select(col("conv_id"), col("turn_idx"),
         col("kvmap").getItem("component").as("kv_component"),
@@ -843,7 +846,8 @@ object SparkEntry {
         col("ins").getItem("c").as("ins_c"),
         col("upd").getItem("b").as("upd_b"),
         col("upd").getItem("c").as("upd_c"),
-        size(col("upd")).as("upd_size"))
+        size(col("upd")).as("upd_size"),
+        col("dur_hours"), col("dur_millis"), col("snake2"))
     }),
     "q_groupby_attrs" -> ((s, d) =>
       EnrichOps.transpose(t(s, d))
@@ -2037,7 +2041,14 @@ object SparkEntry {
            'zz' AS up_b, role AS up_c,
            tool AS ins_b, role AS ins_c,
            'zz' AS upd_b, CAST(NULL AS VARCHAR) AS upd_c,
-           2 AS upd_size
+           2 AS upd_size,
+           CAST(CAST((turn_idx%5)*3600 + (turn_idx%60)*60 + turn_idx%60 AS BIGINT)
+             * 1000000000 AS DOUBLE) / CAST(3600000000000 AS DOUBLE) AS dur_hours,
+           CAST((turn_idx%5)*3600 + (turn_idx%60)*60 + turn_idx%60
+             AS BIGINT) * 1000 AS dur_millis,
+           lower(regexp_replace(regexp_replace('HTTP' || role || 'Turn',
+             '([A-Z]+)([A-Z][a-z])', '\1_\2', 'g'),
+             '([a-z0-9])([A-Z])', '\1_\2', 'g')) AS snake2
            FROM t"""),
 
       "q_ottl_converters" -> Transcripts.withT(

@@ -405,6 +405,28 @@ object ExprLang {
       when(c.rlike("^(\\d+(?:\\.\\d+)?(h|m|s|ms|us|ns))+$"), ns.cast("long"))
         .otherwise(lit(null).cast("long"))
     }),
+    // Duration-unit extractors over Duration() nanos — Go parity:
+    // Hours/Minutes/Seconds return float64, Milliseconds/Microseconds/
+    // Nanoseconds truncating int64
+    "Hours" -> (args => args.head.cast("double") / 3600e9),
+    "Minutes" -> (args => args.head.cast("double") / 60e9),
+    "Seconds" -> (args => args.head.cast("double") / 1e9),
+    "Milliseconds" -> (args => {
+      val n = args.head.cast("long")
+      ((n - pmod(n, lit(1000000L))) / 1000000L).cast("long")
+    }),
+    "Microseconds" -> (args => {
+      val n = args.head.cast("long")
+      ((n - pmod(n, lit(1000L))) / 1000L).cast("long")
+    }),
+    "Nanoseconds" -> (args => args.head.cast("long")),
+    // upstream registers dedicated case converters beside ConvertCase
+    "ToSnakeCase" -> (args =>
+      lower(regexp_replace(
+        regexp_replace(args.head, "([A-Z]+)([A-Z][a-z])", "$1_$2"),
+        "([a-z0-9])([A-Z])", "$1_$2"))),
+    "ToCamelCase" -> (args =>
+      concat_ws("", transform(split(args.head, "_"), p => initcap(p)))),
     // merge_maps(target, source, strategy) — ottlfuncs editor semantics:
     // upsert = source wins, insert = only keys absent from target,
     // update = only keys present in target

@@ -136,6 +136,15 @@ class ExprLangSpec extends SparkTestBase {
     assert(v("Duration('2us')") == 2000L)
     assert(v("Duration('7ns')") == 7L)
     assert(v("Duration('oops')") == null)
+    // Go Duration unit extractors: float64 for h/m/s, truncating int64 below
+    assert(v("Hours(Duration('90m'))") == 1.5)
+    assert(v("Minutes(Duration('90s'))") == 1.5)
+    assert(v("Seconds(Duration('1500ms'))") == 1.5)
+    assert(v("Milliseconds(Duration('1500us'))") == 1L)
+    assert(v("Microseconds(Duration('1500ns'))") == 1L)
+    assert(v("Nanoseconds(Duration('2us'))") == 2000L)
+    assert(v("ToSnakeCase('HTTPServer')") == "http_server")
+    assert(v("ToCamelCase('foo_bar')") == "FooBar")
     val kv = v("ParseKeyValue('k1=a k2=b')")
       .asInstanceOf[scala.collection.Map[String, String]]
     assert(kv("k1") == "a" && kv("k2") == "b")
