@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.agg.AggOps
 import graft.expr.ExprLang
 import graft.model.Transcripts
 import graft.plugins.Plugins
@@ -376,6 +377,73 @@ class StreamingSpec extends SparkTestBase {
         .filter(col("window_start") === ts("2024-01-01 10:00:00"))
         .agg(sum(col("n"))).collect().head.getLong(0)
       assert(after == 2L, "late row must not re-open or re-emit the window")
+    } finally q.stop()
+  }
+
+  test("five-shape datapoint plane applies identically in streaming (batch parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      WmTurn("c1", 0, "user",
+        """{"level":"info","status":200,"path":"/x","latency_ms":42,"msg":"ok"}""",
+        "", ts("2024-01-01 10:00:00")),
+      WmTurn("c1", 1, "user", "not json — yields no datapoints", "",
+        ts("2024-01-01 10:01:00")),
+      WmTurn("c2", 0, "tool",
+        """{"level":"error","status":503,"path":"/y","latency_ms":977,"msg":"ko"}""",
+        "search", ts("2024-01-01 11:30:00")))
+    val input = MemoryStream[WmTurn]
+    // the five-shape explode is stateless — it applies to a streaming
+    // relation unchanged, one row per datapoint per micro-batch
+    val q = AggOps.allDatapoints(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dp_stream").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val cols = Seq("conv_id", "turn_idx", "metric_type", "metric_name",
+        "value_int", "dp_count", "quantile_95")
+      val streamed = spark.table("dp_stream")
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val batch = AggOps.allDatapoints(rows.toDF())
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 10) // 2 JSON turns × 5 shapes; non-JSON yields none
+    } finally q.stop()
+  }
+
+  test("typed datapoint count: watermarked windows finalize per metric_type") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def turn(conv: String, idx: Int, lat: Int, at: String) =
+      WmTurn(conv, idx, "user",
+        s"""{"level":"info","status":200,"path":"/x","latency_ms":$lat,"msg":"ok"}""",
+        "", ts(at))
+    val input = MemoryStream[WmTurn]
+    val counts = AggOps.allDatapoints(input.toDF())
+      .withWatermark("ts", "2 hours")
+      // group on the window STRUCT: the analyzer tracks the watermark
+      // through the time-window grouping column, not a projection of it
+      .groupBy(window(col("ts"), "1 hour"), col("metric_type"))
+      .agg(count(lit(1)).as("datapoint_count"))
+      .select(col("window.start").as("window_start"), col("metric_type"),
+        col("datapoint_count"))
+    val q = counts.writeStream.outputMode("append").format("memory")
+      .queryName("dp_typed_counts").start()
+    try {
+      input.addData(turn("c1", 0, 10, "2024-01-01 10:05:00"),
+        turn("c1", 1, 20, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      assert(spark.table("dp_typed_counts").count() == 0) // window open
+      input.addData(turn("c2", 0, 30, "2024-01-01 14:00:00"))
+      q.processAllAvailable()
+      val done = spark.table("dp_typed_counts")
+        .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+      // the finalized hour emits one row per metric shape, 2 points each
+      assert(done.count() == 5)
+      assert(done.filter(col("datapoint_count") =!= 2).count() == 0)
     } finally q.stop()
   }
 
