@@ -234,18 +234,25 @@ object AggOps {
   // fast paths ratio∈{0,1} (processor/samplingprocessor/processor.go:122-131;
   // sampleFunc :79-82). Seeded rand for deterministic tests (SURVEY §4.4).
   // -------------------------------------------------------------------
-  def sample(t: DataFrame, condition: Column, dropRatio: Double, seed: Long = 42L): DataFrame =
+  def sample(t: DataFrame, condition: Column, dropRatio: Double, seed: Long = 42L): DataFrame = {
+    // config.go Validate(): out-of-range ratio is a config-time ERROR, not
+    // a clamp (errInvalidDropRatio)
+    require(dropRatio >= 0.0 && dropRatio <= 1.0,
+      "drop_ratio must be between 0.0 and 1.0")
     if (dropRatio <= 0.0) t // keep-all fast path
     // false-on-error: an unevaluable (NULL) condition keeps the record
     else if (dropRatio >= 1.0) t.filter(!coalesce(condition, lit(false)))
     else t.filter(!coalesce(condition && rand(seed) <= dropRatio, lit(false)))
+  }
 
   /** Hash-gated sampling: the drop decision is md5-derived from the record
     * key instead of RNG state — deterministic across engines, re-runs, and
     * partitionings (the reproducible-pipeline variant of the seeded path;
     * a re-run of a resumed job samples the same records).
     */
-  def sampleHashed(t: DataFrame, condition: Column, dropRatio: Double): DataFrame =
+  def sampleHashed(t: DataFrame, condition: Column, dropRatio: Double): DataFrame = {
+    require(dropRatio >= 0.0 && dropRatio <= 1.0,
+      "drop_ratio must be between 0.0 and 1.0")
     if (dropRatio <= 0.0) t
     else if (dropRatio >= 1.0) t.filter(!coalesce(condition, lit(false)))
     else {
@@ -256,6 +263,7 @@ object AggOps {
         math.round(dropRatio * 1000000L)
       t.filter(!coalesce(condition && gate, lit(false)))
     }
+  }
 
   // -------------------------------------------------------------------
   // logdedupprocessor (manifest.yaml:100) — dedup IDENTICAL log records

@@ -78,6 +78,17 @@ class AggSpec extends SparkTestBase {
     assert(lc.agg(sum(col("log_count"))).collect().head.getLong(0) == t.count())
   }
 
+  test("sampling rejects out-of-range drop_ratio (config.go errInvalidDropRatio)") {
+    Seq(-0.1, 1.1).foreach { r =>
+      assertThrows[IllegalArgumentException] {
+        AggOps.sample(t, lit(true), r)
+      }
+      assertThrows[IllegalArgumentException] {
+        AggOps.sampleHashed(t, lit(true), r)
+      }
+    }
+  }
+
   test("logcount config rejects mixing the expr and OTTL surfaces") {
     // logcountprocessor/config.go:56-70: all four cross combinations error
     val combos = Seq(
