@@ -411,6 +411,26 @@ object SparkEntry {
       AggOps.metricExtract(t(s, d))
         .select(col("conv_id"), col("turn_idx"), col("metric_name"),
           col("value_int"), col("value_double"), col("level"), col("ts"))),
+    // full metricextract config surface: match gate + extract expression +
+    // the counter_int metric type (monotonic sum) + attribute expressions
+    // (metricextractprocessor/config.go:67-78)
+    "q_metric_extract_config" -> ((s, d) => {
+      val tt = t(s, d).filter(ParseOps.isJson)
+        .withColumn("p", from_json(col("text"), ParseOps.JsonBodySchema))
+        .select(col("conv_id"), col("turn_idx"), col("ts"),
+          col("p.level").as("level"), col("p.status").as("status"),
+          col("p.latency_ms").as("latency_ms"))
+      AggOps.metricExtractConfigured(tt, AggOps.MetricExtractConfig(
+        route = "metrics",
+        exprMatch = Some("status >= 400"),
+        extract = "latency_ms * 2",
+        metricName = "request.latency_x2",
+        metricUnit = "ms",
+        metricType = "counter_int",
+        exprAttrs = Some(Seq(
+          "sev" -> "level",
+          "hot" -> "latency_ms > 500 ? 'y' : 'n'"))))
+    }),
     "q_metric_stats" -> ((s, d) => AggOps.metricStats(t(s, d))),
     // include-regex gate: matching metrics consumed into stats...
     "q_metric_stats_regex" -> ((s, d) =>
@@ -1551,6 +1571,22 @@ object SparkEntry {
            CAST(json_extract(text, '$.latency_ms') AS DOUBLE) AS value_double,
            json_extract_string(text, '$.level') AS level, ts
            FROM t WHERE starts_with(text, '{')"""),
+
+      "q_metric_extract_config" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           'request.latency_x2' AS metric_name, 'ms' AS metric_unit,
+           'counter_int' AS metric_type, TRUE AS is_monotonic,
+           CAST(lat AS BIGINT) * 2 AS value_int,
+           CAST(NULL AS DOUBLE) AS value_double,
+           '{"hot":"' || CASE WHEN lat > 500 THEN 'y' ELSE 'n' END ||
+             '","sev":"' || level || '"}' AS attrs_json,
+           'metrics' AS route, ts
+           FROM (SELECT conv_id, turn_idx, ts,
+                   json_extract_string(text, '$.level') AS level,
+                   CAST(json_extract(text, '$.status') AS INT) AS st,
+                   CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS lat
+                 FROM t WHERE starts_with(text, '{'))
+           WHERE st >= 400"""),
 
       "q_metric_stats" -> Transcripts.withT(
         """SELECT window_start, level,

@@ -150,6 +150,63 @@ object AggOps {
         col("p.latency_ms").cast("double").as("value_double"),
         col("p.level").as("level"), col("ts"))
 
+  /** Full metricextract config surface (metricextractprocessor/config.go:
+    * 67-78, Validate :83-103): match gate, extract expression, metric
+    * name/unit, FOUR metric types (gauge_double/gauge_int/counter_double/
+    * counter_int — counter ⇒ monotonic sum), attribute expressions, and the
+    * same expr-vs-OTTL field exclusivity as logcount. The int types
+    * truncate the extracted value; the double types keep it floating.
+    */
+  case class MetricExtractConfig(
+      route: String = "",
+      exprMatch: Option[String] = None,
+      ottlMatch: Option[String] = None,
+      extract: String = "",
+      ottlExtract: String = "",
+      metricName: String = "extracted.metric",
+      metricUnit: String = "{units}",
+      metricType: String = "gauge_double",
+      exprAttrs: Option[Seq[(String, String)]] = None,
+      ottlAttrs: Option[Seq[(String, String)]] = None)
+
+  def metricExtractConfigured(t: DataFrame, cfg: MetricExtractConfig): DataFrame = {
+    val usesExpr = cfg.extract.nonEmpty || cfg.exprMatch.isDefined || cfg.exprAttrs.isDefined
+    val usesOttl = cfg.ottlExtract.nonEmpty || cfg.ottlMatch.isDefined || cfg.ottlAttrs.isDefined
+    require(!(usesExpr && usesOttl),
+      "cannot use ottl fields (ottl_match, ottl_extract, ottl_attributes) " +
+        "and expr fields (match, extract, attributes)")
+    require(Seq("gauge_double", "gauge_int", "counter_double", "counter_int")
+      .contains(cfg.metricType), "invalid metric type")
+    val extractSrc =
+      if (usesOttl) { require(cfg.ottlExtract.nonEmpty, "ottl_extract expression is required"); cfg.ottlExtract }
+      else { require(cfg.extract.nonEmpty, "extract expression is required"); cfg.extract }
+    val cols = t.columns.toSet
+    val matched = cfg.exprMatch.orElse(cfg.ottlMatch)
+      .map(m => t.filter(
+        coalesce(graft.expr.ExprLang.boolExpr(m, cols), lit(false))))
+      .getOrElse(t)
+    val raw = graft.expr.ExprLang.valueExpr(extractSrc, cols)
+    // int/double duality per configured type (processor_ottl.go value
+    // switch); records whose extract is null/uncastable drop (nil → skip)
+    val isInt = cfg.metricType.endsWith("_int")
+    val value = if (isInt) raw.try_cast("double").try_cast("long")
+      else raw.try_cast("double")
+    val attrs = graft.expr.ExprLang.expressionMap(
+      cfg.exprAttrs.orElse(cfg.ottlAttrs).getOrElse(Seq.empty), cols)
+    matched
+      .withColumn("__v", value).filter(col("__v").isNotNull)
+      .select(
+        col("conv_id"), col("turn_idx"),
+        lit(cfg.metricName).as("metric_name"),
+        lit(cfg.metricUnit).as("metric_unit"),
+        lit(cfg.metricType).as("metric_type"),
+        lit(cfg.metricType.startsWith("counter")).as("is_monotonic"),
+        (if (isInt) col("__v") else lit(null).cast("long")).as("value_int"),
+        (if (isInt) lit(null).cast("double") else col("__v")).as("value_double"),
+        to_json(map_from_entries(array_sort(map_entries(attrs)))).as("attrs_json"),
+        lit(cfg.route).as("route"), col("ts"))
+  }
+
   // -------------------------------------------------------------------
   // metricstatsprocessor — windowed {min,max,avg,first,last} per (metric,
   // attrs); avg keeps int math int (stats/avg_statistic.go:49-66: integer

@@ -89,6 +89,29 @@ class AggSpec extends SparkTestBase {
     }
   }
 
+  test("metricextract config validation: type whitelist, extract required, no mixing") {
+    assertThrows[IllegalArgumentException] { // invalid metric type
+      AggOps.metricExtractConfigured(t, AggOps.MetricExtractConfig(
+        extract = "turn_idx", metricType = "histogram"))
+    }
+    assertThrows[IllegalArgumentException] { // extract required
+      AggOps.metricExtractConfigured(t, AggOps.MetricExtractConfig())
+    }
+    assertThrows[IllegalArgumentException] { // expr+OTTL mixing
+      AggOps.metricExtractConfigured(t, AggOps.MetricExtractConfig(
+        extract = "turn_idx", ottlMatch = Some("true")))
+    }
+    // int type truncates, double type keeps the fraction; gauge ⇒ not monotonic
+    val gi = AggOps.metricExtractConfigured(t, AggOps.MetricExtractConfig(
+      extract = "turn_idx / 2", metricType = "gauge_int"))
+    val gd = AggOps.metricExtractConfigured(t, AggOps.MetricExtractConfig(
+      extract = "turn_idx / 2", metricType = "gauge_double"))
+    val i1 = gi.filter(col("turn_idx") === 1).select("value_int").collect().head.getLong(0)
+    val d1 = gd.filter(col("turn_idx") === 1).select("value_double").collect().head.getDouble(0)
+    assert(i1 == 0L && d1 == 0.5)
+    assert(gi.filter(col("is_monotonic")).count() == 0)
+  }
+
   test("logcount config rejects mixing the expr and OTTL surfaces") {
     // logcountprocessor/config.go:56-70: all four cross combinations error
     val combos = Seq(
