@@ -357,6 +357,30 @@ object SparkEntry {
           col("ocsf.metadata.version").as("ocsf_version"))
     }),
 
+    // full removeemptyvalues config surface: configured sentinel list
+    // (case-insensitive, default-empty), remove_empty_maps toggle, dotted
+    // exclude_keys protecting a sub-path, null removal in arrays
+    // (removeemptyvaluesprocessor/config.go:77-83, factory defaults :50-57)
+    "q_remove_empty_config" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val inner_a = map(lit("tool"), col("tool"), lit("note"), lit("-"),
+        lit("x"), lit("ok"))
+      val inner_b = map(lit("y"), lit(""), lit("z"), lit("-"))
+      val outer = map(lit("a"), inner_a, lit("b"), inner_b)
+      val arr = array(col("tool"), lit("-"), lit("ok"),
+        lit(null).cast("string"))
+      val cfg = EnrichOps.RemoveEmptyConfig(
+        removeEmptyMaps = true,
+        emptyStringValues = Seq("", "-"),
+        excludeKeys = Set("a.note"))
+      t(s, d).select(col("conv_id"), col("turn_idx"),
+        to_json(EnrichOps.cleanDeepConfigured(outer,
+          MapType(StringType, MapType(StringType, StringType)), cfg))
+          .as("cleaned_json"),
+        array_join(EnrichOps.cleanDeepConfigured(arr,
+          ArrayType(StringType), cfg), ",").as("cleaned_arr"))
+    }),
+
     // ------------------------- route plane -------------------------
     "q_route_counts" -> ((s, d) =>
       Router.tagged(t(s, d)).groupBy(col("route")).agg(count(lit(1)).as("n"))),
@@ -1416,6 +1440,14 @@ object SparkEntry {
              '10.0.1.' || CAST(turn_idx % 256 AS VARCHAR),
              CAST(600300 + CASE WHEN status >= 500 THEN 99 ELSE 3 END AS BIGINT)
            FROM j WHERE COALESCE(level, '') <> 'error' AND turn_idx % 11 <> 0"""),
+
+      "q_remove_empty_config" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           '{"a":{' || CASE WHEN tool <> '' THEN '"tool":"' || tool || '",'
+                       ELSE '' END ||
+             '"note":"-","x":"ok"}}' AS cleaned_json,
+           CASE WHEN tool <> '' THEN tool || ',ok' ELSE 'ok' END AS cleaned_arr
+           FROM t"""),
 
       "q_ocsf_multiclass" -> Transcripts.withT(
         """, j AS (SELECT conv_id, turn_idx, turn_idx % 4 AS cls,

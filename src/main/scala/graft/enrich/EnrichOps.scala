@@ -306,6 +306,69 @@ object EnrichOps {
     }
   }
 
+  /** Full removeemptyvaluesprocessor config surface (config.go:77-83,
+    * factory.go:50-57 defaults): remove_nulls defaults TRUE, empty
+    * lists/maps default FALSE, strings filter ONLY against the configured
+    * case-insensitive `empty_string_values` (default EMPTY — a bare ""
+    * survives unless configured away), and dotted `exclude_keys` protect
+    * sub-paths at any depth (trimMapKeyPrefix recursion).
+    */
+  case class RemoveEmptyConfig(
+      removeNulls: Boolean = true,
+      removeEmptyLists: Boolean = false,
+      removeEmptyMaps: Boolean = false,
+      emptyStringValues: Seq[String] = Seq.empty,
+      excludeKeys: Set[String] = Set.empty)
+
+  def cleanDeepConfigured(c: Column,
+                          dt: org.apache.spark.sql.types.DataType,
+                          cfg: RemoveEmptyConfig,
+                          excludes: Set[String]): Column = {
+    import org.apache.spark.sql.types._
+    def strFiltered(v: Column): Column =
+      cfg.emptyStringValues.map(s => lower(v) === s.toLowerCase)
+        .foldLeft(lit(false))(_ || _)
+    def emptyAfterClean(v: Column, vt: DataType): Column = vt match {
+      case StringType =>
+        (if (cfg.removeNulls) v.isNull else lit(false)) || strFiltered(v)
+      case ArrayType(_, _) =>
+        (if (cfg.removeNulls) v.isNull else lit(false)) ||
+          (if (cfg.removeEmptyLists) size(v) === 0 else lit(false))
+      case MapType(_, _, _) =>
+        (if (cfg.removeNulls) v.isNull else lit(false)) ||
+          (if (cfg.removeEmptyMaps) size(v) === 0 else lit(false))
+      case _ => if (cfg.removeNulls) v.isNull else lit(false)
+    }
+    dt match {
+      case MapType(_, vt, _) =>
+        // per-key recursion with trimmed excludes: the sub-exclude set
+        // under key k is static config, so it compiles to a when-chain
+        // over the distinct exclude prefixes (mask sub-path pattern)
+        val prefixGroups: Map[String, Set[String]] = excludes
+          .filter(_.contains(".")).groupBy(_.split("\\.", 2)(0))
+          .map { case (p, es) => p -> es.map(_.split("\\.", 2)(1)) }
+        val exactExcludes = excludes.filterNot(_.contains("."))
+        val cleanedVals = transform_values(c, (k, v) =>
+          prefixGroups.foldLeft(cleanDeepConfigured(v, vt, cfg, Set.empty)) {
+            case (acc, (p, sub)) =>
+              when(k === p, cleanDeepConfigured(v, vt, cfg, sub)).otherwise(acc)
+          })
+        map_filter(cleanedVals, (k, v) =>
+          exactExcludes.foldLeft(!emptyAfterClean(v, vt)) {
+            (acc, ex) => acc || k === ex
+          })
+      case ArrayType(et, _) =>
+        filter(transform(c, v => cleanDeepConfigured(v, et, cfg, Set.empty)),
+          v => !emptyAfterClean(v, et))
+      case _ => c
+    }
+  }
+
+  def cleanDeepConfigured(c: Column,
+                          dt: org.apache.spark.sql.types.DataType,
+                          cfg: RemoveEmptyConfig): Column =
+    cleanDeepConfigured(c, dt, cfg, cfg.excludeKeys)
+
   def removeEmptyValues(t: DataFrame): DataFrame = {
     val kv = ParseOps.parseKv(t)
     // rebuild an attribute list with injected empties, then clean it
