@@ -168,6 +168,29 @@ object Ottl {
         df => df.withColumn(m,
           guarded(col(m), transform_values(col(m), (_, v) => substring(v, 1, limit))))
 
+      case "limit" => // cap map entry count; priority keys survive first
+        val m = parseTarget(rawArgs(0)).asInstanceOf[ColTarget].name
+        val n = rawArgs(1).trim.toInt
+        // ottlfuncs limit(target, limit, priority_keys[]): priority keys
+        // are retained before any others; remaining slots fill in map order
+        val priority = rawArgs.drop(2).map(stripQuotes)
+        df => df.withColumn(m, guarded(col(m), {
+          val entries = map_entries(col(m))
+          val isPri = (e: Column) =>
+            priority.foldLeft(lit(false))((acc, p) => acc || e.getField("key") === p)
+          val ordered = concat(
+            filter(entries, e => isPri(e)),
+            filter(entries, e => !isPri(e)))
+          map_from_entries(slice(ordered, 1, n))
+        }))
+
+      case "merge_maps" => // editor form of the MergeMaps converter
+        val m = parseTarget(rawArgs(0)).asInstanceOf[ColTarget].name
+        val source = ExprLang.valueExpr(rawArgs(1), columns)
+        val merged = ExprLang.Converters("MergeMaps")(
+          List(col(m), source, lit(stripQuotes(rawArgs(2)))))
+        df => df.withColumn(m, guarded(col(m), merged))
+
       case other =>
         throw new IllegalArgumentException(s"unsupported OTTL statement '$other'")
     }

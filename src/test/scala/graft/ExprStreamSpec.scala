@@ -214,6 +214,22 @@ class OttlSpec extends SparkTestBase {
     val kept = Ottl(Seq("""keep_keys(attributes, 'env')"""),
       fixture.columns.toSet)(fixture)
     assert(kept.collect().forall(_.getAs[Map[String, String]]("attributes").keySet == Set("env")))
+    // limit: priority keys survive first, remaining slots fill in map order
+    val limited = Ottl(Seq("""limit(attributes, 2, 'note')"""),
+      fixture.columns.toSet)(fixture)
+    limited.collect().foreach { r =>
+      val m = r.getAs[Map[String, String]]("attributes")
+      assert(m.size <= 2)
+      assert(m.contains("note") || r.getAs[String]("role") == "user")
+    }
+    // merge_maps editor: upsert pulls source keys into the target column
+    val merged = Ottl(Seq(
+      """merge_maps(attributes, ParseKeyValue('env=prod extra=1'), 'upsert')"""),
+      fixture.columns.toSet)(fixture)
+    merged.collect().foreach { r =>
+      val m = r.getAs[Map[String, String]]("attributes")
+      assert(m("env") == "prod" && m("extra") == "1")
+    }
   }
 
   test("parenthesized where-clauses and parens inside args parse correctly") {
