@@ -394,6 +394,11 @@ object SparkEntry {
           col("SeverityNumber"), col("SeverityText"), col("Body"),
           col("Attributes"), col("Route"))),
     "q_chronicle_group" -> ((s, d) => Router.chronicleGroups(t(s, d))),
+    // gRPC request-size enforcement: recursive count-midpoint halving until
+    // every request fits the byte cap; an oversized single entry drops
+    // (chronicleexporter/marshal.go:487-515) — relational unrolled descent,
+    // oracle = a recursive CTE over the same segment tree
+    "q_chronicle_split" -> ((s, d) => Router.chronicleRequestBatches(t(s, d))),
 
     // ------------------------- aggregate plane -------------------------
     "q_logcount" -> ((s, d) => AggOps.logCount(t(s, d))),
@@ -1521,6 +1526,47 @@ object SparkEntry {
              '","turn_idx":' || turn_idx || '}' AS "Attributes",
            route AS "Route"
            FROM tagged"""),
+
+      "q_chronicle_split" -> Transcripts.withTRecursive(
+        """, j AS (
+             SELECT CASE WHEN tool <> '' THEN tool ELSE 'default_type' END AS log_type,
+               role AS namespace, time_bucket(INTERVAL '1 hour', ts) AS hour,
+               ts, conv_id, turn_idx,
+               CAST(octet_length(CAST(text AS BLOB)) *
+                 CASE WHEN turn_idx % 997 = 0 THEN 1000 ELSE 1 END AS BIGINT) AS sz
+             FROM t),
+           ix AS (SELECT *, row_number() OVER (
+               PARTITION BY log_type, namespace, hour
+               ORDER BY ts, conv_id, turn_idx) - 1 AS rn FROM j),
+           ch AS (SELECT *, CAST(rn // 512 AS INT) AS chunk,
+               CAST(rn % 512 AS INT) AS cidx FROM ix),
+           cm AS (SELECT *, CAST(SUM(sz) OVER (
+               PARTITION BY log_type, namespace, hour, chunk
+               ORDER BY cidx) AS BIGINT) AS cum FROM ch),
+           pf AS (SELECT log_type, namespace, hour, chunk,
+               list(cum ORDER BY cidx) AS pfx, CAST(COUNT(*) AS INT) AS cnt
+             FROM cm GROUP BY 1, 2, 3, 4),
+           seg AS (
+             SELECT log_type, namespace, hour, chunk, pfx, 0 AS lo, cnt AS hi
+             FROM pf
+             UNION ALL
+             SELECT log_type, namespace, hour, chunk, pfx,
+               CASE WHEN s.side = 0 THEN lo ELSE lo + (hi - lo) // 2 END,
+               CASE WHEN s.side = 0 THEN lo + (hi - lo) // 2 ELSE hi END
+             FROM seg CROSS JOIN (VALUES (0), (1)) AS s(side)
+             WHERE pfx[hi] - CASE WHEN lo = 0 THEN 0 ELSE pfx[lo] END > 16384
+               AND hi - lo >= 2),
+           leaves AS (
+             SELECT log_type, namespace, hour, chunk, lo AS batch_lo, hi,
+               pfx[hi] - CASE WHEN lo = 0 THEN 0 ELSE pfx[lo] END AS bytes
+             FROM seg
+             WHERE pfx[hi] - CASE WHEN lo = 0 THEN 0 ELSE pfx[lo] END <= 16384
+                OR hi - lo = 1)
+           SELECT log_type, namespace, hour, chunk, batch_lo,
+             (bytes > 16384) AS dropped,
+             CAST(hi - batch_lo AS BIGINT) AS n_entries,
+             CAST(bytes AS BIGINT) AS batch_bytes
+           FROM leaves"""),
 
       "q_chronicle_group" -> Transcripts.withT(
         """SELECT CASE WHEN tool <> '' THEN tool ELSE 'default_type' END AS log_type,

@@ -248,6 +248,12 @@ object Transcripts {
   /** Wrap an operator's oracle SQL with the transcripts CTE as relation `t`. */
   def withT(sql: String): String = s"WITH t AS (${oracleCte}) ${sql}"
 
+  /** Same, but the WITH list may contain RECURSIVE CTEs (the keyword must
+    * lead the whole WITH clause; it is harmless for the non-recursive t).
+    */
+  def withTRecursive(sql: String): String =
+    s"WITH RECURSIVE t AS (${oracleCte}) ${sql}"
+
   // ---------------------------------------------------------------------
   // 2. Seeded large-scale generator (bench / skew / resume fixtures)
   // ---------------------------------------------------------------------

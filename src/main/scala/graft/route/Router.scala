@@ -129,6 +129,86 @@ object Router {
       .agg(count(lit(1)).as("n"), sum(octet_length(col("text"))).as("bytes"))
 
   // -------------------------------------------------------------------
+  // chronicleexporter gRPC request-size enforcement
+  // (marshal.go:487-515 enforceMaximumsGRPCRequest): a request over the
+  // byte cap splits at its entry-count MIDPOINT, recursively, until every
+  // request fits; a single entry over the cap is dropped with an error.
+  // -------------------------------------------------------------------
+  /** Relational recursive halving. The recursion tree over a request's
+    * entry indices is fixed by the entry COUNT (mid = lo + (hi-lo)/2);
+    * sizes only decide the depth at which each index's segment stops. So:
+    * requests = deterministic bounded chunks (hour bucket × 512-entry
+    * window, modeling the upstream payload boundary), per-chunk prefix-sum
+    * arrays built once, and each entry descends the fixed tree in ≤10
+    * UNROLLED column-arithmetic levels to the first ancestor segment under
+    * the cap — no loops, no UDFs, windows always bucket-partitioned.
+    * At 10^12 turns every state object is chunk-scale (≤512 entries).
+    */
+  def chronicleRequestBatches(t: DataFrame, capBytes: Long = 16384L,
+                              chunkEntries: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val logType = coalesce(when(col("tool") =!= "", col("tool")),
+      lit("default_type")).as("log_type")
+    // synthetic proto size with rare oversized entries (drop-path coverage)
+    val entrySize = (octet_length(col("text")) *
+      when(col("turn_idx") % 997 === 0, 1000).otherwise(1)).cast("long")
+    val base = t.select(logType, col("role").as("namespace"),
+        date_trunc("hour", col("ts")).as("hour"), col("ts"), col("conv_id"),
+        col("turn_idx"), entrySize.as("sz"))
+    val wGroup = Window.partitionBy(col("log_type"), col("namespace"), col("hour"))
+      .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
+    val idxed = base.withColumn("rn", row_number().over(wGroup) - 1)
+      .withColumn("chunk", (col("rn") / chunkEntries).cast("int"))
+      .withColumn("cidx", col("rn") % chunkEntries)
+    val wChunk = Window
+      .partitionBy(col("log_type"), col("namespace"), col("hour"), col("chunk"))
+      .orderBy(col("cidx"))
+    val withCum = idxed.withColumn("cum", sum(col("sz")).over(wChunk))
+    // one prefix-sum array per request chunk (≤ chunkEntries elements)
+    val prefixes = withCum
+      .groupBy(col("log_type"), col("namespace"), col("hour"), col("chunk"))
+      .agg(transform(array_sort(collect_list(struct(col("cidx"), col("cum")))),
+          e => e.getField("cum")).as("pfx"),
+        count(lit(1)).cast("int").as("cnt"))
+    val joined = withCum.join(prefixes,
+      Seq("log_type", "namespace", "hour", "chunk"))
+    // unrolled midpoint descent: P is 1-indexed via element_at; bytes of
+    // [lo,hi) = P[hi] - (lo == 0 ? 0 : P[lo])
+    def segBytes(lo: Column, hi: Column): Column =
+      element_at(col("pfx"), hi) -
+        when(lo === 0, 0L).otherwise(element_at(col("pfx"), lo))
+    val levels = (math.ceil(math.log(chunkEntries.toDouble) / math.log(2.0))
+      .toInt + 1)
+    // the descent must be a RUNTIME fold (aggregate over a sequence), not a
+    // Scala-side foldLeft of nested whens: statically unrolling inlines
+    // each level's state into the next and the expression tree grows
+    // exponentially (≈6^levels nodes — the optimizer OOMs the driver)
+    val descended = aggregate(
+      sequence(lit(1), lit(levels)),
+      struct(lit(0).as("lo"), col("cnt").as("hi"), lit(false).as("done")),
+      (st, _) => {
+        val lo = st.getField("lo"); val hi = st.getField("hi")
+        val fits = segBytes(lo, hi) <= capBytes
+        val terminal = st.getField("done") || fits || (hi - lo) <= 1
+        // Column `/` is float division — truncate back to the int midpoint
+        val mid = (lo + (hi - lo) / 2).cast("int")
+        when(terminal, struct(lo.as("lo"), hi.as("hi"),
+            (st.getField("done") || fits).as("done")))
+          .otherwise(when(col("cidx") < mid,
+            struct(lo.as("lo"), mid.as("hi"), lit(false).as("done")))
+            .otherwise(struct(mid.as("lo"), hi.as("hi"), lit(false).as("done"))))
+      })
+    joined.withColumn("seg", descended)
+      .select(col("log_type"), col("namespace"), col("hour"), col("chunk"),
+        col("seg.lo").as("batch_lo"),
+        // a singleton segment still over the cap is the dropped-entry case
+        (!col("seg.done")).as("dropped"), col("sz"))
+      .groupBy(col("log_type"), col("namespace"), col("hour"), col("chunk"),
+        col("batch_lo"), col("dropped"))
+      .agg(count(lit(1)).as("n_entries"), sum(col("sz")).as("batch_bytes"))
+  }
+
+  // -------------------------------------------------------------------
   // googlecloudexporter host wrapper — add host resource attr when absent
   // (exporter/googlecloudexporter/exporter.go:79-90 appendLogHost)
   // -------------------------------------------------------------------
