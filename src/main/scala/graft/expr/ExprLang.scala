@@ -427,6 +427,14 @@ object ExprLang {
         "([a-z0-9])([A-Z])", "$1_$2"))),
     "ToCamelCase" -> (args =>
       concat_ws("", transform(split(args.head, "_"), p => initcap(p)))),
+    // GetXML(target, xpath) — XML text extraction via the engine's native
+    // xpath evaluator (the ottlfuncs XML tier's read path; the write path
+    // Insert/RemoveXML stays out until a config needs it)
+    "GetXML" -> {
+      case c :: path :: Nil => xpath_string(c, lit(extractLit(path)))
+      case args => throw new IllegalArgumentException(
+        s"GetXML(value, xpath) expects 2 args, got ${args.length}")
+    },
     // merge_maps(target, source, strategy) — ottlfuncs editor semantics:
     // upsert = source wins, insert = only keys absent from target,
     // update = only keys present in target

@@ -146,6 +146,8 @@ class ExprLangSpec extends SparkTestBase {
     assert(v("Nanoseconds(Duration('2us'))") == 2000L)
     assert(v("ToSnakeCase('HTTPServer')") == "http_server")
     assert(v("ToCamelCase('foo_bar')") == "FooBar")
+    assert(v("GetXML('<a><b>7</b><c>x</c></a>', '/a/b/text()')") == "7")
+    assert(v("GetXML('<a><b>7</b></a>', '/a/zzz')") == "")
     val kv = v("ParseKeyValue('k1=a k2=b')")
       .asInstanceOf[scala.collection.Map[String, String]]
     assert(kv("k1") == "a" && kv("k2") == "b")
