@@ -471,6 +471,10 @@ object SparkEntry {
       AggOps.sample(AggOps.metricExtract(t(s, d)), col("level") === "info", 1.0)
         .select(col("conv_id"), col("turn_idx"), col("level"))),
     "q_dedup" -> ((s, d) => AggOps.logDedup(t(s, d))),
+    // logdedup exclude_fields: latency/msg excluded from the identity, so
+    // bodies differing only there collapse to one record + count
+    "q_dedup_exclude" -> ((s, d) =>
+      AggOps.logDedupExcluding(t(s, d), Seq("latency_ms", "msg", "path"))),
     "q_datapoint_first" -> ((s, d) => AggOps.datapointFirst(t(s, d))),
     "q_salted_agg" -> ((s, d) => AggOps.saltedCountByConv(t(s, d))),
     // EP1 config→DAG compiler end-to-end (pluginreceiver/plugin.go Render +
@@ -1691,6 +1695,16 @@ object SparkEntry {
         """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            md5(text) AS body_md5, role,
            COUNT(*) AS dedup_count,
+           MIN(printf('%019d %s %010d', epoch_us(ts), conv_id, turn_idx)) AS first_arrival
+           FROM t GROUP BY 1, 2, 3"""),
+
+      "q_dedup_exclude" -> Transcripts.withT(
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '"latency_ms":("[^"]*"|[0-9.]+|true|false|null),?', '', 'g'),
+             '"msg":("[^"]*"|[0-9.]+|true|false|null),?', '', 'g'),
+             '"path":("[^"]*"|[0-9.]+|true|false|null),?', '', 'g')) AS identity_md5,
+           role, COUNT(*) AS dedup_count,
            MIN(printf('%019d %s %010d', epoch_us(ts), conv_id, turn_idx)) AS first_arrival
            FROM t GROUP BY 1, 2, 3"""),
 

@@ -346,6 +346,30 @@ object AggOps {
         format_string("%019d %s %010d",
           col("first.tsu"), col("first.conv"), col("first.turn")).as("first_arrival"))
 
+  /** logdedup `exclude_fields` parity: the named body sub-fields do NOT
+    * participate in the dedup identity — records identical everywhere else
+    * collapse even when the excluded fields differ (the canonical use:
+    * exclude a timestamp or latency field embedded in the body). The
+    * exclusion rewrites the body to its identity form before hashing.
+    */
+  def logDedupExcluding(t: DataFrame, excludeFields: Seq[String],
+                        interval: String = "1 hour"): DataFrame = {
+    val identityBody = excludeFields.foldLeft(col("text")) { (c, f) =>
+      // a JSON member of any scalar shape, with its trailing comma
+      regexp_replace(c, "\"" + f + "\":(\"[^\"]*\"|[0-9.]+|true|false|null),?", "")
+    }
+    t.withColumn("arrival", arrivalKey)
+      .groupBy(
+        windowStart(col("ts"), interval).as("window_start"),
+        md5(identityBody).as("identity_md5"), col("role"))
+      .agg(count(lit(1)).as("dedup_count"),
+        min(col("arrival")).as("first"))
+      .select(col("window_start"), col("identity_md5"), col("role"),
+        col("dedup_count"),
+        format_string("%019d %s %010d",
+          col("first.tsu"), col("first.conv"), col("first.turn")).as("first_arrival"))
+  }
+
   /** The pre-round-2 q_dedup shape (datapoint family + first arrival),
     * kept as its own operator: first-arrival tracking per datapoint group.
     */
