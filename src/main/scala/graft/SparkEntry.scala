@@ -316,10 +316,27 @@ object SparkEntry {
           ocsfType = Some("long")),
         EnrichOps.FieldMapping("src_endpoint", from = Some(lit("10.2.2.2"))),
         sev, time)
+      val processFields = Seq(
+        EnrichOps.FieldMapping("activity_id", from = Some(st % 7)),
+        EnrichOps.FieldMapping("actor", from = Some(lit("agent"))),
+        EnrichOps.FieldMapping("device", from = Some(lit("host-1"))),
+        EnrichOps.FieldMapping("process", from = Some(col("path"))),
+        sev, time)
+      val findingFields = Seq(
+        EnrichOps.FieldMapping("activity_id", from = Some(st % 5)),
+        EnrichOps.FieldMapping("finding_info", from = Some(col("msg"))),
+        sev, time)
+      val dnsFields = Seq(
+        EnrichOps.FieldMapping("activity_id", from = Some(st % 8)),
+        EnrichOps.FieldMapping("src_endpoint", from = Some(lit("10.3.3.3"))),
+        sev, time)
       val mappings = Seq(
-        EnrichOps.EventMapping(Some(col("turn_idx") % 4 === 0), 1001, fileFields),
-        EnrichOps.EventMapping(Some(col("turn_idx") % 4 === 1), 3002, authFields),
-        EnrichOps.EventMapping(Some(col("turn_idx") % 4 === 2), 4001, netFields),
+        EnrichOps.EventMapping(Some(col("turn_idx") % 7 === 0), 1001, fileFields),
+        EnrichOps.EventMapping(Some(col("turn_idx") % 7 === 1), 3002, authFields),
+        EnrichOps.EventMapping(Some(col("turn_idx") % 7 === 2), 4001, netFields),
+        EnrichOps.EventMapping(Some(col("turn_idx") % 7 === 3), 1007, processFields),
+        EnrichOps.EventMapping(Some(col("turn_idx") % 7 === 4), 2004, findingFields),
+        EnrichOps.EventMapping(Some(col("turn_idx") % 7 === 5), 4003, dnsFields),
         EnrichOps.EventMapping(Some(lit(true)), 4002, httpFields))
       EnrichOps.ocsfStandardizeConfig(j, mappings, runtimeValidation = true)
         .select(col("conv_id"), col("turn_idx"),
@@ -1459,24 +1476,30 @@ object SparkEntry {
            FROM t"""),
 
       "q_ocsf_multiclass" -> Transcripts.withT(
-        """, j AS (SELECT conv_id, turn_idx, turn_idx % 4 AS cls,
+        """, j AS (SELECT conv_id, turn_idx, turn_idx % 7 AS cls,
              CAST(json_extract(text, '$.status') AS INT) AS st
            FROM t WHERE starts_with(text, '{')),
            g AS (SELECT conv_id, turn_idx, cls, st,
-             CASE cls WHEN 0 THEN st%16 WHEN 1 THEN st%7
-                      WHEN 2 THEN st%8 ELSE st%10 END AS aid,
-             CASE cls WHEN 0 THEN 1001 WHEN 1 THEN 3002
-                      WHEN 2 THEN 4001 ELSE 4002 END AS cu,
+             CASE cls WHEN 0 THEN st%16 WHEN 1 THEN st%7 WHEN 2 THEN st%8
+                      WHEN 3 THEN st%7 WHEN 4 THEN st%5 WHEN 5 THEN st%8
+                      ELSE st%10 END AS aid,
+             CASE cls WHEN 0 THEN 1001 WHEN 1 THEN 3002 WHEN 2 THEN 4001
+                      WHEN 3 THEN 1007 WHEN 4 THEN 2004 WHEN 5 THEN 4003
+                      ELSE 4002 END AS cu,
              CASE cls
                WHEN 0 THEN st%16 <= 14
                WHEN 1 THEN st%7 <= 5
                  AND NOT (turn_idx%3 = 0 AND turn_idx%5 <> 0)
                  AND turn_idx%9 <> 0
                WHEN 2 THEN st%8 <= 6
+               WHEN 3 THEN st%7 <= 5
+               WHEN 4 THEN st%5 <= 3
+               WHEN 5 THEN st%8 IN (0, 1, 2, 6)
                ELSE st%10 <= 8 END AS valid
            FROM j)
            SELECT conv_id, turn_idx, cu AS class_uid,
-             CASE cls WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS category_uid,
+             CASE cls WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4
+                      WHEN 3 THEN 1 WHEN 4 THEN 2 ELSE 4 END AS category_uid,
              aid AS activity_id,
              CAST(cu AS BIGINT) * 100 + aid AS type_uid
            FROM g WHERE valid"""),

@@ -523,6 +523,46 @@ object EnrichOps {
           "severity_id" -> ((0L to 6L) :+ 99L),
           "status_id" -> Seq(0L, 1L, 2L, 99L),
           "type_uid" -> ((300200L to 300205L) :+ 300299L))),
+      // Process Activity (v1_1_0/schema.go validateProcessActivity)
+      1007 -> ClassSchema(
+        required = Seq("activity_id", "actor", "category_uid", "class_uid",
+          "device", "metadata", "process", "severity_id", "time", "type_uid"),
+        enums = Map(
+          "activity_id" -> ((0L to 5L) :+ 99L),
+          "category_uid" -> Seq(1L),
+          "class_uid" -> Seq(1007L),
+          "injection_type_id" -> Seq(0L, 1L, 2L, 99L),
+          "severity_id" -> ((0L to 6L) :+ 99L),
+          "status_id" -> Seq(0L, 1L, 2L, 99L),
+          "type_uid" -> ((100700L to 100705L) :+ 100799L))),
+      // Detection Finding (v1_1_0/schema.go validateDetectionFinding) —
+      // note status_id here allows 0-4 (+99), wider than the usual 0-2
+      2004 -> ClassSchema(
+        required = Seq("activity_id", "category_uid", "class_uid",
+          "finding_info", "metadata", "severity_id", "time", "type_uid"),
+        enums = Map(
+          "activity_id" -> ((0L to 3L) :+ 99L),
+          "category_uid" -> Seq(2L),
+          "class_uid" -> Seq(2004L),
+          "confidence_id" -> ((0L to 3L) :+ 99L),
+          "impact_id" -> ((0L to 4L) :+ 99L),
+          "risk_level_id" -> (0L to 4L),
+          "severity_id" -> ((0L to 6L) :+ 99L),
+          "status_id" -> ((0L to 4L) :+ 99L),
+          "type_uid" -> ((200400L to 200403L) :+ 200499L))),
+      // DNS Activity (v1_1_0/schema.go validateDNSActivity) — sparse
+      // activity/type enums (0,1,2,6) exercise non-contiguous sets
+      4003 -> ClassSchema(
+        required = Seq("activity_id", "category_uid", "class_uid",
+          "metadata", "severity_id", "src_endpoint", "time", "type_uid"),
+        enums = Map(
+          "activity_id" -> Seq(0L, 1L, 2L, 6L, 99L),
+          "category_uid" -> Seq(4L),
+          "class_uid" -> Seq(4003L),
+          "rcode_id" -> ((0L to 11L) ++ (16L to 25L) :+ 99L),
+          "severity_id" -> ((0L to 6L) :+ 99L),
+          "status_id" -> Seq(0L, 1L, 2L, 99L),
+          "type_uid" -> Seq(400300L, 400301L, 400302L, 400306L, 400399L))),
       // Network Activity (v1_1_0/schema.go validateNetworkActivity)
       4001 -> ClassSchema(
         required = Seq("activity_id", "category_uid", "class_uid",
