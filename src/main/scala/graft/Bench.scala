@@ -100,10 +100,9 @@ object Bench {
       PipelineRunner.run(s, Pipeline.Canonical, input, outRoot, groupSize = 1000)
       // best-of-N timed runs: steady state; this host is a shared-tenant
       // microVM with 3-7x bimodal timing noise, so the best run is the
-      // honest measure of the code (repeated runs agree at the fast mode)
-      // 3 reps × 2 interleaved cycles = 6 timed runs per level overall
+      // honest measure of the code (repeated runs agree at the fast mode).
       // 2 timed reps (after the warmup) × 3 interleaved cycles = 6 samples
-      // per level — same total sample count as before at 2× the turns
+      // per level.
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
       var best = LevelResult(0.0, 0L, 0.0, Map.empty)
       (1 to reps).foreach { _ =>

@@ -326,8 +326,11 @@ object EnrichOps {
                           excludes: Set[String]): Column = {
     import org.apache.spark.sql.types._
     def strFiltered(v: Column): Column =
-      cfg.emptyStringValues.map(s => lower(v) === s.toLowerCase)
-        .foldLeft(lit(false))(_ || _)
+      // coalesce: on a NULL string the sentinel comparison is SQL NULL, and
+      // map_filter/filter drop NULL-predicate entries — which would remove
+      // nulls even with remove_nulls=false
+      coalesce(cfg.emptyStringValues.map(s => lower(v) === s.toLowerCase)
+        .foldLeft(lit(false))(_ || _), lit(false))
     def emptyAfterClean(v: Column, vt: DataType): Column = vt match {
       case StringType =>
         (if (cfg.removeNulls) v.isNull else lit(false)) || strFiltered(v)

@@ -300,14 +300,8 @@ object ExprLang {
       case c :: cs :: Nil => extractLit(cs) match {
         case "lower" => lower(c)
         case "upper" => upper(c)
-        case "snake" =>
-          // both strcase boundaries: acronym-run end (HTTPServer →
-          // HTTP_Server) THEN lower-to-upper (fooBar → foo_Bar)
-          lower(regexp_replace(
-            regexp_replace(c, "([A-Z]+)([A-Z][a-z])", "$1_$2"),
-            "([a-z0-9])([A-Z])", "$1_$2"))
-        case "camel" => // strcase.ToCamel: capitalize each _-part, join
-          concat_ws("", transform(split(c, "_"), p => initcap(p)))
+        case "snake" => snakeCase(c)
+        case "camel" => camelCase(c)
         case other => throw new IllegalArgumentException(s"ConvertCase '$other'")
       }
       case args => throw new IllegalArgumentException(
@@ -370,15 +364,10 @@ object ExprLang {
     "Base64Decode" -> (args => unbase64(args.head).cast("string")),
     // ParseKeyValue(target[, delimiter[, pair_delimiter]]) — defaults "=", " "
     "ParseKeyValue" -> {
-      // str_to_map delimiters are regexes; OTTL's are literal strings
-      case c :: Nil => str_to_map(c, lit(" "), lit("="))
-      case c :: delim :: Nil =>
-        str_to_map(c, lit(" "),
-          lit(java.util.regex.Pattern.quote(extractLit(delim))))
+      case c :: Nil => kvParse(c, "=", " ")
+      case c :: delim :: Nil => kvParse(c, extractLit(delim), " ")
       case c :: delim :: pair :: Nil =>
-        str_to_map(c,
-          lit(java.util.regex.Pattern.quote(extractLit(pair))),
-          lit(java.util.regex.Pattern.quote(extractLit(delim))))
+        kvParse(c, extractLit(delim), extractLit(pair))
       case args => throw new IllegalArgumentException(
         s"ParseKeyValue(value[, delimiter[, pair_delimiter]]) expects 1-3 args, got ${args.length}")
     },
@@ -394,12 +383,14 @@ object ExprLang {
         s"ParseCSV(value, headers[, delimiter]) expects 2-3 args, got ${args.length}")
     },
     // Go time.ParseDuration: "1h30m", "100ms" → nanoseconds; an invalid
-    // duration string returns nil (null), matching the converter contract
+    // duration string returns nil (null), matching the converter contract.
+    // REPEATED units sum ('1m30m' = 90m), exactly as Go accumulates
+    // components left to right.
     "Duration" -> (args => {
       val c = args.head.cast("string")
       def part(unit: String, mult: Double): Column =
-        coalesce(regexp_extract(c, s"(\\d+(?:\\.\\d+)?)$unit", 1)
-          .try_cast("double"), lit(0.0)) * mult
+        aggregate(regexp_extract_all(c, lit(s"(\\d+(?:\\.\\d+)?)$unit"), lit(1)),
+          lit(0.0), (acc, x) => acc + coalesce(x.try_cast("double"), lit(0.0))) * mult
       val ns = part("h", 3600e9) + part("m(?!s)", 60e9) + part("s(?![a-z])", 1e9) +
         part("ms", 1e6) + part("us", 1e3) + part("ns", 1.0)
       when(c.rlike("^(\\d+(?:\\.\\d+)?(h|m|s|ms|us|ns))+$"), ns.cast("long"))
@@ -420,13 +411,10 @@ object ExprLang {
       ((n - pmod(n, lit(1000L))) / 1000L).cast("long")
     }),
     "Nanoseconds" -> (args => args.head.cast("long")),
-    // upstream registers dedicated case converters beside ConvertCase
-    "ToSnakeCase" -> (args =>
-      lower(regexp_replace(
-        regexp_replace(args.head, "([A-Z]+)([A-Z][a-z])", "$1_$2"),
-        "([a-z0-9])([A-Z])", "$1_$2"))),
-    "ToCamelCase" -> (args =>
-      concat_ws("", transform(split(args.head, "_"), p => initcap(p)))),
+    // upstream registers dedicated case converters beside ConvertCase;
+    // both share ONE implementation with ConvertCase's branches
+    "ToSnakeCase" -> (args => snakeCase(args.head)),
+    "ToCamelCase" -> (args => camelCase(args.head)),
     // GetXML(target, xpath) — XML text extraction via the engine's native
     // xpath evaluator (the ottlfuncs XML tier's read path; the write path
     // Insert/RemoveXML stays out until a config needs it)
@@ -446,7 +434,11 @@ object ExprLang {
         case "insert" => map_concat(target,
           map_filter(source, (k, _) => !array_contains(map_keys(target), k)))
         case "update" => map_filter(
-          map_zip_with(target, source, (_, v1, v2) => coalesce(v2, v1)),
+          // the source value overwrites UNCONDITIONALLY when its key is
+          // present — even with a null value (Go `target[k] = v` sets nil;
+          // coalesce would silently keep the old value)
+          map_zip_with(target, source, (k, v1, v2) =>
+            when(array_contains(map_keys(source), k), v2).otherwise(v1)),
           (k, _) => array_contains(map_keys(target), k))
         case other => throw new IllegalArgumentException(
           s"MergeMaps strategy '$other' (upsert|insert|update)")
@@ -454,6 +446,39 @@ object ExprLang {
       case args => throw new IllegalArgumentException(
         s"MergeMaps(target, source, strategy) expects 3 args, got ${args.length}")
     })
+
+  /** strcase.ToSnake: both boundaries — acronym-run end (HTTPServer →
+    * HTTP_Server) THEN lower-to-upper (fooBar → foo_Bar).
+    */
+  private def snakeCase(c: Column): Column =
+    lower(regexp_replace(
+      regexp_replace(c, "([A-Z]+)([A-Z][a-z])", "$1_$2"),
+      "([a-z0-9])([A-Z])", "$1_$2"))
+
+  /** strcase.ToCamel: capitalize each _-part, join. */
+  private def camelCase(c: Column): Column =
+    concat_ws("", transform(split(c, "_"), p => initcap(p)))
+
+  /** Key-value text → map. NOT str_to_map: its delimiters are regexes AND a
+    * repeated key makes it THROW under the default
+    * mapKeyDedupPolicy=EXCEPTION — free text routinely repeats tokens
+    * ('status 500 ... size 500'), which must dedup LAST-WINS like Go map
+    * assignment, not kill the query.
+    */
+  private def kvParse(c: Column, kvDelim: String, pairDelim: String): Column = {
+    val pairs = split(c, java.util.regex.Pattern.quote(pairDelim))
+    val entries = transform(pairs, p => {
+      val kv = split(p, java.util.regex.Pattern.quote(kvDelim), 2)
+      struct(element_at(kv, 1).as("key"),
+        // token without the kv delimiter → null value (str_to_map parity)
+        when(size(kv) >= 2, element_at(kv, 2)).as("value"))
+    })
+    // last-wins: keep entry i iff no later entry shares its key
+    val deduped = filter(entries, (e, i) =>
+      !exists(slice(entries, i + 2, greatest(size(entries) - i - 1, lit(0))),
+        e2 => e2.getField("key") === e.getField("key")))
+    map_from_entries(deduped)
+  }
 
   /** URL decomposition via Spark's native parse_url (codegen'd). */
   private def urlStruct(c: Column): Column = struct(

@@ -554,7 +554,11 @@ object Plugins {
             // location semantics: stanza applies `location:` only to
             // zone-LESS layouts — a zone-bearing layout (%z / gotime -0700 /
             // Z07:00 / MST) already resolved its own offset, and a second
-            // to_utc_timestamp would double-shift it
+            // to_utc_timestamp would double-shift it. The substring test is
+            // EXACT for gotime, not a heuristic: in a Go reference layout
+            // every occurrence of "-07", "Z07" or "MST" IS the zone token by
+            // definition (there are no escaped literals in Go layouts) —
+            // same for strptime's %z/%Z directives.
             val hasZone = d.timeLayoutType match {
               case "strptime" => layout.contains("%z") || layout.contains("%Z")
               case _ => layout.contains("-07") || layout.contains("Z07") ||

@@ -108,6 +108,20 @@ class EnrichEdgeSpec extends SparkTestBase {
     assert(out(true) == "page" && out(false) == null)
   }
 
+  test("remove-empty config: remove_nulls=false KEEPS null values") {
+    import org.apache.spark.sql.types._
+    val df = Seq(1).toDF("x").select(
+      map(lit("k"), lit(null).cast("string"), lit("s"), lit("-")).as("m"))
+    val cfg = EnrichOps.RemoveEmptyConfig(
+      removeNulls = false, emptyStringValues = Seq("-"))
+    val cleaned = df.select(EnrichOps.cleanDeepConfigured(col("m"),
+      MapType(StringType, StringType), cfg).as("c")).collect().head
+      .getAs[Map[String, String]]("c")
+    // the sentinel "-" goes; the null survives because remove_nulls is off
+    // (a NULL sentinel-comparison must not count as a drop)
+    assert(cleaned.keySet == Set("k") && cleaned("k") == null)
+  }
+
   test("coercion edge cases: overflow and malformed values return originals") {
     val df = Seq(("99999999999999999999", "2024-13-99T99:99:99", "maybe")).toDF("big", "badts", "word")
     val r = df.select(

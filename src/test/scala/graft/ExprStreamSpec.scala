@@ -137,6 +137,20 @@ class ExprLangSpec extends SparkTestBase {
     assert(v("Duration('2us')") == 2000L)
     assert(v("Duration('7ns')") == 7L)
     assert(v("Duration('oops')") == null)
+    // Go accumulates repeated components left to right
+    assert(v("Duration('1m30m')") == 1860000000000L)
+    // duplicate bare tokens must dedup last-wins, not throw (free text
+    // repeats tokens; Go map assignment is last-wins)
+    val dupKv = v("ParseKeyValue('500 a b 500')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(dupKv.keySet == Set("500", "a", "b"))
+    val dupKv2 = v("ParseKeyValue('k=1 k=2')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(dupKv2("k") == "2") // last wins
+    // update overwrites even with a null source value (Go target[k] = nil)
+    val updNull = v("MergeMaps(ParseKeyValue('a=1 b=2'), ParseKeyValue('a'), 'update')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(updNull.keySet == Set("a", "b") && updNull("a") == null)
     // Go Duration unit extractors: float64 for h/m/s, truncating int64 below
     assert(v("Hours(Duration('90m'))") == 1.5)
     assert(v("Minutes(Duration('90s'))") == 1.5)
