@@ -561,6 +561,13 @@ object SparkEntry {
           col("s.stat_count").as("stat_count"))
     }),
     "q_throughput" -> ((s, d) => AggOps.throughput(t(s, d))),
+    // full throughputmeasurement config: payload-level sampling (hash-gated
+    // hour payloads), extra labels, raw-bytes opt-in
+    "q_throughput_config" -> ((s, d) =>
+      AggOps.throughputConfigured(Router.tagged(t(s, d)),
+        AggOps.ThroughputConfig(samplingRatio = 0.4,
+          extraLabels = Map("collector" -> "c1"),
+          measureLogRawBytes = true))),
 
     // ------------------- plugin / expression / snapshot -------------------
     "q_plugin_nginx" -> ((s, d) =>
@@ -1793,6 +1800,16 @@ object SparkEntry {
         """SELECT route, COUNT(*) AS log_count,
            CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS log_raw_bytes
            FROM tagged GROUP BY route"""),
+
+      "q_throughput_config" -> withTagged(
+        s"""SELECT route, COUNT(*) AS log_count,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS log_raw_bytes,
+           'c1' AS label_collector
+           FROM tagged
+           WHERE ${graft.data.Dedup.md5Hash64Sql(
+             "CAST(CAST(epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS VARCHAR)")}
+             % 1000000 < 400000
+           GROUP BY route"""),
 
       "q_plugin_nginx" -> Transcripts.withT(
         s"""SELECT conv_id, turn_idx, tool,

@@ -422,6 +422,38 @@ object AggOps {
       count(lit(1)).as("log_count"),
       sum(octet_length(col("text"))).as("log_raw_bytes"))
 
+  /** Full throughputmeasurement config surface (config.go:28-43): enabled
+    * gate, sampling_ratio over PAYLOADS (rand <= ratio per payload,
+    * processor.go:94-99 — here the deterministic hash-gate stand-in over
+    * the hour-partition payload), extra_labels attached to every
+    * measurement, and measure_log_raw_bytes opt-in (raw bytes are the
+    * expensive extra measurement, default off).
+    */
+  case class ThroughputConfig(
+      enabled: Boolean = true,
+      samplingRatio: Double = 1.0,
+      extraLabels: Map[String, String] = Map.empty,
+      measureLogRawBytes: Boolean = false)
+
+  def throughputConfigured(tagged: DataFrame, cfg: ThroughputConfig): DataFrame = {
+    require(cfg.samplingRatio >= 0.0 && cfg.samplingRatio <= 1.0,
+      "sampling_ratio must be between 0.0 and 1.0")
+    val base = if (cfg.enabled) tagged else tagged.filter(lit(false))
+    // payload = hour partition; keyed on epoch micros so the gate string is
+    // engine-portable (timestamp rendering differs between engines)
+    val payloadKey = unix_micros(date_trunc("hour", col("ts"))
+      .cast("timestamp")).cast("string")
+    val gate = pmod(graft.data.Dedup.md5Hash64(payloadKey), lit(1000000L)) <
+      math.round(cfg.samplingRatio * 1000000L)
+    val grouped = base.filter(gate).groupBy(col("route")).agg(
+      count(lit(1)).as("log_count"),
+      (if (cfg.measureLogRawBytes) sum(octet_length(col("text")))
+       else lit(null).cast("long")).as("log_raw_bytes"))
+    cfg.extraLabels.toSeq.sortBy(_._1).foldLeft(grouped) {
+      case (df, (k, v)) => df.withColumn(s"label_$k", lit(v))
+    }
+  }
+
   // -------------------------------------------------------------------
   // counter.TelemetryCounter dimension keys — the reference groups by the
   // JSON-serialized attribute map (counter/counter.go:114-118); relationally:
