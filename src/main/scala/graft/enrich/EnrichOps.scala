@@ -710,13 +710,28 @@ object EnrichOps {
         // config-declared `required` is honored for classes outside them.
         val schemaTable = OcsfSchema.forVersion(version)
         val allPathNames = allEntries.map(_._1)
-        def pathValue(p: String): Option[Column] =
-          allEntries.find(_._1 == p).map(_._2)
-            // nested struct presence (e.g. "metadata" via metadata.version)
-            .orElse(if (allPathNames.exists(_.startsWith(p + ".")))
-              Some(lit(true)) else None)
         mappings.zipWithIndex
           .foldRight(lit(true): Column) { case ((m, i), acc) =>
+            // PER-MAPPING values, not the cross-mapping when-chains in
+            // `perPath`: inside the `idx === i` branch the chains collapse
+            // to this mapping's value anyway, and embedding them would
+            // square the expression tree (measured: the 7-class multiclass
+            // validation paid ~3 s/1M rows through the interpreted
+            // fallback before this rewrite)
+            def pathValue(p: String): Option[Column] = p match {
+              case "class_uid" => Some(lit(m.classId))
+              case "category_uid" => Some(lit(m.classId / 1000))
+              case "metadata.version" => Some(lit(version))
+              case "type_uid" =>
+                m.fields.find(_.to == "activity_id").map(fm =>
+                  lit(m.classId.toLong * 100) +
+                    fieldValue(m, m.fields.find(_.to == "activity_id").get)
+                      .cast("long"))
+              case _ => m.fields.find(_.to == p).map(fm => fieldValue(m, fm))
+                // nested struct presence (e.g. "metadata" via metadata.version)
+                .orElse(if (allPathNames.exists(_.startsWith(p + ".")))
+                  Some(lit(true)) else None)
+            }
             val cls = schemaTable.get(m.classId)
             val required = cls.map(_.required).getOrElse(m.required)
             val reqOk = required
