@@ -169,22 +169,33 @@ object Bench {
       else levels.sliding(2).collect { case Seq(a, b) =>
         (a, b, (tps(b).tps / tps(a).tps) / (b.toDouble / a))
       }.toSeq
-    // headline N→4N criterion = the best WITHIN-CYCLE adjacent pair: the
-    // two levels of one cycle ran back to back in the same noise window, so
-    // their ratio is time-correlated — pairing each level's cross-cycle
-    // best instead can mix a fast-window local[2] with a slow-window
-    // local[8] and misstate the scaling of the code. Still the
-    // least-saturated operating point (single-socket DRAM bandwidth is
-    // shared across local[N] threads; a real 4N-executor cluster brings 4N
-    // sockets, so the unsaturated pair is the cluster-faithful bound).
-    val pairCandidates =
-      if (levels.size < 2) Seq((levels.head, levels.head, 1.0, 1))
-      else cycleRuns.flatMap { case (c, m) =>
-        levels.sliding(2).collect { case Seq(a, b) =>
-          (a, b, (m(b).tps / m(a).tps) / (b.toDouble / a), c)
-        }
+    // headline N→4N criterion = per adjacent pair, the MEDIAN of that
+    // pair's within-cycle efficiencies across cycles; headline = the best
+    // pair's median, CAPPED at 1.0. Within-cycle pairing keeps the two
+    // levels time-correlated (back-to-back in the same noise window);
+    // the median makes one co-tenant-storm cycle unable to either sink or
+    // inflate the criterion, and the cap keeps the artifact free of
+    // physically impossible superlinear readings (a >1.0 raw median means
+    // the smaller level's baseline was itself noise-depressed). The least-
+    // saturated pair is still the cluster-faithful bound: single-socket
+    // DRAM bandwidth is shared across local[N] threads, while a real
+    // 4N-executor cluster brings 4N sockets.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val pairMedians =
+      if (levels.size < 2) Seq((levels.head, levels.head, 1.0))
+      else levels.sliding(2).map { p =>
+        val (a, b) = (p(0), p(1))
+        val effs = cycleRuns.map { case (_, m) =>
+          (m(b).tps / m(a).tps) / (b.toDouble / a) }.toSeq
+        (a, b, median(effs))
       }.toSeq
-    val (bn, b4n, efficiency, effCycle) = pairCandidates.maxBy(_._3)
+    val (bn, b4n, effRaw) = pairMedians.maxBy(_._3)
+    val efficiency = math.min(effRaw, 1.0)
+    val effBasis = s"median of $cycles within-cycle local[$bn]->local[$b4n] pairs" +
+      (if (effRaw > 1.0) f", capped at 1.0 (raw $effRaw%.3f)" else "")
 
     // --- per-operator query timings on the driver-provided sf dir ---
     // best-of-2: the first run pays janino codegen compilation of the large
@@ -218,7 +229,13 @@ object Bench {
         else "," + levels.sliding(2).collect { case Seq(a, b) =>
           s""""efficiency_${a}_to_$b":${f"${(m(b).tps / m(a).tps) / (b.toDouble / a)}%.3f"}"""
         }.mkString(",")
-      s"""{"cycle":$c,$lv$effs}"""
+      // a level whose tps fell >30% below its cross-cycle best ran inside a
+      // co-tenant storm window — flagged so the artifact is self-certifying
+      // (the reader need not reverse-engineer which cycles to distrust)
+      val storms = levels.filter(n => m(n).tps < 0.7 * tps(n).tps)
+      val stormJson = if (storms.isEmpty) ""
+        else storms.map(n => "\"local" + n + "\"").mkString(""","storm_levels":[""", ",", "]")
+      s"""{"cycle":$c,$lv$effs$stormJson}"""
     }.mkString("[", ",", "]")
     // forensics: per-level io/shuffle/cpu of each level's BEST run — the
     // rates behind the DRAM-bandwidth scaling diagnosis. scan_gb is the
@@ -233,6 +250,6 @@ object Bench {
       s""""local$n":{"wall_sec":${f"${r.wallSec}%.2f"},"scan_gb":${f"$tableGb%.3f"},"scan_gb_per_sec":${f"${tableGb / math.max(r.wallSec, 1e-9)}%.3f"},"records_read":${m.getOrElse("records_read", 0L)},"gb_written":${f"${m.getOrElse("bytes_written", 0L) / 1e9}%.3f"},"shuffle_read_mb":${f"${m.getOrElse("shuffle_read", 0L) / 1e6}%.3f"},"shuffle_write_mb":${f"${m.getOrElse("shuffle_write", 0L) / 1e6}%.3f"},"cpu_sec":${f"$cpuSec%.1f"},"cpu_util":${f"${cpuSec / math.max(r.wallSec * n, 1e-9)}%.2f"},"cpu_sec_per_mturn":${f"${cpuSec / math.max(r.rows / 1e6, 1e-9)}%.2f"}}"""
     }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"pipeline_turns_per_sec","value":${f"$tpsTop%.0f"},"unit":"turns/sec","queries":$qs,"sf":"$sfDir","bench_turns":$rows,"scaling":{$perLevel,$perPair,"efficiency_N_to_4N":${f"$efficiency%.3f"},"efficiency_basis":"local[$bn] vs local[$b4n] (cycle $effCycle)","runs":$runsJson},"forensics":$forensics,"queries_total_sec":${f"${results.map(_._2).sum}%.1f"}}""")
+      s"""{"metric":"pipeline_turns_per_sec","value":${f"$tpsTop%.0f"},"unit":"turns/sec","queries":$qs,"sf":"$sfDir","bench_turns":$rows,"scaling":{$perLevel,$perPair,"efficiency_N_to_4N":${f"$efficiency%.3f"},"efficiency_basis":"$effBasis","runs":$runsJson},"forensics":$forensics,"queries_total_sec":${f"${results.map(_._2).sum}%.1f"}}""")
   }
 }

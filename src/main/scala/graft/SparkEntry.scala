@@ -223,6 +223,40 @@ object SparkEntry {
           col("ocsf.metadata.version").as("metadata_version"))
     }),
 
+    // schema-driven coercion + plan-time mapping-coverage validation over
+    // the GENERATED full-version tables: LookupFieldType resolves dotted
+    // paths through object fields (processor.go:182-184 — port "0123" is a
+    // network_endpoint.port integer → normalized; time is a class timestamp
+    // → epoch millis), and ValidateMappingCoverage (schema.go:18820-18900)
+    // accepts this mapping at plan time (required + any-of + object
+    // recursion), with runtime ValidateClass also on
+    "q_ocsf_schema_coerce" -> ((s, d) => {
+      val fields = Seq(
+        EnrichOps.FieldMapping("activity_id",
+          from = Some((col("turn_idx") % 6).cast("int"))),
+        EnrichOps.FieldMapping("severity_id",
+          from = Some((col("turn_idx") % 7).cast("int"))),
+        EnrichOps.FieldMapping("time",
+          from = Some(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))),
+        EnrichOps.FieldMapping("user.name", from = Some(col("role"))),
+        EnrichOps.FieldMapping("dst_endpoint.ip",
+          from = Some(format_string("10.0.%d.%d",
+            col("turn_idx") % 8, col("turn_idx") % 256))),
+        EnrichOps.FieldMapping("dst_endpoint.port",
+          from = Some(format_string("0%d", col("turn_idx") % 1000))),
+        EnrichOps.FieldMapping("metadata.product", from = Some(lit("graft"))))
+      val mappings = Seq(EnrichOps.EventMapping(None, 3002, fields))
+      EnrichOps.ocsfStandardizeConfig(t(s, d), mappings,
+          version = "1.1.0", runtimeValidation = true,
+          schemaCoerce = true, coverageValidation = true)
+        .select(col("conv_id"), col("turn_idx"),
+          col("ocsf.class_uid").as("class_uid"),
+          col("ocsf.type_uid").as("type_uid"),
+          col("ocsf.dst_endpoint.port").as("port"),
+          col("ocsf.time").as("time_ms"),
+          col("ocsf.user.name").as("user_name"))
+    }),
+
     // OCSF runtime validation against the versioned schema table
     // (processor.go:196-205 ValidateClass): records failing a required-field
     // or enum constraint of their class are dropped
@@ -396,6 +430,30 @@ object SparkEntry {
           .as("cleaned_json"),
         array_join(EnrichOps.cleanDeepConfigured(arr,
           ArrayType(StringType), cfg), ",").as("cleaned_arr"))
+    }),
+    // exclude_keys reference parity (removeemptyvaluesprocessor
+    // processor.go:172-174, 204): an exactly-excluded CONTAINER key keeps
+    // its whole subtree untouched (no recursion reaches it), and excludes
+    // forward UNTRIMMED into maps nested inside arrays
+    "q_remove_empty_exclude_deep" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val inner_keep = map(lit("note"), lit("-"), lit("x"), lit("ok"))
+      val inner_b = map(lit("y"), col("tool"), lit("z"), lit("-"))
+      val outer = map(lit("keep"), inner_keep, lit("b"), inner_b)
+      val amaps = array(
+        map(lit("note"), lit("-"), lit("tool"), col("tool")),
+        map(lit("q"), lit("")))
+      val cfg = EnrichOps.RemoveEmptyConfig(
+        removeEmptyMaps = true,
+        emptyStringValues = Seq("", "-"),
+        excludeKeys = Set("keep", "note"))
+      t(s, d).select(col("conv_id"), col("turn_idx"),
+        to_json(EnrichOps.cleanDeepConfigured(outer,
+          MapType(StringType, MapType(StringType, StringType)), cfg))
+          .as("cleaned_json"),
+        to_json(EnrichOps.cleanDeepConfigured(amaps,
+          ArrayType(MapType(StringType, StringType)), cfg))
+          .as("cleaned_amaps"))
     }),
 
     // ------------------------- route plane -------------------------
@@ -1482,6 +1540,16 @@ object SparkEntry {
            CASE WHEN tool <> '' THEN tool || ',ok' ELSE 'ok' END AS cleaned_arr
            FROM t"""),
 
+      "q_remove_empty_exclude_deep" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           '{"keep":{"note":"-","x":"ok"}' ||
+             CASE WHEN tool <> '' THEN ',"b":{"y":"' || tool || '"}'
+                  ELSE '' END || '}' AS cleaned_json,
+           '[{"note":"-"' ||
+             CASE WHEN tool <> '' THEN ',"tool":"' || tool || '"'
+                  ELSE '' END || '}]' AS cleaned_amaps
+           FROM t"""),
+
       "q_ocsf_multiclass" -> Transcripts.withT(
         """, j AS (SELECT conv_id, turn_idx, turn_idx % 7 AS cls,
              CAST(json_extract(text, '$.status') AS INT) AS st
@@ -1542,6 +1610,15 @@ object SparkEntry {
                AND (json_extract_string(text, '$.level') = 'error'
                     OR CAST(json_extract(text, '$.latency_ms') AS BIGINT) >= 1000)
            )"""),
+
+      "q_ocsf_schema_coerce" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           3002 AS class_uid,
+           CAST(300200 + turn_idx % 6 AS BIGINT) AS type_uid,
+           CAST(turn_idx % 1000 AS VARCHAR) AS port,
+           CAST(CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS VARCHAR) AS time_ms,
+           role AS user_name
+           FROM t"""),
 
       "q_route_counts" -> withTagged(
         "SELECT route, COUNT(*) AS n FROM tagged GROUP BY route"),

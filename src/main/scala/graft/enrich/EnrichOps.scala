@@ -351,17 +351,29 @@ object EnrichOps {
           .filter(_.contains(".")).groupBy(_.split("\\.", 2)(0))
           .map { case (p, es) => p -> es.map(_.split("\\.", 2)(1)) }
         val exactExcludes = excludes.filterNot(_.contains("."))
-        val cleanedVals = transform_values(c, (k, v) =>
-          prefixGroups.foldLeft(cleanDeepConfigured(v, vt, cfg, Set.empty)) {
-            case (acc, (p, sub)) =>
-              when(k === p, cleanDeepConfigured(v, vt, cfg, sub)).otherwise(acc)
-          })
+        // An exactly-excluded key is kept WITH ITS SUBTREE UNTOUCHED —
+        // cleanMap's RemoveIf returns false for excluded keys before any
+        // recursion (processor.go:172-174), so no cleaning reaches its
+        // contents. Exact exclusion wins over a prefix group on the same key.
+        val cleanedVals = transform_values(c, (k, v) => {
+          val prefixed =
+            prefixGroups.foldLeft(cleanDeepConfigured(v, vt, cfg, Set.empty)) {
+              case (acc, (p, sub)) =>
+                when(k === p, cleanDeepConfigured(v, vt, cfg, sub)).otherwise(acc)
+            }
+          exactExcludes.foldLeft(prefixed) { (acc, ex) =>
+            when(k === ex, v).otherwise(acc)
+          }
+        })
         map_filter(cleanedVals, (k, v) =>
           exactExcludes.foldLeft(!emptyAfterClean(v, vt)) {
             (acc, ex) => acc || k === ex
           })
       case ArrayType(et, _) =>
-        filter(transform(c, v => cleanDeepConfigured(v, et, cfg, Set.empty)),
+        // cleanSlice forwards excludeKeys UNTRIMMED into element maps
+        // (processor.go:204,209) — a map inside an array sees the same
+        // exclude set as the array's own container did.
+        filter(transform(c, v => cleanDeepConfigured(v, et, cfg, excludes)),
           v => !emptyAfterClean(v, et))
       case _ => c
     }
@@ -486,12 +498,12 @@ object EnrichOps {
                           fields: Seq[FieldMapping],
                           required: Seq[String] = Seq.empty)
 
-  /** Versioned OCSF schema tables for the classes this engine maps —
-    * required fields + enum constraints encoded from the reference's
-    * GENERATED validators (ocsf/v1_1_0/schema.go: validateHTTPActivity
-    * for 4002, validateAPIActivity for 6003; the full generated file is
-    * 167k LoC — the engine carries exactly the classes its configs use,
-    * same per-class dispatch as ValidateClass).
+  /** Versioned OCSF schema tables — required fields, enum constraints, and
+    * at-least-one groups for EVERY event class of EVERY version the
+    * reference ships (v1.0.0..v1.7.0), loaded from the generated
+    * `graft/ocsf_schema.tsv` via [[OcsfTables]] (extracted mechanically
+    * from ocsf/v1_x_y/schema.go's validators and requirement tables — the
+    * same per-class dispatch surface as ValidateClass).
     */
   object OcsfSchema {
     /** `anyOf`: the generated "at least one of [...] must be set"
@@ -500,154 +512,35 @@ object EnrichOps {
     case class ClassSchema(required: Seq[String], enums: Map[String, Seq[Long]],
                            anyOf: Seq[Seq[String]] = Seq.empty)
 
-    val V110: Map[Int, ClassSchema] = Map(
-      // File System Activity (v1_1_0/schema.go validateFileActivity)
-      1001 -> ClassSchema(
-        required = Seq("activity_id", "actor", "category_uid", "class_uid",
-          "device", "file", "metadata", "severity_id", "time", "type_uid"),
-        enums = Map(
-          "activity_id" -> ((0L to 14L) :+ 99L),
-          "category_uid" -> Seq(1L),
-          "class_uid" -> Seq(1001L),
-          "severity_id" -> ((0L to 6L) :+ 99L),
-          "status_id" -> Seq(0L, 1L, 2L, 99L),
-          "type_uid" -> ((100100L to 100114L) :+ 100199L))),
-      // Authentication (v1_1_0/schema.go validateAuthentication)
-      3002 -> ClassSchema(
-        required = Seq("activity_id", "category_uid", "class_uid",
-          "metadata", "severity_id", "time", "type_uid", "user"),
-        anyOf = Seq(Seq("dst_endpoint", "service")),
-        enums = Map(
-          "activity_id" -> ((0L to 5L) :+ 99L),
-          "auth_protocol_id" -> ((0L to 10L) :+ 99L),
-          "category_uid" -> Seq(3L),
-          "class_uid" -> Seq(3002L),
-          "logon_type_id" -> (Seq(0L, 2L, 3L, 4L, 5L) ++ (7L to 13L) :+ 99L),
-          "severity_id" -> ((0L to 6L) :+ 99L),
-          "status_id" -> Seq(0L, 1L, 2L, 99L),
-          "type_uid" -> ((300200L to 300205L) :+ 300299L))),
-      // Process Activity (v1_1_0/schema.go validateProcessActivity)
-      1007 -> ClassSchema(
-        required = Seq("activity_id", "actor", "category_uid", "class_uid",
-          "device", "metadata", "process", "severity_id", "time", "type_uid"),
-        enums = Map(
-          "activity_id" -> ((0L to 5L) :+ 99L),
-          "category_uid" -> Seq(1L),
-          "class_uid" -> Seq(1007L),
-          "injection_type_id" -> Seq(0L, 1L, 2L, 99L),
-          "severity_id" -> ((0L to 6L) :+ 99L),
-          "status_id" -> Seq(0L, 1L, 2L, 99L),
-          "type_uid" -> ((100700L to 100705L) :+ 100799L))),
-      // Detection Finding (v1_1_0/schema.go validateDetectionFinding) —
-      // note status_id here allows 0-4 (+99), wider than the usual 0-2
-      2004 -> ClassSchema(
-        required = Seq("activity_id", "category_uid", "class_uid",
-          "finding_info", "metadata", "severity_id", "time", "type_uid"),
-        enums = Map(
-          "activity_id" -> ((0L to 3L) :+ 99L),
-          "category_uid" -> Seq(2L),
-          "class_uid" -> Seq(2004L),
-          "confidence_id" -> ((0L to 3L) :+ 99L),
-          "impact_id" -> ((0L to 4L) :+ 99L),
-          "risk_level_id" -> (0L to 4L),
-          "severity_id" -> ((0L to 6L) :+ 99L),
-          "status_id" -> ((0L to 4L) :+ 99L),
-          "type_uid" -> ((200400L to 200403L) :+ 200499L))),
-      // DNS Activity (v1_1_0/schema.go validateDNSActivity) — sparse
-      // activity/type enums (0,1,2,6) exercise non-contiguous sets
-      4003 -> ClassSchema(
-        required = Seq("activity_id", "category_uid", "class_uid",
-          "metadata", "severity_id", "src_endpoint", "time", "type_uid"),
-        enums = Map(
-          "activity_id" -> Seq(0L, 1L, 2L, 6L, 99L),
-          "category_uid" -> Seq(4L),
-          "class_uid" -> Seq(4003L),
-          "rcode_id" -> ((0L to 11L) ++ (16L to 25L) :+ 99L),
-          "severity_id" -> ((0L to 6L) :+ 99L),
-          "status_id" -> Seq(0L, 1L, 2L, 99L),
-          "type_uid" -> Seq(400300L, 400301L, 400302L, 400306L, 400399L))),
-      // Network Activity (v1_1_0/schema.go validateNetworkActivity)
-      4001 -> ClassSchema(
-        required = Seq("activity_id", "category_uid", "class_uid",
-          "dst_endpoint", "metadata", "severity_id", "src_endpoint", "time",
-          "type_uid"),
-        enums = Map(
-          "activity_id" -> ((0L to 6L) :+ 99L),
-          "category_uid" -> Seq(4L),
-          "class_uid" -> Seq(4001L),
-          "severity_id" -> ((0L to 6L) :+ 99L),
-          "status_id" -> Seq(0L, 1L, 2L, 99L),
-          "type_uid" -> ((400100L to 400106L) :+ 400199L))),
-      // HTTP Activity (schema.go validateHTTPActivity)
-      4002 -> ClassSchema(
-        required = Seq("activity_id", "category_uid", "class_uid",
-          "dst_endpoint", "http_request", "http_response", "metadata",
-          "severity_id", "src_endpoint", "time", "type_uid"),
-        enums = Map(
-          "activity_id" -> ((0L to 8L) :+ 99L),
-          "category_uid" -> Seq(4L),
-          "class_uid" -> Seq(4002L),
-          "severity_id" -> ((0L to 6L) :+ 99L),
-          "status_id" -> Seq(0L, 1L, 2L, 99L),
-          "type_uid" -> ((400200L to 400208L) :+ 400299L))),
-      // API Activity (schema.go validateAPIActivity)
-      6003 -> ClassSchema(
-        required = Seq("activity_id", "actor", "api", "category_uid",
-          "class_uid", "metadata", "severity_id", "src_endpoint", "time",
-          "type_uid"),
-        enums = Map(
-          "activity_id" -> ((0L to 4L) :+ 99L),
-          "category_uid" -> Seq(6L),
-          "class_uid" -> Seq(6003L),
-          "severity_id" -> ((0L to 6L) :+ 99L),
-          "status_id" -> Seq(0L, 1L, 2L, 99L),
-          "type_uid" -> ((600300L to 600304L) :+ 600399L))))
-
-    /** v1.7.0 tables — the version dimension is real: 1.7 WIDENS enums
-      * (authentication activity_id 0-7 vs 0-5; http activity_id 0-9 vs 0-8)
-      * and RELAXES http requirements into an any-of constraint
-      * (v1_7_0/schema.go validateAuthentication, validateHTTPActivity).
-      */
-    val V170: Map[Int, ClassSchema] = Map(
-      3002 -> ClassSchema(
-        required = Seq("activity_id", "category_uid", "class_uid",
-          "metadata", "severity_id", "time", "type_uid", "user"),
-        anyOf = Seq(Seq("dst_endpoint", "service")),
-        enums = Map(
-          "account_switch_type_id" -> Seq(0L, 1L, 2L, 99L),
-          "activity_id" -> ((0L to 7L) :+ 99L),
-          "auth_protocol_id" -> ((0L to 12L) :+ 99L),
-          "category_uid" -> Seq(3L),
-          "class_uid" -> Seq(3002L),
-          "logon_type_id" -> (Seq(0L, 1L, 2L, 3L, 4L, 5L) ++ (7L to 13L) :+ 99L),
-          "severity_id" -> ((0L to 6L) :+ 99L),
-          "status_id" -> Seq(0L, 1L, 2L, 99L),
-          "type_uid" -> ((300200L to 300207L) :+ 300299L))),
-      4002 -> ClassSchema(
-        required = Seq("activity_id", "category_uid", "class_uid",
-          "metadata", "severity_id", "time", "type_uid"),
-        anyOf = Seq(Seq("http_request", "http_response")),
-        enums = Map(
-          "activity_id" -> ((0L to 9L) :+ 99L),
-          "category_uid" -> Seq(4L),
-          "class_uid" -> Seq(4002L),
-          "observation_point_id" -> ((0L to 4L) :+ 99L),
-          "severity_id" -> ((0L to 6L) :+ 99L),
-          "status_id" -> Seq(0L, 1L, 2L, 99L),
-          "type_uid" -> ((400200L to 400209L) :+ 400299L))))
-
     def forVersion(v: String): Map[Int, ClassSchema] =
-      if (v.startsWith("1.1")) V110
-      else if (v.startsWith("1.7")) V170
-      else Map.empty
+      OcsfTables.forVersion(v).map(_.classes.map { case (uid, r) =>
+        uid -> ClassSchema(r.required, r.enums, r.atLeastOne)
+      }).getOrElse(Map.empty)
   }
 
   def ocsfStandardizeConfig(df: DataFrame, mappings: Seq[EventMapping],
                             version: String = "1.1.0",
                             runtimeValidation: Boolean = false,
-                            keep: Seq[String] = Seq("conv_id", "turn_idx"))
+                            keep: Seq[String] = Seq("conv_id", "turn_idx"),
+                            schemaCoerce: Boolean = false,
+                            coverageValidation: Boolean = false)
       : DataFrame = {
     require(mappings.nonEmpty, "ocsf: at least one event mapping required")
+    if (coverageValidation) {
+      // ValidateMappingCoverage parity: PLAN-TIME validation that each
+      // mapping's `to` paths cover the class's required fields and
+      // constraint groups, recursing into mapped object fields
+      // (schema.go:18820-18900). The engine-computed paths count as mapped.
+      mappings.foreach { m =>
+        val mapped = m.fields.map(_.to) ++
+          Seq("class_uid", "category_uid", "metadata.version") ++
+          (if (m.fields.exists(_.to == "activity_id")) Seq("type_uid") else Nil)
+        val errs = OcsfTables.validateMappingCoverage(version, m.classId, mapped)
+        require(errs.isEmpty,
+          s"ocsf mapping for class ${m.classId} fails coverage validation: " +
+            errs.mkString("; "))
+      }
+    }
     // first-match index; a NULL filter does not match (false-on-error)
     val idx = mappings.zipWithIndex.reverse
       .foldLeft(lit(-1): Column) { case (acc, (m, i)) =>
@@ -659,7 +552,14 @@ object EnrichOps {
         case Some(f) => fm.default.map(d => coalesce(f, d)).getOrElse(f)
         case None => fm.default.getOrElse(lit(null))
       }
-      fm.ocsfType.map(t => coerceOcsf(raw, t)).getOrElse(raw)
+      // explicit per-field type wins; otherwise schema-driven coercion
+      // resolves the `to` path through the class's field-type table —
+      // LookupFieldType parity (processor.go:182-184). Opt-in because this
+      // engine's mappings are typed Columns, not untyped JSON values.
+      val typeName = fm.ocsfType.orElse(
+        if (schemaCoerce) OcsfTables.lookupFieldType(version, m.classId, fm.to)
+        else None)
+      typeName.map(t => coerceOcsf(raw, t)).getOrElse(raw)
     }
 
     // union of target paths in first-seen order

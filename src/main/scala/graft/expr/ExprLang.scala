@@ -371,16 +371,30 @@ object ExprLang {
       case args => throw new IllegalArgumentException(
         s"ParseKeyValue(value[, delimiter[, pair_delimiter]]) expects 1-3 args, got ${args.length}")
     },
-    // ParseCSV(target, headers[, delimiter]) → header→field map; a short row
-    // zip-pads with null values (the lenient mode), never errors
+    // ParseCSV(target, headers[, delimiter[, header_delimiter[, mode]]])
+    // → header→field map. Mode parity with ottlfuncs ParseCSV: the DEFAULT
+    // "strict" mode requires the field count to match the header count —
+    // a mismatch errors upstream, which no-ops the statement for that
+    // record, represented here as a null map. "lax" zip-pads short rows
+    // with nulls and drops extra fields.
     "ParseCSV" -> {
-      case c :: headers :: rest if rest.size <= 1 =>
+      case c :: headers :: rest if rest.size <= 3 =>
         val delim = rest.headOption.map(extractLit).getOrElse(",")
-        val hs = split(lit(extractLit(headers)), ",")
-        map_from_entries(zip_with(hs, split(c, java.util.regex.Pattern.quote(delim)),
+        val headerDelim = rest.drop(1).headOption.map(extractLit).getOrElse(",")
+        val mode = rest.drop(2).headOption.map(extractLit).getOrElse("strict")
+        val hs = split(lit(extractLit(headers)),
+          java.util.regex.Pattern.quote(headerDelim))
+        val fields = split(c, java.util.regex.Pattern.quote(delim))
+        val zipped = map_from_entries(zip_with(hs, fields,
           (h, v) => struct(h.as("key"), v.as("value"))))
+        mode match {
+          case "strict" => when(size(fields) === size(hs), zipped)
+          case "lax"    => zipped
+          case other => throw new IllegalArgumentException(
+            s"ParseCSV: unknown mode '$other' (strict|lax)")
+        }
       case args => throw new IllegalArgumentException(
-        s"ParseCSV(value, headers[, delimiter]) expects 2-3 args, got ${args.length}")
+        s"ParseCSV(value, headers[, delimiter[, header_delimiter[, mode]]]) expects 2-5 args, got ${args.length}")
     },
     // Go time.ParseDuration: "1h30m", "100ms" → nanoseconds; an invalid
     // duration string returns nil (null), matching the converter contract.

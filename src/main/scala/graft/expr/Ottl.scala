@@ -171,17 +171,26 @@ object Ottl {
       case "limit" => // cap map entry count; priority keys survive first
         val m = parseTarget(rawArgs(0)).asInstanceOf[ColTarget].name
         val n = rawArgs(1).trim.toInt
-        // ottlfuncs limit(target, limit, priority_keys[]): priority keys
-        // are retained before any others; remaining slots fill in map order
+        require(n >= 0, s"limit: the limit must be non-negative, got $n")
+        // ottlfuncs limit(target, limit, priority_keys[]): every PRESENT
+        // priority key survives, the remaining budget fills with
+        // non-priority keys in ORIGINAL map order, and the surviving map
+        // keeps the original entry order (RemoveIf preserves order) — no
+        // priority-first reordering
         val priority = rawArgs.drop(2).map(stripQuotes)
         df => df.withColumn(m, guarded(col(m), {
           val entries = map_entries(col(m))
           val isPri = (e: Column) =>
             priority.foldLeft(lit(false))((acc, p) => acc || e.getField("key") === p)
-          val ordered = concat(
-            filter(entries, e => isPri(e)),
-            filter(entries, e => !isPri(e)))
-          map_from_entries(slice(ordered, 1, n))
+          val priCount = size(filter(entries, e => isPri(e)))
+          val budget = greatest(lit(n) - priCount, lit(0))
+          // a non-priority entry survives when its 1-based rank among
+          // non-priority entries fits the budget (maps are attribute-sized,
+          // so the O(n²) prefix count stays trivial)
+          val kept = when(size(entries) <= n, entries).otherwise(
+            filter(entries, (e, i) => isPri(e) ||
+              size(filter(slice(entries, lit(1), i + 1), ne => !isPri(ne))) <= budget))
+          map_from_entries(kept)
         }))
 
       case "merge_maps" => // editor form of the MergeMaps converter

@@ -75,12 +75,14 @@ object PagedSearch {
   def run(spark: SparkSession, t: DataFrame, spec: SearchSpec,
           storeDir: String, outDir: String, manifest: Manifest,
           failAfterPages: Long = Long.MaxValue): RunResult = {
-    // the store is keyed by a fingerprint of the FULL spec, not just the
-    // directory: a resumed run with the same spec reuses the materialized
-    // search, while a different query/bounds/batch-size against the same
-    // storeDir builds its own store instead of exporting stale results
+    // the store is keyed by a fingerprint of the FULL spec AND the input's
+    // file identity: a resumed run with the same spec over the same data
+    // reuses the materialized search, while a different query/bounds/
+    // batch-size — or the same spec after the source table changed — builds
+    // its own store instead of exporting stale results
+    val inputId = t.inputFiles.sorted.mkString(",")
     val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${spec.query}|${spec.earliest}|${spec.latest}|${spec.eventBatchSize}|${spec.limit}"
+      .digest(s"${spec.query}|${spec.earliest}|${spec.latest}|${spec.eventBatchSize}|${spec.limit}|$inputId"
         .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val storePath = s"$storeDir/paged_store_$fp"
     val results = pagedResults(t, spec)

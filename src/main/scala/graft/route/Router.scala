@@ -138,10 +138,14 @@ object Router {
     * entry indices is fixed by the entry COUNT (mid = lo + (hi-lo)/2);
     * sizes only decide the depth at which each index's segment stops. So:
     * requests = deterministic bounded chunks (hour bucket × 512-entry
-    * window, modeling the upstream payload boundary), per-chunk prefix-sum
-    * arrays built once, and each entry descends the fixed tree in ≤10
-    * UNROLLED column-arithmetic levels to the first ancestor segment under
-    * the cap — no loops, no UDFs, windows always bucket-partitioned.
+    * window, modeling the upstream payload boundary), a per-chunk
+    * prefix-sum array carried on each row by a window aggregate over the
+    * SAME bucket partitioning (no extra shuffle, no join), and each entry
+    * descends the fixed tree to the first ancestor segment under the cap
+    * via a RUNTIME HOF fold — `aggregate(sequence(1, levels), state,
+    * step)`, ≤10 iterations — because statically unrolling the descent
+    * inlines each level's state struct into the next and the expression
+    * tree grows exponentially (no UDFs; windows always bucket-partitioned).
     * At 10^12 turns every state object is chunk-scale (≤512 entries).
     */
   def chronicleRequestBatches(t: DataFrame, capBytes: Long = 16384L,
@@ -164,14 +168,17 @@ object Router {
       .partitionBy(col("log_type"), col("namespace"), col("hour"), col("chunk"))
       .orderBy(col("cidx"))
     val withCum = idxed.withColumn("cum", sum(col("sz")).over(wChunk))
-    // one prefix-sum array per request chunk (≤ chunkEntries elements)
-    val prefixes = withCum
-      .groupBy(col("log_type"), col("namespace"), col("hour"), col("chunk"))
-      .agg(transform(array_sort(collect_list(struct(col("cidx"), col("cum")))),
-          e => e.getField("cum")).as("pfx"),
-        count(lit(1)).cast("int").as("cnt"))
-    val joined = withCum.join(prefixes,
-      Seq("log_type", "namespace", "hour", "chunk"))
+    // one prefix-sum array per request chunk (≤ chunkEntries elements),
+    // attached to every row by a full-frame window over the SAME chunk
+    // partitioning the cumulative sum already established — Catalyst runs
+    // both in one Window stage, so no groupBy shuffle and no re-join
+    val wChunkAll = wChunk.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val joined = withCum
+      .withColumn("pfx", transform(
+        array_sort(collect_list(struct(col("cidx"), col("cum"))).over(wChunkAll)),
+        e => e.getField("cum")))
+      .withColumn("cnt", count(lit(1)).over(wChunkAll).cast("int"))
     // unrolled midpoint descent: P is 1-indexed via element_at; bytes of
     // [lo,hi) = P[hi] - (lo == 0 ? 0 : P[lo])
     def segBytes(lo: Column, hi: Column): Column =

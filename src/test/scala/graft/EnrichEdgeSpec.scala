@@ -122,6 +122,41 @@ class EnrichEdgeSpec extends SparkTestBase {
     assert(cleaned.keySet == Set("k") && cleaned("k") == null)
   }
 
+  test("remove-empty excludes: container key protects its UNTOUCHED subtree") {
+    import org.apache.spark.sql.types._
+    // cleanMap's RemoveIf returns false for an excluded key BEFORE any
+    // recursion (processor.go:172-174) — the excluded container's contents
+    // must survive even though every entry is a removable sentinel
+    val df = Seq(1).toDF("x").select(
+      map(lit("keep"), map(lit("e"), lit("-")),
+          lit("drop"), map(lit("e"), lit("-"))).as("m"))
+    val cfg = EnrichOps.RemoveEmptyConfig(
+      removeEmptyMaps = true, emptyStringValues = Seq("-"),
+      excludeKeys = Set("keep"))
+    val cleaned = df.select(EnrichOps.cleanDeepConfigured(col("m"),
+      MapType(StringType, MapType(StringType, StringType)), cfg).as("c"))
+      .collect().head.getAs[Map[String, Map[String, String]]]("c")
+    assert(cleaned.keySet == Set("keep"))
+    assert(cleaned("keep") == Map("e" -> "-"))
+  }
+
+  test("remove-empty excludes: forwarded untrimmed into maps inside arrays") {
+    import org.apache.spark.sql.types._
+    // cleanSlice passes excludeKeys as-is to element maps (processor.go:204)
+    val df = Seq(1).toDF("x").select(
+      array(map(lit("note"), lit("-"), lit("q"), lit("")),
+            map(lit("q"), lit(""))).as("a"))
+    val cfg = EnrichOps.RemoveEmptyConfig(
+      removeEmptyMaps = true, emptyStringValues = Seq("", "-"),
+      excludeKeys = Set("note"))
+    val cleaned = df.select(EnrichOps.cleanDeepConfigured(col("a"),
+      ArrayType(MapType(StringType, StringType)), cfg).as("c"))
+      .collect().head.getSeq[Map[String, String]](0)
+    // first element keeps the excluded note (untouched "-"), loses q;
+    // second element cleans to empty and is removed from the array
+    assert(cleaned == Seq(Map("note" -> "-")))
+  }
+
   test("coercion edge cases: overflow and malformed values return originals") {
     val df = Seq(("99999999999999999999", "2024-13-99T99:99:99", "maybe")).toDF("big", "badts", "word")
     val r = df.select(

@@ -168,7 +168,13 @@ class ExprLangSpec extends SparkTestBase {
     val kvCustom = v("ParseKeyValue('k1:a|k2:b', ':', '|')")
       .asInstanceOf[scala.collection.Map[String, String]]
     assert(kvCustom("k2") == "b")
-    val csv = v("ParseCSV('x,y', 'c1,c2,c3')")
+    // default mode is STRICT (ottlfuncs parity): header/field count
+    // mismatch errors upstream → null map here (statement no-op)
+    assert(v("ParseCSV('x,y', 'c1,c2,c3')") == null)
+    val csvStrict = v("ParseCSV('x,y,z', 'c1,c2,c3')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(csvStrict("c1") == "x" && csvStrict("c3") == "z")
+    val csv = v("ParseCSV('x,y', 'c1,c2,c3', ',', ',', 'lax')")
       .asInstanceOf[scala.collection.Map[String, String]]
     assert(csv("c1") == "x" && csv("c2") == "y" && csv("c3") == null)
     val up = v("MergeMaps(ParseKeyValue('a=1 b=2'), ParseKeyValue('b=9 c=3'), 'upsert')")
@@ -237,6 +243,20 @@ class OttlSpec extends SparkTestBase {
       val m = r.getAs[Map[String, String]]("attributes")
       assert(m.size <= 2)
       assert(m.contains("note") || r.getAs[String]("role") == "user")
+    }
+    // limit order parity: survivors keep ORIGINAL map order (RemoveIf
+    // preserves entry order upstream) — priority keys are retained, the
+    // remaining budget fills in map order, nothing reorders priority-first
+    val fxOrder = spark.sql(
+      "SELECT map('a','1','b','2','p','3','c','4') AS attributes, 'x' AS text")
+    val limOrder = Ottl(Seq("""limit(attributes, 2, 'p')"""),
+      fxOrder.columns.toSet)(fxOrder)
+    val orderedKeys = limOrder.select(map_keys(col("attributes")))
+      .collect().head.getSeq[String](0)
+    assert(orderedKeys == Seq("a", "p")) // 'a' fills the budget; 'p' stays in place
+    // a negative limit is a config error, not a silent slice
+    intercept[IllegalArgumentException] {
+      Ottl(Seq("""limit(attributes, -1)"""), fxOrder.columns.toSet)(fxOrder)
     }
     // merge_maps editor: upsert pulls source keys into the target column
     val merged = Ottl(Seq(
