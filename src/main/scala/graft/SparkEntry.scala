@@ -984,6 +984,61 @@ object SparkEntry {
         size(col("upd")).as("upd_size"),
         col("dur_hours"), col("dur_millis"), col("snake2"))
     }),
+    // converter tail batch 3: Decode, Weekday, Unix round-trip, TraceID/
+    // SpanID validation, Sort, Is* predicates, simplified-XML family,
+    // grok extraction, ToKeyValueString, Flatten prefixing, UserAgent
+    "q_ottl_converters3" -> ((s, d) => {
+      val tt = t(s, d)
+        .withColumn("b64", base64(col("tool").cast("binary")))
+        .withColumn("xml_line", format_string("<e><role>%s</role><idx>%d</idx></e>",
+          col("role"), col("turn_idx") % 100))
+        .withColumn("grok_line", format_string("user %s from 10.0.%d.%d level INFO",
+          col("role"), col("turn_idx") % 8, col("turn_idx") % 256))
+        .withColumn("num_str", format_string("%d", col("turn_idx") % 1000))
+        .withColumn("bool_str",
+          when(col("turn_idx") % 2 === 0, lit("true")).otherwise(lit("x")))
+        .withColumn("agent_str", format_string("agent%d/2.%d",
+          col("turn_idx") % 9, col("turn_idx") % 30))
+      val out = graft.expr.Ottl(Seq(
+        "set(decoded, Decode(b64, 'base64'))",
+        "set(wd, Weekday(timestamp))",
+        "set(sorted, Sort(Split(grok_line, ' '), 'desc'))",
+        "set(tid, TraceID(Substring(MD5(body), 0, 32)))",
+        "set(sid, SpanID(Substring(MD5(body), 0, 16)))",
+        "set(bad_tid, TraceID(role))",
+        "set(is_i, IsInt(num_str))",
+        "set(is_i2, IsInt(role))",
+        "set(is_d, IsDouble(Format('%s.5', [num_str])))",
+        "set(is_b, IsBool(bool_str))",
+        "set(xmlmap, ParseSimplifiedXML(xml_line))",
+        "set(noxml, RemoveXML(xml_line, '/e/idx'))",
+        "set(withxml, InsertXML(xml_line, '/e', '<z>1</z>'))",
+        "set(grokmap, ExtractGrokPatterns(grok_line, " +
+          "'user %{USER:guser} from %{IP:gip} level %{LOGLEVEL:glvl}'))",
+        "set(kvs, ToKeyValueString(ParseKeyValue(Format('b=%s a=%s', " +
+          "[role, num_str])), '=', ' ', 'true'))",
+        "set(flat, Flatten(ParseKeyValue(Format('k=%s', [role])), 'p'))",
+        "set(ua, UserAgent(agent_str))",
+        "set(unix_rt, UnixSeconds(Unix(1700000000)))"
+      ), tt.columns.toSet)(tt)
+      out.select(col("conv_id"), col("turn_idx"),
+        col("decoded"), col("wd"),
+        array_join(col("sorted"), ",").as("sorted_desc"),
+        col("tid"), col("sid"), col("bad_tid"),
+        col("is_i"), col("is_i2"), col("is_d"), col("is_b"),
+        col("xmlmap").getItem("role").as("xml_role"),
+        col("xmlmap").getItem("idx").as("xml_idx"),
+        col("noxml"), col("withxml"),
+        col("grokmap").getItem("guser").as("guser"),
+        col("grokmap").getItem("gip").as("gip"),
+        col("grokmap").getItem("glvl").as("glvl"),
+        col("kvs"),
+        col("flat").getItem("p.k").as("flat_pk"),
+        col("ua").getItem("user_agent.name").as("ua_name"),
+        col("ua").getItem("user_agent.version").as("ua_version"),
+        col("unix_rt"))
+    }),
+
     "q_groupby_attrs" -> ((s, d) =>
       EnrichOps.transpose(t(s, d))
         .groupBy(col("host")).agg(count(lit(1)).as("n_records"))),
@@ -2294,6 +2349,35 @@ object SparkEntry {
            lower(regexp_replace(regexp_replace('HTTP' || role || 'Turn',
              '([A-Z]+)([A-Z][a-z])', '\1_\2', 'g'),
              '([a-z0-9])([A-Z])', '\1_\2', 'g')) AS snake2
+           FROM t"""),
+
+      "q_ottl_converters3" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           tool AS decoded,
+           dayofweek(ts) AS wd,
+           array_to_string(list_sort(string_split(
+             'user ' || role || ' from 10.0.' || (turn_idx%8) || '.' ||
+             (turn_idx%256) || ' level INFO', ' '), 'DESC'), ',') AS sorted_desc,
+           md5(text) AS tid,
+           substr(md5(text), 1, 16) AS sid,
+           CAST(NULL AS VARCHAR) AS bad_tid,
+           true AS is_i,
+           false AS is_i2,
+           true AS is_d,
+           (turn_idx % 2 = 0) AS is_b,
+           role AS xml_role,
+           CAST(turn_idx % 100 AS VARCHAR) AS xml_idx,
+           '<e><role>' || role || '</role></e>' AS noxml,
+           '<e><role>' || role || '</role><idx>' || (turn_idx % 100) ||
+             '</idx><z>1</z></e>' AS withxml,
+           role AS guser,
+           '10.0.' || (turn_idx % 8) || '.' || (turn_idx % 256) AS gip,
+           'INFO' AS glvl,
+           'a=' || (turn_idx % 1000) || ' b=' || role AS kvs,
+           role AS flat_pk,
+           'agent' || (turn_idx % 9) AS ua_name,
+           '2.' || (turn_idx % 30) AS ua_version,
+           CAST(1700000000 AS BIGINT) AS unix_rt
            FROM t"""),
 
       "q_ottl_converters" -> Transcripts.withT(

@@ -437,6 +437,172 @@ object ExprLang {
       case args => throw new IllegalArgumentException(
         s"GetXML(value, xpath) expects 2 args, got ${args.length}")
     },
+    // ---- converter tail batch 3: the remaining StandardConverters tiers
+    // (upstream ottlfuncs registry; expr/ottl.go:96 registers the full set).
+    // Engine-context deviations are documented per converter. ----
+    // Decode(value, encoding) — supersedes the deprecated Base64Decode
+    "Decode" -> {
+      case c :: enc :: Nil => extractLit(enc) match {
+        case "base64" => unbase64(c.cast("string")).cast("string")
+        case "base64url" | "base64-url" =>
+          unbase64(translate(c.cast("string"), "-_", "+/")).cast("string")
+        case "hex" => unhex(c.cast("string")).cast("string")
+        case "us-ascii" | "utf-8" | "utf8" => c.cast("string")
+        case other => throw new IllegalArgumentException(
+          s"Decode: unsupported encoding '$other'")
+      }
+      case args => throw new IllegalArgumentException(
+        s"Decode(value, encoding) expects 2 args, got ${args.length}")
+    },
+    // Go time.Weekday numbering: Sunday=0 .. Saturday=6
+    "Weekday" -> (args =>
+      (dayofweek(args.head.cast("timestamp")) - 1).cast("long")),
+    // Unix(seconds[, nanoseconds]) → time
+    "Unix" -> {
+      case sec :: Nil => timestamp_seconds(sec.cast("long"))
+      case sec :: nanos :: Nil =>
+        timestamp_micros(sec.cast("long") * 1000000L +
+          (nanos.cast("long") / 1000L).cast("long"))
+      case args => throw new IllegalArgumentException(
+        s"Unix(seconds[, nanoseconds]) expects 1-2 args, got ${args.length}")
+    },
+    "Now" -> (_ => current_timestamp()),
+    "UUID" -> (_ => expr("uuid()")),
+    // UUIDv7: 48-bit unix-millis prefix + version/variant nibbles + random
+    // tail (RFC 9562 layout; randomness via uuid() entropy)
+    "UUIDv7" -> (_ => {
+      val ms = lower(lpad(hex(unix_millis(current_timestamp())), 12, "0"))
+      val r = md5(expr("uuid()"))
+      concat(substring(ms, 1, 8), lit("-"), substring(ms, 9, 4),
+        lit("-7"), substring(r, 1, 3),
+        lit("-8"), substring(r, 4, 3), lit("-"), substring(r, 7, 12))
+    }),
+    // TraceID/SpanID: validate-and-normalize hex ids (null on bad shape)
+    "TraceID" -> (args => {
+      val c = args.head.cast("string")
+      when(c.rlike("^[0-9a-fA-F]{32}$"), lower(c))
+    }),
+    "SpanID" -> (args => {
+      val c = args.head.cast("string")
+      when(c.rlike("^[0-9a-fA-F]{16}$"), lower(c))
+    }),
+    // Murmur3Hash: Spark's native murmur3_x86_32 (seed 42 vs upstream seed 0
+    // — a keyed-hash stand-in, same FNV precedent above)
+    "Murmur3Hash" -> (args => hash(args.head).cast("long")),
+    // Sort(array[, order]) — 'asc' (default) | 'desc'
+    "Sort" -> {
+      case c :: Nil => array_sort(c)
+      case c :: ord :: Nil => extractLit(ord) match {
+        case "asc" => array_sort(c)
+        case "desc" => reverse(array_sort(c))
+        case other => throw new IllegalArgumentException(
+          s"Sort order '$other' (asc|desc)")
+      }
+      case args => throw new IllegalArgumentException(
+        s"Sort(array[, order]) expects 1-2 args, got ${args.length}")
+    },
+    // type predicates — OTTL values are dynamically typed; this engine's
+    // columns are statically typed strings until cast, so the Is* family
+    // answers the question configs actually ask (would the conversion
+    // succeed): parse-based checks, null → false
+    "IsInt" -> (args =>
+      coalesce(args.head.cast("string").rlike("^[+-]?\\d+$"), lit(false))),
+    "IsDouble" -> (args => coalesce(
+      args.head.cast("string").rlike("^[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$"),
+      lit(false))),
+    "IsBool" -> (args => coalesce(
+      lower(args.head.cast("string")).isin("true", "false", "t", "f", "1", "0"),
+      lit(false))),
+    // Flatten(map[, prefix]): this engine's attribute maps are single-level
+    // (nested bodies are plan-time structs), so Flatten reduces to the
+    // prefix-rename it would apply to an already-flat map
+    "Flatten" -> {
+      case c :: Nil => c
+      case c :: prefix :: Nil =>
+        transform_keys(c, (k, _) => concat(lit(extractLit(prefix)), lit("."), k))
+      case args => throw new IllegalArgumentException(
+        s"Flatten(map[, prefix]) expects 1-2 args, got ${args.length}")
+    },
+    // SliceToMap(slice_of_maps, key_path[, value_path]): key each element by
+    // one of its entries; last duplicate key wins (upstream map-set order)
+    "SliceToMap" -> {
+      case c :: keyPath :: rest if rest.size <= 1 =>
+        val kp = extractLit(keyPath)
+        val entries = transform(c, e => struct(
+          element_at(e, kp).as("key"),
+          rest.headOption.map(vp => map(lit("value"), element_at(e, extractLit(vp))))
+            .getOrElse(e).as("value")))
+        val present = filter(entries, e => e.getField("key").isNotNull)
+        map_from_entries(filter(present, (e, i) =>
+          !exists(slice(present, i + 2, greatest(size(present) - i - 1, lit(0))),
+            e2 => e2.getField("key") === e.getField("key"))))
+      case args => throw new IllegalArgumentException(
+        s"SliceToMap(slice, key_path[, value_path]) expects 2-3 args, got ${args.length}")
+    },
+    // ToKeyValueString(map[, delimiter[, pair_delimiter[, sort_keys]]])
+    "ToKeyValueString" -> {
+      case c :: rest if rest.size <= 3 =>
+        val delim = rest.headOption.map(extractLit).getOrElse("=")
+        val pairDelim = rest.drop(1).headOption.map(extractLit).getOrElse(" ")
+        val sortKeys = rest.drop(2).headOption.map(extractLit)
+          .exists(_.toBoolean)
+        val entries0 = map_entries(c)
+        val entries = if (sortKeys) array_sort(entries0) else entries0
+        array_join(transform(entries, e =>
+          concat(e.getField("key"), lit(delim), e.getField("value"))), pairDelim)
+      case args => throw new IllegalArgumentException(
+        s"ToKeyValueString(map[, delimiter[, pair_delimiter[, sort_keys]]]) expects 1-4 args, got ${args.length}")
+    },
+    // ParseSimplifiedXML / ParseXML: element-name → text-content map for the
+    // document's leaf elements (attributes and nesting beyond one level are
+    // out of this engine's simplified-XML subset; GetXML covers xpath reads)
+    "ParseSimplifiedXML" -> (args => simplifiedXmlMap(args.head)),
+    "ParseXML" -> (args => simplifiedXmlMap(args.head)),
+    // RemoveXML(xml, xpath): element-name subset of the upstream xpath —
+    // strips every occurrence of the last path segment's element
+    // (self-closing or simple-content)
+    "RemoveXML" -> {
+      case c :: path :: Nil =>
+        val name = extractLit(path).split("/").last
+        regexp_replace(c,
+          s"<$name\\b[^>]*/>|<$name\\b[^>]*>[^<]*</$name>", "")
+      case args => throw new IllegalArgumentException(
+        s"RemoveXML(xml, xpath) expects 2 args, got ${args.length}")
+    },
+    // InsertXML(xml, xpath, subdocument): appends the subdocument as the
+    // last child of the element named by the xpath's final segment
+    "InsertXML" -> {
+      case c :: path :: sub :: Nil =>
+        val name = extractLit(path).split("/").last
+        regexp_replace(c, s"</$name>",
+          java.util.regex.Matcher.quoteReplacement(extractLit(sub)) + s"</$name>")
+      case args => throw new IllegalArgumentException(
+        s"InsertXML(xml, xpath, subdocument) expects 3 args, got ${args.length}")
+    },
+    // ExtractGrokPatterns(value, pattern[, named_captures_only]) — grok
+    // %{PATTERN:name} macros over a core dictionary, compiled to one
+    // named-group regex (macro tokens only; literal regex between tokens
+    // passes through, user-authored capture groups are out of the subset)
+    "ExtractGrokPatterns" -> {
+      case c :: pat :: rest if rest.size <= 1 =>
+        val namedOnly = rest.headOption.map(extractLit).forall(_.toBoolean)
+        val (full, names) = grokCompile(extractLit(pat), namedOnly)
+        if (names.isEmpty) map(Seq.empty[Column]: _*)
+        else map_from_arrays(
+          array(names.map(n => lit(n._1)): _*),
+          array(names.map(n => regexp_extract(c, full, n._2)): _*))
+      case args => throw new IllegalArgumentException(
+        s"ExtractGrokPatterns(value, pattern[, named_captures_only]) expects 2-3 args, got ${args.length}")
+    },
+    // UserAgent(ua): product-token subset of the upstream UA parser — the
+    // leading product/version pair plus the original string
+    "UserAgent" -> (args => {
+      val c = args.head.cast("string")
+      map(
+        lit("user_agent.original"), c,
+        lit("user_agent.name"), regexp_extract(c, "^([^/\\s]+)/", 1),
+        lit("user_agent.version"), regexp_extract(c, "^[^/\\s]+/([^\\s;]+)", 1))
+    }),
     // merge_maps(target, source, strategy) — ottlfuncs editor semantics:
     // upsert = source wins, insert = only keys absent from target,
     // update = only keys present in target
@@ -492,6 +658,69 @@ object ExprLang {
       !exists(slice(entries, i + 2, greatest(size(entries) - i - 1, lit(0))),
         e2 => e2.getField("key") === e.getField("key")))
     map_from_entries(deduped)
+  }
+
+  /** Element-name → text map over a simplified-XML document's LEAF elements
+    * (the `<name>text</name>` regex only matches elements whose content has
+    * no child tags); repeated element names last-win like map sets.
+    */
+  private def simplifiedXmlMap(c: Column): Column = {
+    val names = regexp_extract_all(c, lit("<(\\w+)[^>]*>[^<]*</"), lit(1))
+    val vals = regexp_extract_all(c, lit("<\\w+[^>]*>([^<]*)</"), lit(1))
+    val entries = zip_with(names, vals,
+      (k, v) => struct(k.as("key"), v.as("value")))
+    map_from_entries(filter(entries, (e, i) =>
+      !exists(slice(entries, i + 2, greatest(size(entries) - i - 1, lit(0))),
+        e2 => e2.getField("key") === e.getField("key"))))
+  }
+
+  private val GrokIpv4 = "(?:\\d{1,3}\\.){3}\\d{1,3}"
+  private val GrokHostname =
+    "[a-zA-Z0-9](?:[a-zA-Z0-9-]*[a-zA-Z0-9])?(?:\\.[a-zA-Z0-9](?:[a-zA-Z0-9-]*[a-zA-Z0-9])?)*"
+  /** Core grok dictionary (the logstash base-pattern subset the reference's
+    * parser configs draw on); every entry is capture-free so compiled group
+    * indices are the macro substitution order.
+    */
+  private val GrokDict: Map[String, String] = Map(
+    "WORD" -> "\\w+", "NOTSPACE" -> "\\S+", "SPACE" -> "\\s*",
+    "DATA" -> ".*?", "GREEDYDATA" -> ".*",
+    "INT" -> "[+-]?\\d+", "POSINT" -> "\\d+", "NONNEGINT" -> "\\d+",
+    "NUMBER" -> "[+-]?\\d+(?:\\.\\d+)?", "BASE10NUM" -> "[+-]?\\d+(?:\\.\\d+)?",
+    "IP" -> GrokIpv4, "IPV4" -> GrokIpv4,
+    "HOSTNAME" -> GrokHostname,
+    "IPORHOST" -> s"(?:$GrokIpv4|$GrokHostname)",
+    "USER" -> "[a-zA-Z0-9._-]+", "USERNAME" -> "[a-zA-Z0-9._-]+",
+    "LOGLEVEL" ->
+      "(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|FATAL|CRITICAL|SEVERE)",
+    "TIMESTAMP_ISO8601" ->
+      "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:?\\d{2})?",
+    "UUID" ->
+      "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "QS" -> "\"[^\"]*\"", "QUOTEDSTRING" -> "\"[^\"]*\"")
+
+  /** Compile a grok expression to (regex, named-group→index) — %{PAT:name}
+    * becomes a capturing group; %{PAT} captures under the pattern name only
+    * when named_captures_only is off.
+    */
+  private def grokCompile(pattern: String,
+                          namedOnly: Boolean): (String, Seq[(String, Int)]) = {
+    val tok = "%\\{(\\w+)(?::([\\w.@\\[\\]]+))?\\}".r
+    val names = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+    var gi = 0
+    val full = tok.replaceAllIn(pattern, m => {
+      val base = GrokDict.getOrElse(m.group(1),
+        throw new IllegalArgumentException(
+          s"ExtractGrokPatterns: unknown pattern %{${m.group(1)}}"))
+      val nm = Option(m.group(2))
+      val capture = nm.isDefined || !namedOnly
+      java.util.regex.Matcher.quoteReplacement(
+        if (capture) {
+          gi += 1
+          names += ((nm.getOrElse(m.group(1)), gi))
+          s"($base)"
+        } else s"(?:$base)")
+    })
+    (full, names.toSeq)
   }
 
   /** URL decomposition via Spark's native parse_url (codegen'd). */

@@ -187,6 +187,63 @@ class ExprLangSpec extends SparkTestBase {
       .asInstanceOf[scala.collection.Map[String, String]]
     assert(upd == Map("a" -> "1", "b" -> "9"))
     assert(v("Hour(Time(tstr, '%Y-%m-%d %H:%M:%S'))") == 3L)
+    // ---- batch 3: remaining StandardConverters tiers ----
+    assert(v("Decode('aGVsbG8=', 'base64')") == "hello")
+    assert(v("Decode('aGVsbG8', 'base64url')") == "hello")
+    assert(v("Decode('68656c6c6f', 'hex')") == "hello")
+    assert(v("Weekday(Time('2024-03-05', '%Y-%m-%d'))") == 2L) // Tuesday=2 (Go)
+    assert(v("UnixSeconds(Unix(1700000000))") == 1700000000L)
+    assert(v("TraceID('ABCDEF00112233445566778899AABBCC')") ==
+      "abcdef00112233445566778899aabbcc")
+    assert(v("TraceID('not-a-trace-id')") == null)
+    assert(v("SpanID('0011223344556677')") == "0011223344556677")
+    assert(v("SpanID('xyz')") == null)
+    assert(v("Sort(Split('b,a,c', ','), 'desc')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("c", "b", "a"))
+    assert(v("IsInt('42')") == true && v("IsInt('4.2')") == false)
+    assert(v("IsDouble('4.2')") == true && v("IsDouble('x')") == false)
+    assert(v("IsBool('T')") == true && v("IsBool('maybe')") == false)
+    assert(v("Murmur3Hash('abc')").isInstanceOf[Long])
+    assert(v("UUID()").toString
+      .matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    assert(v("UUIDv7()").toString
+      .matches("[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}"))
+    assert(v("Now()").isInstanceOf[java.sql.Timestamp])
+    val xm = v("ParseSimplifiedXML('<a><b>7</b><c>x</c></a>')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(xm == Map("b" -> "7", "c" -> "x"))
+    assert(v("RemoveXML('<a><b>7</b><c>x</c></a>', '/a/b')") == "<a><c>x</c></a>")
+    assert(v("InsertXML('<a><b>7</b></a>', '/a', '<c>2</c>')") ==
+      "<a><b>7</b><c>2</c></a>")
+    val gk = v("ExtractGrokPatterns('user alice logged in from 10.1.2.3', " +
+      "'user %{USER:u} logged in from %{IP:ip}')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(gk == Map("u" -> "alice", "ip" -> "10.1.2.3"))
+    val gkAll = v("ExtractGrokPatterns('code 42', 'code %{INT}', 'false')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(gkAll == Map("INT" -> "42"))
+    assert(v("ToKeyValueString(ParseKeyValue('b=2 a=1'), '=', ' ', 'true')") ==
+      "a=1 b=2")
+    val flat = v("Flatten(ParseKeyValue('a=1'), 'p')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(flat == Map("p.a" -> "1"))
+    val ua = v("UserAgent('curl/8.4.0')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(ua("user_agent.name") == "curl" && ua("user_agent.version") == "8.4.0")
+    // SliceToMap over a real array-of-maps column (keyed by one entry,
+    // duplicate keys last-win, null keys dropped)
+    val arrDf = spark.sql(
+      "SELECT array(map('id','a','x','1'), map('id','b','x','2'), " +
+        "map('id','a','x','3'), map('x','9')) AS arr")
+    val s2m = arrDf.select(ExprLang.valueExpr("SliceToMap(arr, 'id')",
+        Set("arr")).as("v")).collect().head
+      .getAs[Map[String, Map[String, String]]]("v")
+    assert(s2m.keySet == Set("a", "b"))
+    assert(s2m("a")("x") == "3") // last duplicate wins
+    val s2mv = arrDf.select(ExprLang.valueExpr("SliceToMap(arr, 'id', 'x')",
+        Set("arr")).as("v")).collect().head
+      .getAs[Map[String, Map[String, String]]]("v")
+    assert(s2mv("b") == Map("value" -> "2"))
     assert(v("URL('https://h.io/p/q?a=1')").asInstanceOf[org.apache.spark.sql.Row]
       .getAs[String]("host") == "h.io")
   }
