@@ -257,6 +257,70 @@ object SparkEntry {
           col("ocsf.user.name").as("user_name"))
     }),
 
+    // FULL ValidateClass parity (deepValidation): nested OBJECT validators
+    // run for every object the mapping descends into — http_response
+    // requires code (null → drop), network_endpoint wants at least one
+    // of ip/hostname/... (null ip → drop) and constrains type_id to its
+    // enum (12 → drop), url wants path or url_string; metadata requires
+    // product+version (schema.go validateHTTPActivity → validateHTTPRequest
+    // / validateNetworkEndpoint / validateMetadata recursion)
+    "q_ocsf_deep_validate" -> ((s, d) => {
+      val fields = Seq(
+        EnrichOps.FieldMapping("activity_id",
+          from = Some((col("turn_idx") % 9).cast("int"))),
+        EnrichOps.FieldMapping("severity_id",
+          from = Some((col("turn_idx") % 7).cast("int"))),
+        EnrichOps.FieldMapping("time", from = Some(col("turn_idx").cast("long"))),
+        EnrichOps.FieldMapping("metadata.product", from = Some(lit("graft"))),
+        EnrichOps.FieldMapping("src_endpoint.ip",
+          from = Some(when(col("turn_idx") % 3 =!= 0,
+            format_string("10.0.0.%d", col("turn_idx") % 256)))),
+        EnrichOps.FieldMapping("src_endpoint.type_id",
+          from = Some((col("turn_idx") % 13).cast("int"))),
+        EnrichOps.FieldMapping("dst_endpoint.ip",
+          from = Some(format_string("10.1.0.%d", col("turn_idx") % 256))),
+        EnrichOps.FieldMapping("http_request.url.path",
+          from = Some(concat(lit("/"), col("tool")))),
+        EnrichOps.FieldMapping("http_response.code",
+          from = Some(when(col("turn_idx") % 5 =!= 0,
+            (lit(200) + (col("turn_idx") % 4) * 100).cast("long")))))
+      EnrichOps.ocsfStandardizeConfig(t(s, d),
+          Seq(EnrichOps.EventMapping(None, 4002, fields)),
+          version = "1.1.0", runtimeValidation = true, deepValidation = true)
+        .select(col("conv_id"), col("turn_idx"),
+          col("ocsf.activity_id").as("activity_id"),
+          col("ocsf.src_endpoint.type_id").as("type_id"),
+          col("ocsf.http_response.code").as("code"))
+    }),
+
+    // the version dimension across the GENERATED tables: the same
+    // authentication mapping validated under v1.1.0 and v1.7.0 drops
+    // different rows (1.1 allows activity_id 0-5 and excludes
+    // logon_type_id 1; 1.7 widens activity_id to 0-7 and admits
+    // logon_type_id 1 — both exclude 6). config.go:27-41 allows any
+    // version per processor instance; this is two instances unioned.
+    "q_ocsf_version_matrix" -> ((s, d) => {
+      def run(ver: String) = {
+        val fields = Seq(
+          EnrichOps.FieldMapping("activity_id",
+            from = Some((col("turn_idx") % 8).cast("int"))),
+          EnrichOps.FieldMapping("severity_id",
+            from = Some((col("turn_idx") % 7).cast("int"))),
+          EnrichOps.FieldMapping("logon_type_id",
+            from = Some((col("turn_idx") % 14).cast("int"))),
+          EnrichOps.FieldMapping("time", from = Some(col("turn_idx").cast("long"))),
+          EnrichOps.FieldMapping("user.name", from = Some(col("role"))),
+          EnrichOps.FieldMapping("service.name", from = Some(col("tool"))))
+        EnrichOps.ocsfStandardizeConfig(t(s, d),
+            Seq(EnrichOps.EventMapping(None, 3002, fields)),
+            version = ver, runtimeValidation = true)
+          .select(lit(ver).as("ver"), col("conv_id"), col("turn_idx"),
+            col("ocsf.activity_id").as("activity_id"),
+            col("ocsf.logon_type_id").as("logon_type_id"))
+      }
+      run("1.1.0").unionAll(run("1.7.0"))
+    }),
+
     // OCSF runtime validation against the versioned schema table
     // (processor.go:196-205 ValidateClass): records failing a required-field
     // or enum constraint of their class are dropped
@@ -1665,6 +1729,24 @@ object SparkEntry {
                AND (json_extract_string(text, '$.level') = 'error'
                     OR CAST(json_extract(text, '$.latency_ms') AS BIGINT) >= 1000)
            )"""),
+
+      "q_ocsf_deep_validate" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           turn_idx % 9 AS activity_id,
+           turn_idx % 13 AS type_id,
+           CAST(200 + (turn_idx % 4) * 100 AS BIGINT) AS code
+           FROM t
+           WHERE turn_idx % 5 <> 0 AND turn_idx % 3 <> 0
+             AND turn_idx % 13 <> 12"""),
+
+      "q_ocsf_version_matrix" -> Transcripts.withT(
+        """SELECT '1.1.0' AS ver, conv_id, turn_idx,
+           turn_idx % 8 AS activity_id, turn_idx % 14 AS logon_type_id
+           FROM t WHERE turn_idx % 8 <= 5 AND turn_idx % 14 NOT IN (1, 6)
+           UNION ALL
+           SELECT '1.7.0' AS ver, conv_id, turn_idx,
+           turn_idx % 8 AS activity_id, turn_idx % 14 AS logon_type_id
+           FROM t WHERE turn_idx % 14 <> 6"""),
 
       "q_ocsf_schema_coerce" -> Transcripts.withT(
         """SELECT conv_id, turn_idx,

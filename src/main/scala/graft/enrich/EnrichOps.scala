@@ -523,7 +523,8 @@ object EnrichOps {
                             runtimeValidation: Boolean = false,
                             keep: Seq[String] = Seq("conv_id", "turn_idx"),
                             schemaCoerce: Boolean = false,
-                            coverageValidation: Boolean = false)
+                            coverageValidation: Boolean = false,
+                            deepValidation: Boolean = false)
       : DataFrame = {
     require(mappings.nonEmpty, "ocsf: at least one event mapping required")
     if (coverageValidation) {
@@ -654,7 +655,56 @@ object EnrichOps {
                   .getOrElse(lit(false)))
                 .foldLeft(lit(false): Column)(_ || _))
               .foldLeft(lit(true): Column)(_ && _)
-            when(col("__ocsf_idx") === i, reqOk && enumOk && anyOfOk)
+            // FULL ValidateClass parity: the generated validators recurse
+            // into nested OBJECT validators for every object-typed field
+            // holding a map (validateHTTPActivity -> validateHTTPRequest
+            // etc.); mirrored here for every object the mapping's dotted
+            // paths descend into — required subfields, integer enums, and
+            // at-least-one groups, recursively. Opt-in (deepValidation)
+            // because the class-level subset is what existing configured
+            // pipelines validated against.
+            val deepOk: Column =
+              if (!deepValidation) lit(true)
+              else OcsfTables.forVersion(version).map { vs =>
+                val mPaths = m.fields.map(_.to) ++
+                  Seq("class_uid", "category_uid", "metadata.version") ++
+                  (if (m.fields.exists(_.to == "activity_id")) Seq("type_uid")
+                   else Nil)
+                def descend(objFields: Map[String, String],
+                            prefix: String): Column =
+                  objFields.toSeq.sortBy(_._1).flatMap { case (g, objType) =>
+                    if (mPaths.exists(_.startsWith(prefix + g + ".")))
+                      vs.objects.get(objType)
+                        .map(r2 => objPredicate(r2, prefix + g + "."))
+                    else None // scalar-assigned object fields skip the
+                              // nested validator (the map[string]any type
+                              // assertion fails silently upstream)
+                  }.foldLeft(lit(true): Column)(_ && _)
+                def objPredicate(reqs: graft.enrich.OcsfTables.Reqs,
+                                 prefix: String): Column = {
+                  val reqOk2 = reqs.required.map(r =>
+                    pathValue(prefix + r).map(_.isNotNull)
+                      .getOrElse(lit(false)))
+                    .foldLeft(lit(true): Column)(_ && _)
+                  val enumOk2 = reqs.enums.toSeq.sortBy(_._1)
+                    .flatMap { case (f2, vals) =>
+                      pathValue(prefix + f2).map { v =>
+                        val n = v.try_cast("long")
+                        n.isNull || n.isin(vals: _*)
+                      }
+                    }.foldLeft(lit(true): Column)(_ && _)
+                  val anyOk2 = reqs.atLeastOne.map(g =>
+                    g.map(p => pathValue(prefix + p).map(_.isNotNull)
+                        .getOrElse(lit(false)))
+                      .foldLeft(lit(false): Column)(_ || _))
+                    .foldLeft(lit(true): Column)(_ && _)
+                  reqOk2 && enumOk2 && anyOk2 && descend(reqs.objectFields, prefix)
+                }
+                vs.classes.get(m.classId)
+                  .map(cr => descend(cr.objectFields, ""))
+                  .getOrElse(lit(true))
+              }.getOrElse(lit(true))
+            when(col("__ocsf_idx") === i, reqOk && enumOk && anyOfOk && deepOk)
               .otherwise(acc)
           }
       } else lit(true)
