@@ -518,6 +518,17 @@ object EnrichOps {
       }).getOrElse(Map.empty)
   }
 
+  /** The full set of `to` paths a mapping populates: its configured fields
+    * plus the engine-computed entries (class_uid, category_uid,
+    * metadata.version, and type_uid when activity_id is mapped). The ONE
+    * source of truth for plan-time coverage validation, runtime presence
+    * checks, and deep validation descent.
+    */
+  def mappedPaths(m: EventMapping): Seq[String] =
+    m.fields.map(_.to) ++
+      Seq("class_uid", "category_uid", "metadata.version") ++
+      (if (m.fields.exists(_.to == "activity_id")) Seq("type_uid") else Nil)
+
   def ocsfStandardizeConfig(df: DataFrame, mappings: Seq[EventMapping],
                             version: String = "1.1.0",
                             runtimeValidation: Boolean = false,
@@ -533,10 +544,8 @@ object EnrichOps {
       // constraint groups, recursing into mapped object fields
       // (schema.go:18820-18900). The engine-computed paths count as mapped.
       mappings.foreach { m =>
-        val mapped = m.fields.map(_.to) ++
-          Seq("class_uid", "category_uid", "metadata.version") ++
-          (if (m.fields.exists(_.to == "activity_id")) Seq("type_uid") else Nil)
-        val errs = OcsfTables.validateMappingCoverage(version, m.classId, mapped)
+        val errs = OcsfTables.validateMappingCoverage(version, m.classId,
+          mappedPaths(m))
         require(errs.isEmpty,
           s"ocsf mapping for class ${m.classId} fails coverage validation: " +
             errs.mkString("; "))
@@ -610,7 +619,6 @@ object EnrichOps {
         // table (required + enums) comes from the versioned OCSF tables;
         // config-declared `required` is honored for classes outside them.
         val schemaTable = OcsfSchema.forVersion(version)
-        val allPathNames = allEntries.map(_._1)
         mappings.zipWithIndex
           .foldRight(lit(true): Column) { case ((m, i), acc) =>
             // PER-MAPPING values, not the cross-mapping when-chains in
@@ -619,6 +627,7 @@ object EnrichOps {
             // square the expression tree (measured: the 7-class multiclass
             // validation paid ~3 s/1M rows through the interpreted
             // fallback before this rewrite)
+            val mPaths = mappedPaths(m)
             def pathValue(p: String): Option[Column] = p match {
               case "class_uid" => Some(lit(m.classId))
               case "category_uid" => Some(lit(m.classId / 1000))
@@ -630,7 +639,10 @@ object EnrichOps {
                       .cast("long"))
               case _ => m.fields.find(_.to == p).map(fm => fieldValue(m, fm))
                 // nested struct presence (e.g. "metadata" via metadata.version)
-                .orElse(if (allPathNames.exists(_.startsWith(p + ".")))
+                // — against THIS mapping's paths only: a sibling mapping's
+                // dotted paths must not satisfy this mapping's required set
+                // (ValidateClass sees one mapping's body at a time)
+                .orElse(if (mPaths.exists(_.startsWith(p + ".")))
                   Some(lit(true)) else None)
             }
             val cls = schemaTable.get(m.classId)
@@ -666,10 +678,6 @@ object EnrichOps {
             val deepOk: Column =
               if (!deepValidation) lit(true)
               else OcsfTables.forVersion(version).map { vs =>
-                val mPaths = m.fields.map(_.to) ++
-                  Seq("class_uid", "category_uid", "metadata.version") ++
-                  (if (m.fields.exists(_.to == "activity_id")) Seq("type_uid")
-                   else Nil)
                 def descend(objFields: Map[String, String],
                             prefix: String): Column =
                   objFields.toSeq.sortBy(_._1).flatMap { case (g, objType) =>

@@ -37,12 +37,20 @@ object OcsfTables {
 
   def versions: Seq[String] = byVersion.keys.toSeq.sorted
 
-  /** Exact-version lookup with the same lenient prefixing the previous
-    * hand tables allowed ("1.1" resolves to "1.1.0").
+  /** Exact-version lookup with DETERMINISTIC lenient fallback, both
+    * directions: a short prefix resolves to the lowest matching version
+    * ("1.1" → "1.1.0"), and an unknown patch/suffix resolves through its
+    * major.minor family ("1.1.2", "1.1.0-rc" → "1.1.0") — the behavior the
+    * previous hand tables' startsWith("1.1") check gave.
     */
-  def forVersion(v: String): Option[VersionSchema] =
-    byVersion.get(v).orElse(
-      byVersion.collectFirst { case (k, s) if k.startsWith(v) => s })
+  def forVersion(v: String): Option[VersionSchema] = {
+    lazy val sorted = byVersion.toSeq.sortBy(_._1)
+    lazy val majorMinor = v.split("\\.").take(2).mkString(".")
+    byVersion.get(v)
+      .orElse(sorted.collectFirst { case (k, s) if k.startsWith(v) => s })
+      .orElse(sorted.collectFirst {
+        case (k, s) if majorMinor.nonEmpty && k.startsWith(majorMinor) => s })
+  }
 
   /** LookupFieldType parity (schema.go:18916-18938): resolve a dotted `to`
     * path through object field definitions to its coercion type name.

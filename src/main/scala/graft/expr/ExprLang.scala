@@ -385,8 +385,12 @@ object ExprLang {
         val hs = split(lit(extractLit(headers)),
           java.util.regex.Pattern.quote(headerDelim))
         val fields = split(c, java.util.regex.Pattern.quote(delim))
-        val zipped = map_from_entries(zip_with(hs, fields,
-          (h, v) => struct(h.as("key"), v.as("value"))))
+        // zip_with pads the SHORTER side with nulls: a long row pads the
+        // headers array, and a null key would crash map_from_entries —
+        // filter padded entries out so lax mode truly drops extra fields
+        val zipped = map_from_entries(filter(
+          zip_with(hs, fields, (h, v) => struct(h.as("key"), v.as("value"))),
+          e => e.getField("key").isNotNull))
         mode match {
           case "strict" => when(size(fields) === size(hs), zipped)
           case "lax"    => zipped
@@ -533,9 +537,7 @@ object ExprLang {
           rest.headOption.map(vp => map(lit("value"), element_at(e, extractLit(vp))))
             .getOrElse(e).as("value")))
         val present = filter(entries, e => e.getField("key").isNotNull)
-        map_from_entries(filter(present, (e, i) =>
-          !exists(slice(present, i + 2, greatest(size(present) - i - 1, lit(0))),
-            e2 => e2.getField("key") === e.getField("key"))))
+        map_from_entries(lastWinsEntries(present))
       case args => throw new IllegalArgumentException(
         s"SliceToMap(slice, key_path[, value_path]) expects 2-3 args, got ${args.length}")
     },
@@ -588,9 +590,15 @@ object ExprLang {
         val namedOnly = rest.headOption.map(extractLit).forall(_.toBoolean)
         val (full, names) = grokCompile(extractLit(pat), namedOnly)
         if (names.isEmpty) map(Seq.empty[Column]: _*)
-        else map_from_arrays(
-          array(names.map(n => lit(n._1)): _*),
-          array(names.map(n => regexp_extract(c, full, n._2)): _*))
+        else {
+          // a non-matching input yields NO keys (upstream grok sets no
+          // attributes) — not a map of empty strings; the empty arm keeps
+          // the entry type via a zero-length slice
+          val entries = array(names.map(n => struct(lit(n._1).as("key"),
+            regexp_extract(c, full, n._2).as("value"))): _*)
+          map_from_entries(when(coalesce(c.rlike(full), lit(false)), entries)
+            .otherwise(slice(entries, 1, 0)))
+        }
       case args => throw new IllegalArgumentException(
         s"ExtractGrokPatterns(value, pattern[, named_captures_only]) expects 2-3 args, got ${args.length}")
     },
@@ -645,6 +653,14 @@ object ExprLang {
     * ('status 500 ... size 500'), which must dedup LAST-WINS like Go map
     * assignment, not kill the query.
     */
+  /** Go-map-set parity for repeated keys: keep entry i iff no later entry
+    * shares its key (last assignment wins).
+    */
+  private def lastWinsEntries(entries: Column): Column =
+    filter(entries, (e, i) =>
+      !exists(slice(entries, i + 2, greatest(size(entries) - i - 1, lit(0))),
+        e2 => e2.getField("key") === e.getField("key")))
+
   private def kvParse(c: Column, kvDelim: String, pairDelim: String): Column = {
     val pairs = split(c, java.util.regex.Pattern.quote(pairDelim))
     val entries = transform(pairs, p => {
@@ -653,11 +669,7 @@ object ExprLang {
         // token without the kv delimiter → null value (str_to_map parity)
         when(size(kv) >= 2, element_at(kv, 2)).as("value"))
     })
-    // last-wins: keep entry i iff no later entry shares its key
-    val deduped = filter(entries, (e, i) =>
-      !exists(slice(entries, i + 2, greatest(size(entries) - i - 1, lit(0))),
-        e2 => e2.getField("key") === e.getField("key")))
-    map_from_entries(deduped)
+    map_from_entries(lastWinsEntries(entries))
   }
 
   /** Element-name → text map over a simplified-XML document's LEAF elements
@@ -669,9 +681,7 @@ object ExprLang {
     val vals = regexp_extract_all(c, lit("<\\w+[^>]*>([^<]*)</"), lit(1))
     val entries = zip_with(names, vals,
       (k, v) => struct(k.as("key"), v.as("value")))
-    map_from_entries(filter(entries, (e, i) =>
-      !exists(slice(entries, i + 2, greatest(size(entries) - i - 1, lit(0))),
-        e2 => e2.getField("key") === e.getField("key"))))
+    map_from_entries(lastWinsEntries(entries))
   }
 
   private val GrokIpv4 = "(?:\\d{1,3}\\.){3}\\d{1,3}"

@@ -172,6 +172,9 @@ object Ottl {
         val m = parseTarget(rawArgs(0)).asInstanceOf[ColTarget].name
         val n = rawArgs(1).trim.toInt
         require(n >= 0, s"limit: the limit must be non-negative, got $n")
+        val priorityCount = rawArgs.drop(2).length
+        require(n >= priorityCount, s"limit: limit $n cannot be less than " +
+          s"the number of priority keys ($priorityCount)")
         // ottlfuncs limit(target, limit, priority_keys[]): every PRESENT
         // priority key survives, the remaining budget fills with
         // non-priority keys in ORIGINAL map order, and the surviving map

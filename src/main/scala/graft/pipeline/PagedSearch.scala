@@ -80,7 +80,14 @@ object PagedSearch {
     // reuses the materialized search, while a different query/bounds/
     // batch-size — or the same spec after the source table changed — builds
     // its own store instead of exporting stale results
-    val inputId = t.inputFiles.sorted.mkString(",")
+    // content identity, not just names: size+mtime catch in-place rewrites
+    // of an unchanged path (non-file URIs degrade to the bare path)
+    val inputId = t.inputFiles.sorted.map { f =>
+      try {
+        val file = new java.io.File(new java.net.URI(f).getPath)
+        s"$f:${file.length}:${file.lastModified}"
+      } catch { case _: Exception => f }
+    }.mkString(",")
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(s"${spec.query}|${spec.earliest}|${spec.latest}|${spec.eventBatchSize}|${spec.limit}|$inputId"
         .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)

@@ -177,6 +177,10 @@ class ExprLangSpec extends SparkTestBase {
     val csv = v("ParseCSV('x,y', 'c1,c2,c3', ',', ',', 'lax')")
       .asInstanceOf[scala.collection.Map[String, String]]
     assert(csv("c1") == "x" && csv("c2") == "y" && csv("c3") == null)
+    // lax with MORE fields than headers: extras drop (no null map keys)
+    val csvLong = v("ParseCSV('x,y,z', 'c1,c2', ',', ',', 'lax')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(csvLong == Map("c1" -> "x", "c2" -> "y"))
     val up = v("MergeMaps(ParseKeyValue('a=1 b=2'), ParseKeyValue('b=9 c=3'), 'upsert')")
       .asInstanceOf[scala.collection.Map[String, String]]
     assert(up == Map("a" -> "1", "b" -> "9", "c" -> "3"))
@@ -222,6 +226,10 @@ class ExprLangSpec extends SparkTestBase {
     val gkAll = v("ExtractGrokPatterns('code 42', 'code %{INT}', 'false')")
       .asInstanceOf[scala.collection.Map[String, String]]
     assert(gkAll == Map("INT" -> "42"))
+    // a non-matching input yields NO keys, not a map of empty strings
+    val gkMiss = v("ExtractGrokPatterns('garbage', 'user %{USER:u} from %{IP:ip}')")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    assert(gkMiss.isEmpty)
     assert(v("ToKeyValueString(ParseKeyValue('b=2 a=1'), '=', ' ', 'true')") ==
       "a=1 b=2")
     val flat = v("Flatten(ParseKeyValue('a=1'), 'p')")
@@ -314,6 +322,11 @@ class OttlSpec extends SparkTestBase {
     // a negative limit is a config error, not a silent slice
     intercept[IllegalArgumentException] {
       Ottl(Seq("""limit(attributes, -1)"""), fxOrder.columns.toSet)(fxOrder)
+    }
+    // limit below the priority-key count is a config error upstream too
+    intercept[IllegalArgumentException] {
+      Ottl(Seq("""limit(attributes, 1, 'p1', 'p2')"""),
+        fxOrder.columns.toSet)(fxOrder)
     }
     // merge_maps editor: upsert pulls source keys into the target column
     val merged = Ottl(Seq(

@@ -124,6 +124,54 @@ class OcsfTablesSpec extends SparkTestBase {
     assert(e.getMessage.contains("user")) // names the missing required field
   }
 
+  test("forVersion fallback is deterministic in both directions") {
+    // unknown patch / suffix resolves through the major.minor family
+    assert(OcsfTables.forVersion("1.1.2").exists(_.classes.contains(4002)))
+    assert(OcsfTables.forVersion("1.1.0-rc") ==
+      OcsfTables.forVersion("1.1.0"))
+    // a short prefix resolves to the LOWEST matching version, stably
+    assert(OcsfTables.forVersion("1.1") == OcsfTables.forVersion("1.1.0"))
+    assert(OcsfTables.forVersion("1") == OcsfTables.forVersion("1.0.0"))
+    assert(OcsfTables.forVersion("9.9.9").isEmpty)
+  }
+
+  test("BaseEvent (uid 0) rides the ValidateClass dispatch into the tables") {
+    // classFieldReqs omits uid 0 but ValidateClass dispatches it — the
+    // generator synthesizes its requirement set from validateBaseEvent
+    val base = OcsfTables.byVersion("1.7.0").classes(0)
+    assert(base.required.contains("metadata"))
+    assert(base.enums("class_uid") == Seq(0L))
+    assert(base.enums("severity_id") == ((0L to 6L) :+ 99L))
+  }
+
+  test("runtime presence checks are per-mapping, not cross-mapping") {
+    import org.apache.spark.sql.functions._
+    // mapping A descends into http_request; mapping B does not. B's rows
+    // must FAIL 4002's required http_request check even though A's dotted
+    // paths exist in the query (ValidateClass sees one body at a time).
+    val df = spark.range(10).toDF("turn_idx")
+      .withColumn("role", lit("user"))
+    def fields(withHttp: Boolean) = Seq(
+      EnrichOps.FieldMapping("activity_id", from = Some(lit(1))),
+      EnrichOps.FieldMapping("severity_id", from = Some(lit(1))),
+      EnrichOps.FieldMapping("time", from = Some(col("turn_idx"))),
+      EnrichOps.FieldMapping("src_endpoint", from = Some(lit("10.0.0.1"))),
+      EnrichOps.FieldMapping("dst_endpoint", from = Some(lit("10.0.0.2"))),
+      EnrichOps.FieldMapping("http_response", from = Some(lit(200)))) ++
+      (if (withHttp)
+        Seq(EnrichOps.FieldMapping("http_request.url.path", from = Some(lit("/"))))
+      else Nil)
+    val mappings = Seq(
+      EnrichOps.EventMapping(Some(col("turn_idx") % 2 === 0), 4002, fields(true)),
+      EnrichOps.EventMapping(None, 4002, fields(false)))
+    val out = EnrichOps.ocsfStandardizeConfig(df, mappings,
+      version = "1.1.0", runtimeValidation = true, keep = Seq("turn_idx"))
+    // even rows (mapping A) survive; odd rows (mapping B, no http_request)
+    // drop at the required-field check
+    val kept = out.select("turn_idx").collect().map(_.getLong(0)).sorted
+    assert(kept.forall(_ % 2 == 0) && kept.length == 5)
+  }
+
   test("maxLens and justOne survive extraction where the schema defines them") {
     val v11 = OcsfTables.byVersion("1.1.0")
     // string length caps exist on every class (message etc. cap at 65535)

@@ -138,7 +138,11 @@ def parse_version(vdir):
             enums[field] = [int(v.strip()) for v in vals.split(',') if v.strip()]
         lens = {f: int(n) for f, n in LEN_RE.findall(chunk)}
         nested = {field: fn for fn, field in NESTED_RE.findall(chunk)}
-        funcs[fname] = {"enums": enums, "lens": lens, "nested": nested}
+        required = re.findall(r'errors\.New\("(\w+) is required"\)', chunk)
+        any_of = [ [f.strip() for f in g.split(',')] for g in
+                   re.findall(r'at least one of \[([^\]]+)\] must be set', chunk) ]
+        funcs[fname] = {"enums": enums, "lens": lens, "nested": nested,
+                        "required": required, "anyOf": any_of}
 
     class_reqs = {}
     body = extract_map_literal(src, "var classFieldReqs = map[int]*fieldReqs")
@@ -202,6 +206,16 @@ def parse_version(vdir):
                 kv = ','.join(f"{k}:{v}" for k, v in sorted(vfuncs["lens"].items()))
                 lines.append(f"L\t{ver}\t{owner}\t{kv}")
 
+    # ValidateClass-dispatched classes absent from classFieldReqs (e.g.
+    # BaseEvent, uid 0) still validate at runtime — synthesize their
+    # requirement set from the validator body so no dispatch case is lost
+    uid_name = {v: k for k, v in uid_by_name.items()}
+    for uid, fn in func_by_uid.items():
+        if uid not in class_reqs and fn in funcs:
+            class_reqs[uid] = (uid_name.get(uid, fn), {
+                "required": funcs[fn]["required"],
+                "objectFields": {}, "fieldTypes": {},
+                "atLeastOne": funcs[fn]["anyOf"], "justOne": []})
     for uid in sorted(class_reqs):
         cname, reqs = class_reqs[uid]
         fn = func_by_uid.get(uid, "")
