@@ -917,6 +917,24 @@ object SparkEntry {
         maxPayloadBytes = 4096)),
     // paged-pull source (splunksearchapireceiver receiver.go:124-206):
     // earliest/latest bounds, deterministic result offsets, page ids
+    // snapshot-pinned table scan over the Iceberg-layout filesystem format:
+    // two batches commit as two snapshots; a scan pinned to snapshot 1
+    // reads exactly the first batch's files (time travel on DATA, not just
+    // the commit log)
+    "q_snapshot_read" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_icb_q").toString
+      val tt = t(s, d).select(col("conv_id"), col("turn_idx"), col("role"))
+      tt.filter(col("turn_idx") % 2 === 0).write.parquet(s"$root/data/even")
+      tt.filter(col("turn_idx") % 2 =!= 0).write.parquet(s"$root/data/odd")
+      val table = new graft.pipeline.IcebergLikeTable(root)
+      table.commitPartition("even", 0L, Seq(s"$root/data/even"))
+      val s1 = table.currentSnapshot()
+      table.commitPartition("odd", 0L, Seq(s"$root/data/odd"))
+      // head sees both batches; the pinned scan must NOT see batch 2
+      require(table.committed() == Set("even", "odd"))
+      s.read.schema(tt.schema).parquet(table.dataFilesAsOf(s1): _*)
+    }),
+
     "q_paged_scan" -> ((s, d) => {
       val spec = graft.pipeline.PagedSearch.SearchSpec(
         "search", "2024-01-05T00:00", "2024-01-20T00:00",
@@ -1499,6 +1517,9 @@ object SparkEntry {
                WHEN 'oracle.process.pga_memory.size' THEN 'By'
              END AS unit
            FROM comb GROUP BY 1, 2, 3"""),
+
+      "q_snapshot_read" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx, role FROM t WHERE turn_idx % 2 = 0"""),
 
       "q_paged_scan" -> Transcripts.withT(
         """SELECT conv_id, turn_idx,

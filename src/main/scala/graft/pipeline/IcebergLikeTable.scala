@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+/** Filesystem table format with the metadata layout of the public Iceberg
+  * spec's Hadoop tables — versioned metadata files (`metadata/vN.metadata
+  * .json`), a `version-hint.text` fast-path pointer with scan-based
+  * recovery when the hint is stale, one snapshot per commit with parent
+  * lineage, and OPTIMISTIC atomic commits: the new version file is staged
+  * to a temp file and published with an exclusive hard link, so two racing
+  * committers cannot both claim version N and a reader can never observe a
+  * half-written metadata file. No Iceberg jar exists in this sandbox; this
+  * implements the same commit/snapshot/time-travel contract
+  * ([[TableFormat]], verified by `TableFormatConformance`) against plain
+  * files, and a real Iceberg catalog drops in behind the same trait.
+  */
+class IcebergLikeTable(root: String) extends TableFormat {
+
+  private val metaDir: Path = Paths.get(root, "metadata")
+  Files.createDirectories(metaDir)
+
+  private def versionFile(v: Long): Path =
+    metaDir.resolve(f"v$v%05d.metadata.json")
+  private val hintFile: Path = metaDir.resolve("version-hint.text")
+
+  /** Highest committed version: hint fast path, then forward scan (a stale
+    * hint under-reads), then backward heal (an over-written hint from a
+    * crashed committer walks back to the last real version).
+    */
+  override def currentSnapshot(): Long = {
+    val start =
+      if (Files.exists(hintFile))
+        try Files.readString(hintFile).trim.toLong catch { case _: Exception => 0L }
+      else 0L
+    var v = math.max(start, 0L)
+    while (v > 0 && !Files.exists(versionFile(v))) v -= 1
+    while (Files.exists(versionFile(v + 1))) v += 1
+    v
+  }
+
+  private case class Entry(snapshot: Long, partition: String, rows: Long,
+                           files: Seq[String])
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  private val FieldRe =
+    """\{"snapshot":(\d+),"parent":(-?\d+),"partition":"(.*?)","rows":(\d+),"files":\[(.*?)\]\}""".r
+
+  private def readEntry(v: Long): Option[Entry] = {
+    val f = versionFile(v)
+    if (!Files.exists(f)) None
+    else Files.readString(f).trim match {
+      case FieldRe(s, _, p, r, fs) =>
+        val files = "\"(.*?)\"".r.findAllMatchIn(fs).map(_.group(1)).toSeq
+        Some(Entry(s.toLong, p, r.toLong, files))
+      case other =>
+        throw new IllegalStateException(s"corrupt metadata $f: $other")
+    }
+  }
+
+  /** Optimistic commit: stage the metadata, then claim version v with an
+    * exclusive hard link (atomic on POSIX — exactly one committer wins a
+    * version; the loser re-reads head and retries on the next version).
+    * Idempotent per partition name: a resumed run re-committing an already
+    * committed partition is a no-op, not a duplicate snapshot.
+    */
+  override def commitPartition(partition: String, rowsOut: Long,
+                               inputFiles: Seq[String]): Unit = {
+    if (isPartitionCommitted(partition)) return
+    var committed = false
+    while (!committed) {
+      val head = currentSnapshot()
+      val v = head + 1
+      val json = s"""{"snapshot":$v,"parent":$head,"partition":"${esc(partition)}","rows":$rowsOut,"files":[${inputFiles.map(f => "\"" + esc(f) + "\"").mkString(",")}]}"""
+      val tmp = Files.createTempFile(metaDir, s".v$v-", ".tmp")
+      Files.write(tmp, json.getBytes("UTF-8"),
+        StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        Files.createLink(versionFile(v), tmp) // exclusive: throws if claimed
+        committed = true
+        // best-effort hint; recovery never trusts it blindly
+        try Files.writeString(hintFile, v.toString) catch { case _: Exception => }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => // lost the race
+      } finally Files.deleteIfExists(tmp)
+    }
+  }
+
+  override def isPartitionCommitted(partition: String): Boolean =
+    committed().contains(partition)
+
+  override def committed(): Set[String] =
+    committedAsOf(currentSnapshot())
+
+  override def committedAsOf(snapshot: Long): Set[String] =
+    (1L to math.min(snapshot, currentSnapshot()))
+      .flatMap(readEntry).map(_.partition).toSet
+
+  /** Time travel over the DATA: every data file visible at `snapshot` —
+    * the file list a scan pinned to that snapshot would read.
+    */
+  def dataFilesAsOf(snapshot: Long): Seq[String] =
+    (1L to math.min(snapshot, currentSnapshot()))
+      .flatMap(readEntry).flatMap(_.files).distinct
+
+  override def clear(): Unit = {
+    Files.list(metaDir).iterator().asScala.toSeq.foreach(Files.deleteIfExists)
+  }
+}

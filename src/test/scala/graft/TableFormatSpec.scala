@@ -84,3 +84,73 @@ class ManifestConformanceSpec extends TableFormatConformance {
 
   override def reopen(f: TableFormat): TableFormat = new Manifest(dirs(f))
 }
+
+/** The Iceberg-layout filesystem implementation under the same contract. */
+class IcebergLikeConformanceSpec extends TableFormatConformance {
+  private val dirs = scala.collection.mutable.Map[TableFormat, String]()
+
+  override def newFormat(): TableFormat = {
+    val d = java.nio.file.Files.createTempDirectory("icb_conf").toString
+    val t = new graft.pipeline.IcebergLikeTable(d)
+    dirs(t) = d
+    t
+  }
+
+  override def reopen(f: TableFormat): TableFormat =
+    new graft.pipeline.IcebergLikeTable(dirs(f))
+}
+
+/** Beyond the metadata contract: REAL time-travel reads over parquet data
+  * files pinned by snapshot, a stale version-hint healing, and the
+  * optimistic-claim exclusivity that makes racing committers safe.
+  */
+class IcebergLikeTableSpec extends SparkTestBase {
+  import graft.pipeline.IcebergLikeTable
+
+  test("snapshot-pinned scans read exactly the files visible at that snapshot") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("icb_tt").toString
+    val t = new IcebergLikeTable(root)
+    Seq(1, 2, 3).toDF("n").write.parquet(s"$root/data/batch1")
+    t.commitPartition("batch1", 3L, Seq(s"$root/data/batch1"))
+    val s1 = t.currentSnapshot()
+    Seq(4, 5).toDF("n").write.parquet(s"$root/data/batch2")
+    t.commitPartition("batch2", 2L, Seq(s"$root/data/batch2"))
+    // as-of s1 the second batch does not exist; at head both do
+    assert(spark.read.parquet(t.dataFilesAsOf(s1): _*).count() == 3)
+    assert(spark.read.parquet(t.dataFilesAsOf(t.currentSnapshot()): _*)
+      .count() == 5)
+    assert(t.committedAsOf(s1) == Set("batch1"))
+  }
+
+  test("stale and overshooting version hints heal via scan recovery") {
+    val root = java.nio.file.Files.createTempDirectory("icb_hint").toString
+    val t = new IcebergLikeTable(root)
+    t.commitPartition("p1", 1L, Seq("f1"))
+    t.commitPartition("p2", 1L, Seq("f2"))
+    val hint = java.nio.file.Paths.get(root, "metadata", "version-hint.text")
+    java.nio.file.Files.writeString(hint, "0") // stale: forward scan heals
+    assert(new IcebergLikeTable(root).currentSnapshot() == 2L)
+    java.nio.file.Files.writeString(hint, "99") // overshoot: walks back
+    assert(new IcebergLikeTable(root).currentSnapshot() == 2L)
+    java.nio.file.Files.writeString(hint, "junk") // unparseable: scans from 0
+    assert(new IcebergLikeTable(root).currentSnapshot() == 2L)
+  }
+
+  test("racing committers: exactly one claims each version, none are lost") {
+    val root = java.nio.file.Files.createTempDirectory("icb_race").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (1 to 16).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            new IcebergLikeTable(root).commitPartition(s"p$i", i.toLong, Seq(s"f$i"))
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    val t = new IcebergLikeTable(root)
+    assert(t.currentSnapshot() == 16L) // one snapshot per commit, no gaps
+    assert(t.committed() == (1 to 16).map(i => s"p$i").toSet)
+  }
+}
