@@ -1121,6 +1121,40 @@ object SparkEntry {
         col("unix_rt"))
     }),
 
+    // full recombine config surface: FIRST-entry batching (each 'F|' row
+    // STARTS a batch, inverse of q_recombine's last-entry mode),
+    // combine_with '|', max_batch_size force-flush chunks, and
+    // overwrite_with newest picking the anchor entry's fields
+    "q_recombine_config" -> ((s, d) => {
+      val part = t(s, d).filter(ParseOps.isMultiline)
+      ParseOps.recombineConfigured(part, ParseOps.RecombineConfig(
+        isFirstEntry = Some(col("text").startsWith("F|")),
+        combineWith = "|",
+        maxBatchSize = 3,
+        overwriteWith = "newest"))
+    }),
+
+    // editor statement tail: append (array growth + where gate),
+    // replace_match / replace_all_matches (whole-value GLOB),
+    // keep_matching_keys, flatten editor
+    "q_ottl_editors" -> ((s, d) => {
+      val tt = t(s, d)
+      val out = graft.expr.Ottl(Seq(
+        "set(kvmap, ParseKeyValue(Format('env=%s owner=%s', [role, tool])))",
+        "append(tags, 'turn', role)",
+        "append(tags, tool) where tool != ''",
+        "replace_match(body, 'level=*', 'structured')",
+        "replace_all_matches(kvmap, 'code_*', 'code')",
+        "keep_matching_keys(kvmap, '^(env|owner)$')",
+        "flatten(kvmap, 'p')"
+      ), tt.columns.toSet)(tt)
+      out.select(col("conv_id"), col("turn_idx"),
+        array_join(col("tags"), ",").as("tags_joined"),
+        col("text").as("body_out"),
+        col("kvmap").getItem("p.env").as("kv_env"),
+        col("kvmap").getItem("p.owner").as("kv_owner"))
+    }),
+
     "q_groupby_attrs" -> ((s, d) =>
       EnrichOps.transpose(t(s, d))
         .groupBy(col("host")).agg(count(lit(1)).as("n_records"))),
@@ -2452,6 +2486,39 @@ object SparkEntry {
            lower(regexp_replace(regexp_replace('HTTP' || role || 'Turn',
              '([A-Z]+)([A-Z][a-z])', '\1_\2', 'g'),
              '([a-z0-9])([A-Z])', '\1_\2', 'g')) AS snake2
+           FROM t"""),
+
+      "q_recombine_config" -> Transcripts.withT(
+        """SELECT conv_id, session_id, chunk, COUNT(*) AS n_parts,
+           MIN(turn_idx) AS first_turn, MAX(turn_idx) AS last_turn,
+           arg_max(role, turn_idx) AS anchor_role,
+           string_agg(text, '|' ORDER BY turn_idx) AS combined
+           FROM (
+             SELECT *, CAST((rk - 1) // 3 AS BIGINT) AS chunk FROM (
+               SELECT conv_id, turn_idx, text, role, session_id,
+                 ROW_NUMBER() OVER (PARTITION BY conv_id, session_id
+                   ORDER BY turn_idx) AS rk
+               FROM (
+                 SELECT conv_id, turn_idx, text, role,
+                   CAST(COALESCE(SUM(CASE WHEN starts_with(text, 'F|')
+                       THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     0) AS BIGINT) AS session_id
+                 FROM t WHERE regexp_matches(text, '^[PF]\|')
+               )
+             )
+           ) GROUP BY conv_id, session_id, chunk"""),
+
+      "q_ottl_editors" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           'turn,' || role ||
+             CASE WHEN tool <> '' THEN ',' || tool ELSE '' END AS tags_joined,
+           CASE WHEN regexp_matches(text, '^level=.*$')
+                THEN 'structured' ELSE text END AS body_out,
+           role AS kv_env,
+           CASE WHEN regexp_matches(tool, '^code_')
+                THEN 'code' ELSE tool END AS kv_owner
            FROM t"""),
 
       "q_ottl_converters3" -> Transcripts.withT(

@@ -83,6 +83,17 @@ object Ottl {
     out.toSeq
   }
 
+  /** OTTL glob patterns (replace_match family): `*` and `?` wildcards over
+    * the WHOLE value — anchored, everything else literal.
+    */
+  private def globToRegex(glob: String): String =
+    "^" + glob.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    } + "$"
+
   private def stripQuotes(s: String): String = {
     val t = s.trim
     if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)
@@ -195,6 +206,56 @@ object Ottl {
               size(filter(slice(entries, lit(1), i + 1), ne => !isPri(ne))) <= budget))
           map_from_entries(kept)
         }))
+
+      case "append" =>
+        // append(target, value...): grows an array target; a missing or
+        // null target starts a fresh array (upstream append creates the
+        // slice when absent)
+        val tgt = parseTarget(rawArgs(0)).asInstanceOf[ColTarget].name
+        val values = rawArgs.drop(1).map(a => ExprLang.valueExpr(a, columns))
+        df => {
+          val old =
+            if (df.columns.contains(tgt)) col(tgt)
+            else lit(null).cast("array<string>")
+          df.withColumn(tgt, guarded(old,
+            concat(coalesce(old, array().cast("array<string>")),
+              array(values.map(_.cast("string")): _*))))
+        }
+
+      case "replace_match" =>
+        // whole-value GLOB match replaces the ENTIRE value (vs
+        // replace_pattern's regex substring substitution)
+        val pat = globToRegex(stripQuotes(rawArgs(1)))
+        val rep = stripQuotes(rawArgs(2))
+        parseTarget(rawArgs(0)) match {
+          case ColTarget(c) => df =>
+            df.withColumn(c, guarded(col(c),
+              when(col(c).rlike(pat), rep).otherwise(col(c))))
+          case MapKeyTarget(m, k) => df =>
+            df.withColumn(m, guarded(col(m),
+              when(coalesce(col(m).getItem(k).rlike(pat), lit(false)),
+                setMapKey(col(m), k, lit(rep))).otherwise(col(m))))
+        }
+
+      case "replace_all_matches" => // glob whole-value over every map value
+        val m = parseTarget(rawArgs(0)).asInstanceOf[ColTarget].name
+        val pat = globToRegex(stripQuotes(rawArgs(1)))
+        val rep = stripQuotes(rawArgs(2))
+        df => df.withColumn(m,
+          guarded(col(m), transform_values(col(m),
+            (_, v) => when(v.rlike(pat), rep).otherwise(v))))
+
+      case "keep_matching_keys" => // inverse of delete_matching_keys
+        val m = parseTarget(rawArgs(0)).asInstanceOf[ColTarget].name
+        val pat = stripQuotes(rawArgs(1))
+        df => df.withColumn(m,
+          guarded(col(m), map_filter(col(m), (k, _) => k.rlike(pat))))
+
+      case "flatten" => // editor form of the Flatten converter
+        val m = parseTarget(rawArgs(0)).asInstanceOf[ColTarget].name
+        val flattened = ExprLang.Converters("Flatten")(
+          col(m) :: rawArgs.drop(1).map(a => lit(stripQuotes(a))).toList)
+        df => df.withColumn(m, guarded(col(m), flattened))
 
       case "merge_maps" => // editor form of the MergeMaps converter
         val m = parseTarget(rawArgs(0)).asInstanceOf[ColTarget].name

@@ -412,6 +412,57 @@ object ParseOps {
           "\n").as("combined"))
   }
 
+  /** Full stanza recombine config surface (the operator the reference's
+    * multiline plugins configure): exactly one of `is_first_entry` /
+    * `is_last_entry` marks the batch boundary, `combine_with` joins the
+    * combine field (default newline), `max_batch_size` force-flushes an
+    * over-long batch into chunks, and `overwrite_with` picks whether the
+    * OLDEST or NEWEST entry's other fields survive on the combined record.
+    */
+  case class RecombineConfig(
+      isFirstEntry: Option[Column] = None,
+      isLastEntry: Option[Column] = None,
+      combineWith: String = "\n",
+      maxBatchSize: Int = 1000,
+      overwriteWith: String = "oldest")
+
+  def recombineConfigured(part: DataFrame, cfg: RecombineConfig): DataFrame = {
+    require(cfg.isFirstEntry.isDefined ^ cfg.isLastEntry.isDefined,
+      "recombine: exactly one of is_first_entry / is_last_entry must be set")
+    require(cfg.maxBatchSize > 0, "recombine: max_batch_size must be positive")
+    require(Seq("oldest", "newest").contains(cfg.overwriteWith),
+      s"recombine: overwrite_with must be oldest|newest, got '${cfg.overwriteWith}'")
+    val marker = cfg.isFirstEntry.getOrElse(cfg.isLastEntry.get)
+    val mInt = when(coalesce(marker, lit(false)), 1L).otherwise(0L)
+    // a FIRST marker starts its own batch (count itself); a LAST marker
+    // closes the batch it belongs to (count strictly-preceding matches)
+    val frameEnd = if (cfg.isFirstEntry.isDefined) 0L else -1L
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    val withSession = part
+      .withColumn("session_id", coalesce(sum(mInt).over(w), lit(0L)))
+    // force flush: an over-long batch splits into max_batch_size chunks
+    val wRank = Window.partitionBy(col("conv_id"), col("session_id"))
+      .orderBy(col("turn_idx"))
+    val chunked = withSession.withColumn("chunk",
+      (((row_number().over(wRank) - 1) / cfg.maxBatchSize).cast("long")))
+    val anchorStruct = struct(col("turn_idx"), col("role"))
+    val anchor =
+      if (cfg.overwriteWith == "oldest") min(anchorStruct) else max(anchorStruct)
+    chunked
+      .groupBy(col("conv_id"), col("session_id"), col("chunk"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min(col("turn_idx")).as("first_turn"),
+        max(col("turn_idx")).as("last_turn"),
+        anchor.getField("role").as("anchor_role"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+            x => x.getField("text")),
+          cfg.combineWith).as("combined"))
+  }
+
   // -------------------------------------------------------------------
   // assign_keys (upstream stanza operator): zip a positional value list
   // with configured keys → keyed attribute map

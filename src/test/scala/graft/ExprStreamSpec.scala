@@ -328,6 +328,33 @@ class OttlSpec extends SparkTestBase {
       Ottl(Seq("""limit(attributes, 1, 'p1', 'p2')"""),
         fxOrder.columns.toSet)(fxOrder)
     }
+    // new editor forms: append, replace_match (whole-value glob),
+    // replace_all_matches, keep_matching_keys, flatten
+    val appended = Ottl(Seq(
+      """append(tags, 'a')""",
+      """append(tags, 'b', role)"""), fixture.columns.toSet)(fixture)
+    appended.collect().foreach { r =>
+      val tags = r.getSeq[String](r.fieldIndex("tags"))
+      assert(tags == Seq("a", "b", r.getAs[String]("role")))
+    }
+    val rm = Ottl(Seq(
+      """replace_match(body, 'hello*', 'greeting')""",
+      """replace_all_matches(attributes, '*long*', 'redacted')"""),
+      fixture.columns.toSet)(fixture)
+    val rmByRole = rm.collect().map(r => r.getAs[String]("role") ->
+      (r.getAs[String]("text"), r.getAs[Map[String, String]]("attributes"))).toMap
+    assert(rmByRole("user")._1 == "greeting")     // whole-value glob hit
+    assert(rmByRole("assistant")._1 == "hi there") // no hit → unchanged
+    assert(rmByRole("user")._2("note") == "redacted")
+    assert(rmByRole("user")._2("env") == "staging")
+    val kept2 = Ottl(Seq("""keep_matching_keys(attributes, '^e')"""),
+      fixture.columns.toSet)(fixture)
+    assert(kept2.collect().forall(
+      _.getAs[Map[String, String]]("attributes").keySet == Set("env")))
+    val flat2 = Ottl(Seq("""flatten(attributes, 'log')"""),
+      fixture.columns.toSet)(fixture)
+    assert(flat2.collect().head.getAs[Map[String, String]]("attributes")
+      .keySet == Set("log.env", "log.note"))
     // merge_maps editor: upsert pulls source keys into the target column
     val merged = Ottl(Seq(
       """merge_maps(attributes, ParseKeyValue('env=prod extra=1'), 'upsert')"""),

@@ -149,3 +149,48 @@ class ParseSpec extends SparkTestBase {
       "log_record_original"))
   }
 }
+
+class RecombineConfigSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import graft.parse.ParseOps
+  import spark.implicits._
+
+  private def df = Seq(
+    ("c1", 1, "u", "F|a"), ("c1", 2, "u", "P|b"), ("c1", 3, "a", "P|c"),
+    ("c1", 4, "a", "P|d"), ("c1", 5, "u", "F|e")).toDF(
+    "conv_id", "turn_idx", "role", "text")
+
+  test("exactly one boundary marker is required; bad config rejects") {
+    intercept[IllegalArgumentException] {
+      ParseOps.recombineConfigured(df, ParseOps.RecombineConfig())
+    }
+    intercept[IllegalArgumentException] {
+      ParseOps.recombineConfigured(df, ParseOps.RecombineConfig(
+        isFirstEntry = Some(lit(true)), isLastEntry = Some(lit(true))))
+    }
+    intercept[IllegalArgumentException] {
+      ParseOps.recombineConfigured(df, ParseOps.RecombineConfig(
+        isFirstEntry = Some(lit(true)), overwriteWith = "middle"))
+    }
+  }
+
+  test("first-entry batching, max_batch_size chunks, overwrite_with anchors") {
+    val out = ParseOps.recombineConfigured(df, ParseOps.RecombineConfig(
+      isFirstEntry = Some(col("text").startsWith("F|")),
+      combineWith = "|", maxBatchSize = 3, overwriteWith = "newest"))
+      .collect().map(r => (r.getAs[Long]("session_id"), r.getAs[Long]("chunk")) ->
+        (r.getAs[String]("combined"), r.getAs[String]("anchor_role"))).toMap
+    // session 1 = F|a..P|d, split at 3 parts; session 2 = F|e
+    assert(out((1L, 0L))._1 == "F|a|P|b|P|c")
+    assert(out((1L, 1L))._1 == "P|d")
+    assert(out((2L, 0L))._1 == "F|e")
+    assert(out((1L, 0L))._2 == "a") // newest entry in chunk is turn 3 (role a)
+    // oldest flips the anchor to the chunk's first entry
+    val oldest = ParseOps.recombineConfigured(df, ParseOps.RecombineConfig(
+      isFirstEntry = Some(col("text").startsWith("F|")),
+      maxBatchSize = 3))
+      .collect().map(r => (r.getAs[Long]("session_id"), r.getAs[Long]("chunk")) ->
+        r.getAs[String]("anchor_role")).toMap
+    assert(oldest((1L, 0L)) == "u")
+  }
+}
