@@ -281,7 +281,12 @@ object PipelineRunner {
         } else {
           // single pass: route is the leading output partition column —
           // every row lands in its sink table in the same job that parsed it
-          // (batchprocessor size caps via maxRecordsPerFile, manifest.yaml:86)
+          // (batchprocessor size caps via maxRecordsPerFile, manifest.yaml:86).
+          // Tested and REJECTED (WriteLab r5): sortWithinPartitions(conv_id,
+          // turn_idx) before the write looked −10% on isolated write wall
+          // but is noise-neutral end-to-end over 2×2 alternating bench runs
+          // (sorted 2.51/2.84M tps vs unsorted 2.73/2.37M) — the per-task
+          // sort CPU eats the writer-side gain, so the simpler plan ships
           phase("write")(tagged.write.mode("overwrite")
             .option("maxRecordsPerFile", recordCap)
             .options(WriterOptions)

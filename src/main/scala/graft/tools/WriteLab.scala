@@ -48,14 +48,20 @@ object WriteLab {
     // round 3 tiebreak: zstd-1 halves the output size at equal-or-better
     // speed than lz4 — decide dictionaries under zstd and confirm the final
     // choice against the round-2 leaders.
+    val zstd1sel = selective + ("compression" -> "zstd")
+    val zstd1conf = Map("parquet.compression.codec.zstd.level" -> "1")
+    // round 5: does a compression-friendly row order inside each write task
+    // (grouping same-template texts) buy more than the sort costs?
     val variants = Seq(
-      Variant("snappy_dict (baseline)"),
-      Variant("lz4_seldict", opts = selective + ("compression" -> "lz4")),
-      Variant("zstd1_nodict", opts = Map("compression" -> "zstd",
-        "parquet.enable.dictionary" -> "false"),
-        confs = Map("parquet.compression.codec.zstd.level" -> "1")),
-      Variant("zstd1_seldict", opts = selective + ("compression" -> "zstd"),
-        confs = Map("parquet.compression.codec.zstd.level" -> "1")))
+      Variant("zstd1_seldict (ship)", opts = zstd1sel, confs = zstd1conf),
+      Variant("zstd1_seldict_sortconv", opts = zstd1sel, confs = zstd1conf,
+        sorted = true),
+      Variant("zstd1_seldict_sortrole", opts = zstd1sel, confs = zstd1conf,
+        sorted = false), // role/tool sort handled below via sortCols
+      Variant("zstd1_seldict (ship B)", opts = zstd1sel, confs = zstd1conf),
+      Variant("zstd1_seldict_sortconvB", opts = zstd1sel, confs = zstd1conf,
+        sorted = true)
+    )
 
     def dirBytes(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().map(dirBytes).sum else f.length()
@@ -63,8 +69,11 @@ object WriteLab {
     println(f"${"variant"}%-22s ${"best_s"}%8s ${"all_s"}%-22s ${"gb"}%6s ${"mturn/s"}%8s")
     variants.foreach { v =>
       val tagged0: DataFrame = transform(base)
-      val tagged = if (v.sorted)
-        tagged0.sortWithinPartitions("conv_id", "turn_idx") else tagged0
+      val tagged =
+        if (v.sorted) tagged0.sortWithinPartitions("conv_id", "turn_idx")
+        else if (v.name.contains("sortrole"))
+          tagged0.sortWithinPartitions("role", "tool")
+        else tagged0
       val times = (1 to reps).map { _ =>
         Bench.deleteRec(out)
         v.confs.foreach { case (k, c) => s.conf.set(k, c) }

@@ -498,6 +498,50 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stateless enrich plane (OCSF + OTTL editors) streams with batch parity") {
+    import graft.enrich.EnrichOps
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("stream_ocsf").toString
+    Transcripts.writePartitioned(
+      Transcripts.generate(spark, nTurns = 4000, nConvs = 20), base + "/in")
+    def enrich(df: org.apache.spark.sql.DataFrame) = {
+      val edited = graft.expr.Ottl(Seq(
+        "set(kvmap, ParseKeyValue(Format('env=%s owner=%s', [role, tool])))",
+        "replace_match(body, 'level=*', 'structured')",
+        "keep_matching_keys(kvmap, '^env$')"), df.columns.toSet)(df)
+      EnrichOps.ocsfStandardizeConfig(edited,
+          Seq(EnrichOps.EventMapping(None, 3002, Seq(
+            EnrichOps.FieldMapping("activity_id",
+              from = Some((col("turn_idx") % 6).cast("int"))),
+            EnrichOps.FieldMapping("severity_id",
+              from = Some((col("turn_idx") % 7).cast("int"))),
+            EnrichOps.FieldMapping("time", from = Some(col("turn_idx").cast("long"))),
+            EnrichOps.FieldMapping("user.name", from = Some(col("role"))),
+            EnrichOps.FieldMapping("service.name",
+              from = Some(col("kvmap").getItem("env")))))),
+          version = "1.1.0", runtimeValidation = true)
+        .select(col("conv_id"), col("turn_idx"),
+          col("ocsf.type_uid").as("type_uid"),
+          col("ocsf.service.name").as("svc"))
+    }
+    val q = enrich(spark.readStream
+        .schema(StreamingPipeline.TranscriptSchema)
+        .option("maxFilesPerTrigger", "8").parquet(base + "/in"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sp_ocsf").trigger(Trigger.ProcessingTime("0 seconds")).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sp_ocsf")
+        .as[(String, Int, Long, String)].collect().toSet
+      val batch = enrich(Transcripts.readPartitioned(spark, base + "/in"))
+        .as[(String, Int, Long, String)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally {
+      q.stop()
+      Bench.deleteRec(base)
+    }
+  }
+
   test("watermark: windows finalize once passed; later-than-watermark data drops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
