@@ -538,6 +538,9 @@ object EnrichOps {
                             deepValidation: Boolean = false)
       : DataFrame = {
     require(mappings.nonEmpty, "ocsf: at least one event mapping required")
+    require(!deepValidation || runtimeValidation,
+      "ocsf: deepValidation extends runtimeValidation — enable both " +
+        "(deep checks run inside the ValidateClass gate)")
     if (coverageValidation) {
       // ValidateMappingCoverage parity: PLAN-TIME validation that each
       // mapping's `to` paths cover the class's required fields and

@@ -45,16 +45,23 @@ class IcebergLikeTable(root: String) extends TableFormat {
 
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  private def unesc(s: String): String =
+    """\\(.)""".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(m.group(1)))
+  // string fields parse with escape-aware atoms so a '"' or '\' inside a
+  // partition name or file path round-trips exactly
+  private val Str = """"((?:[^"\\]|\\.)*)""""
   private val FieldRe =
-    """\{"snapshot":(\d+),"parent":(-?\d+),"partition":"(.*?)","rows":(\d+),"files":\[(.*?)\]\}""".r
+    ("""\{"snapshot":(\d+),"parent":(-?\d+),"partition":""" + Str +
+      ""","rows":(\d+),"files":\[(.*?)\]\}""").r
 
   private def readEntry(v: Long): Option[Entry] = {
     val f = versionFile(v)
     if (!Files.exists(f)) None
     else Files.readString(f).trim match {
       case FieldRe(s, _, p, r, fs) =>
-        val files = "\"(.*?)\"".r.findAllMatchIn(fs).map(_.group(1)).toSeq
-        Some(Entry(s.toLong, p, r.toLong, files))
+        val files = Str.r.findAllMatchIn(fs).map(m => unesc(m.group(1))).toSeq
+        Some(Entry(s.toLong, unesc(p), r.toLong, files))
       case other =>
         throw new IllegalStateException(s"corrupt metadata $f: $other")
     }
@@ -68,9 +75,12 @@ class IcebergLikeTable(root: String) extends TableFormat {
     */
   override def commitPartition(partition: String, rowsOut: Long,
                                inputFiles: Seq[String]): Unit = {
-    if (isPartitionCommitted(partition)) return
     var committed = false
     while (!committed) {
+      // idempotency re-checked INSIDE the retry loop: two concurrent
+      // committers of the same partition race on version N; the loser must
+      // observe the winner's commit and stop, not claim N+1 with a duplicate
+      if (isPartitionCommitted(partition)) return
       val head = currentSnapshot()
       val v = head + 1
       val json = s"""{"snapshot":$v,"parent":$head,"partition":"${esc(partition)}","rows":$rowsOut,"files":[${inputFiles.map(f => "\"" + esc(f) + "\"").mkString(",")}]}"""
@@ -106,6 +116,8 @@ class IcebergLikeTable(root: String) extends TableFormat {
       .flatMap(readEntry).flatMap(_.files).distinct
 
   override def clear(): Unit = {
-    Files.list(metaDir).iterator().asScala.toSeq.foreach(Files.deleteIfExists)
+    val stream = Files.list(metaDir)
+    try stream.iterator().asScala.toSeq.foreach(Files.deleteIfExists)
+    finally stream.close()
   }
 }

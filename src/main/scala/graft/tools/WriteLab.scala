@@ -16,7 +16,7 @@ object WriteLab {
 
   case class Variant(name: String, opts: Map[String, String] = Map.empty,
                      confs: Map[String, String] = Map.empty,
-                     sorted: Boolean = false)
+                     sortCols: Seq[String] = Nil)
 
   def main(args: Array[String]): Unit = {
     val turns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
@@ -55,12 +55,12 @@ object WriteLab {
     val variants = Seq(
       Variant("zstd1_seldict (ship)", opts = zstd1sel, confs = zstd1conf),
       Variant("zstd1_seldict_sortconv", opts = zstd1sel, confs = zstd1conf,
-        sorted = true),
+        sortCols = Seq("conv_id", "turn_idx")),
       Variant("zstd1_seldict_sortrole", opts = zstd1sel, confs = zstd1conf,
-        sorted = false), // role/tool sort handled below via sortCols
+        sortCols = Seq("role", "tool")),
       Variant("zstd1_seldict (ship B)", opts = zstd1sel, confs = zstd1conf),
       Variant("zstd1_seldict_sortconvB", opts = zstd1sel, confs = zstd1conf,
-        sorted = true)
+        sortCols = Seq("conv_id", "turn_idx"))
     )
 
     def dirBytes(f: java.io.File): Long =
@@ -70,9 +70,8 @@ object WriteLab {
     variants.foreach { v =>
       val tagged0: DataFrame = transform(base)
       val tagged =
-        if (v.sorted) tagged0.sortWithinPartitions("conv_id", "turn_idx")
-        else if (v.name.contains("sortrole"))
-          tagged0.sortWithinPartitions("role", "tool")
+        if (v.sortCols.nonEmpty)
+          tagged0.sortWithinPartitions(v.sortCols.head, v.sortCols.tail: _*)
         else tagged0
       val times = (1 to reps).map { _ =>
         Bench.deleteRec(out)

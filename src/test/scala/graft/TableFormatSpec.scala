@@ -137,6 +137,41 @@ class IcebergLikeTableSpec extends SparkTestBase {
     assert(new IcebergLikeTable(root).currentSnapshot() == 2L)
   }
 
+  test("partition names and file paths with quotes/backslashes round-trip") {
+    val root = java.nio.file.Files.createTempDirectory("icb_esc").toString
+    val t = new IcebergLikeTable(root)
+    val oddName = """hour="00"\backslash"""
+    val oddFile = """/data/file "v1"\part.parquet"""
+    t.commitPartition(oddName, 1L, Seq(oddFile, "/plain.parquet"))
+    assert(t.isPartitionCommitted(oddName)) // no duplicate re-commit loop
+    val g = new IcebergLikeTable(root)
+    assert(g.committed() == Set(oddName))
+    assert(g.dataFilesAsOf(g.currentSnapshot()) ==
+      Seq(oddFile, "/plain.parquet"))
+  }
+
+  test("concurrent committers of the SAME partition commit exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("icb_same").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (1 to 12).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            new IcebergLikeTable(root).commitPartition("p1", 1L, Seq("f1"))
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    val t = new IcebergLikeTable(root)
+    // the in-loop idempotency re-check stops every losing racer before it
+    // can claim the next version with a duplicate: exactly one snapshot
+    assert(t.currentSnapshot() == 1L)
+    assert(t.committed() == Set("p1"))
+    // and a sequential re-commit after visibility is a plain no-op
+    new IcebergLikeTable(root).commitPartition("p1", 1L, Seq("f1"))
+    assert(t.currentSnapshot() == 1L)
+  }
+
   test("racing committers: exactly one claims each version, none are lost") {
     val root = java.nio.file.Files.createTempDirectory("icb_race").toString
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)

@@ -208,13 +208,20 @@ def parse_version(vdir):
 
     # ValidateClass-dispatched classes absent from classFieldReqs (e.g.
     # BaseEvent, uid 0) still validate at runtime — synthesize their
-    # requirement set from the validator body so no dispatch case is lost
+    # requirement set from the validator body so no dispatch case is lost.
+    # objectFields come from the validator's nested edges resolved through
+    # the objtype->validator map, so deep validation recurses for these
+    # classes too (fieldTypes stay empty: validators carry no coercion types)
     uid_name = {v: k for k, v in uid_by_name.items()}
+    func_objtype = {fn: ot for ot, fn in objfunc.items()}
     for uid, fn in func_by_uid.items():
         if uid not in class_reqs and fn in funcs:
+            nested_objs = {field: func_objtype[nf]
+                           for field, nf in funcs[fn]["nested"].items()
+                           if nf in func_objtype}
             class_reqs[uid] = (uid_name.get(uid, fn), {
                 "required": funcs[fn]["required"],
-                "objectFields": {}, "fieldTypes": {},
+                "objectFields": nested_objs, "fieldTypes": {},
                 "atLeastOne": funcs[fn]["anyOf"], "justOne": []})
     for uid in sorted(class_reqs):
         cname, reqs = class_reqs[uid]
