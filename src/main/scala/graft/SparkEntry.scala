@@ -775,6 +775,20 @@ object SparkEntry {
       graft.plugins.Plugins.KafkaPlugin(s)(
         c.select(col("conv_id"), col("turn_idx"), line.as("line")))
     }),
+    // 53rd plugin: the portable operator pipeline of sql_server_logs
+    // (router on the structured body's provider.name, log_type add,
+    // save_log_record_original copy) over framed windows-event JSON lines
+    "q_plugin_sql_server" -> ((s, d) => {
+      val provider = when(col("turn_idx") % 3 === 0, "MSSQLSERVER")
+        .otherwise("Application Error")
+      val line = format_string(
+        """{"provider":{"name":"%s"},"event_id":%d,"message":"%s"}""",
+        provider, col("turn_idx") % 1000, col("role"))
+      graft.plugins.Plugins.SqlServerPlugin(s,
+          Map("save_log_record_original" -> "true"))(
+        t(s, d).select(col("conv_id"), col("turn_idx"), line.as("line")))
+    }),
+
     "q_plugin_redis" -> ((s, d) => {
       val kv = t(s, d).filter(ParseOps.isKv)
       val level = regexp_extract(col("text"), "level=(\\w+)", 1)
@@ -1564,6 +1578,17 @@ object SparkEntry {
 
       "q_snapshot_read" -> Transcripts.withT(
         """SELECT conv_id, turn_idx, role FROM t WHERE turn_idx % 2 = 0"""),
+
+      "q_plugin_sql_server" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           'MSSQLSERVER' AS provider,
+           turn_idx % 1000 AS event_id,
+           role AS message,
+           'sql_server' AS log_type,
+           '{"provider":{"name":"MSSQLSERVER"},"event_id":' ||
+             (turn_idx % 1000) || ',"message":"' || role || '"}'
+             AS log_record_original
+           FROM t WHERE turn_idx % 3 = 0"""),
 
       "q_paged_scan" -> Transcripts.withT(
         """SELECT conv_id, turn_idx,

@@ -947,10 +947,54 @@ object Plugins {
     }
   }
 
+  /** SQL Server plugin (plugins/sql_server_logs.yaml) — closes the corpus
+    * at 53/53. The Windows-bound piece is ONLY the source (windows_event_log
+    * reads the Application channel); the template's operator pipeline is
+    * fully portable and compiled here: optional `copy` of the original
+    * body to log.record.original (:38-42), a `parse`-gated router keeping
+    * records whose structured body has provider.name matching
+    * "MSSQLSERVER" (:44-48 — stanza router drops non-matching entries),
+    * and `add` of attributes.log_type (:49-52). The batch model of the
+    * channel is one structured event per framed JSON line (the
+    * XML-derived record shape the upstream receiver emits).
+    */
+  object SqlServerPlugin extends Plugin("sql_server", Seq(
+    PluginParam("parse", Some("true"), Seq("true", "false")),
+    PluginParam("save_log_record_original", Some("false"), Seq("true", "false")),
+    PluginParam("log_type", Some("sql_server")))) {
+    private val WinEventSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("provider",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType)))),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("message",
+        org.apache.spark.sql.types.StringType)))
+    protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
+      val j = input.withColumn("b", from_json(col("line"), WinEventSchema))
+      val routed =
+        if (p("parse").toBoolean)
+          j.filter(coalesce(col("b.provider.name").rlike("MSSQLSERVER"),
+            lit(false)))
+        else j
+      // copy body -> attributes["log.record.original"] rides the same
+      // projection (the operator runs before the router upstream, but the
+      // copy is a pure function of the line so ordering is immaterial)
+      val orig =
+        if (p("save_log_record_original").toBoolean)
+          Seq(col("line").as("log_record_original"))
+        else Nil
+      routed.select(Seq(col("conv_id"), col("turn_idx"),
+        col("b.provider.name").as("provider"),
+        col("b.event_id").as("event_id"),
+        col("b.message").as("message"),
+        lit(p("log_type")).as("log_type")) ++ orig: _*)
+    }
+  }
+
   /** IIS plugin (plugins/iis_logs.yaml): W3C-format logs — delegates to the
     * W3C machinery with IIS defaults (space delimiter, standard field set).
-    * sql_server_logs is the one template NOT compiled: it reads the Windows
-    * Event Log API channel (an OS-API receiver, not a parse pipeline).
     */
   object IisPlugin extends Plugin("iis", Seq(
     PluginParam("header", Some("date time s_ip cs_method cs_uri_stem sc_status")),
@@ -982,7 +1026,7 @@ object Plugins {
     NginxPlugin, SyslogPlugin, CsvPlugin, JsonPlugin, ContainerPlugin,
     PostgresqlPlugin, W3cPlugin, ApacheCombinedPlugin, TcpPlugin,
     CefPlugin, KafkaPlugin, RedisPlugin, MysqlPlugin, FilePlugin,
-    UdpPlugin, BindplanePlugin, IisPlugin) ++
+    UdpPlugin, BindplanePlugin, IisPlugin, SqlServerPlugin) ++
     RegexTemplates.map(new RegexPlugin(_)) ++
     MetricTemplates.map(new MetricScanPlugin(_)))
     .map(p => p.name -> p).toMap
@@ -1004,7 +1048,7 @@ object Plugins {
     * smoke gate frames one.
     */
   val needsLine: Set[String] = Set("postgresql", "w3c", "common_event_format",
-    "kafka", "redis", "mysql", "iis") ++ RegexTemplates.map(_.name)
+    "kafka", "redis", "mysql", "iis", "sql_server") ++ RegexTemplates.map(_.name)
 }
 
 /** snapshotprocessor ad-hoc search (SURVEY §2B): substring query over body +

@@ -440,7 +440,7 @@ class PluginsSpec extends SparkTestBase {
       out.queryExecution.assertAnalyzed()
       assert(out.columns.nonEmpty, s"plugin $name produced no columns")
     }
-    assert(Plugins.registry.size >= 52) // 49 log templates + 3 metric scans
+    assert(Plugins.registry.size >= 53) // FULL corpus: 50 log templates + 3 metric scans
   }
 
   test("plugin protocol switch: rfc5424 branch analyzes and on_error-sends") {
