@@ -184,17 +184,28 @@ object Bench {
       val s = xs.sorted; val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
+    // storm-aware: a level >30% below its cross-cycle best ran in a
+    // co-tenant storm; a pair with EITHER level flagged carries a corrupted
+    // ratio (biased in an unknowable direction), so the pair's median is
+    // taken over clean cycles when any exist — the same flags the runs[]
+    // audit trail publishes, applied symmetrically
+    def stormy(m: Map[Int, LevelResult], n: Int): Boolean =
+      m(n).tps < 0.7 * tps(n).tps
     val pairMedians =
       if (levels.size < 2) Seq((levels.head, levels.head, 1.0))
       else levels.sliding(2).map { p =>
         val (a, b) = (p(0), p(1))
-        val effs = cycleRuns.map { case (_, m) =>
-          (m(b).tps / m(a).tps) / (b.toDouble / a) }.toSeq
+        def effsOf(runs: Seq[(Int, Map[Int, LevelResult])]) =
+          runs.map { case (_, m) => (m(b).tps / m(a).tps) / (b.toDouble / a) }
+        val clean = cycleRuns.toSeq.filter { case (_, m) =>
+          !stormy(m, a) && !stormy(m, b) }
+        val effs =
+          if (clean.nonEmpty) effsOf(clean) else effsOf(cycleRuns.toSeq)
         (a, b, median(effs))
       }.toSeq
     val (bn, b4n, effRaw) = pairMedians.maxBy(_._3)
     val efficiency = math.min(effRaw, 1.0)
-    val effBasis = s"median of $cycles within-cycle local[$bn]->local[$b4n] pairs" +
+    val effBasis = s"median of storm-clean within-cycle local[$bn]->local[$b4n] pairs ($cycles cycles)" +
       (if (effRaw > 1.0) f", capped at 1.0 (raw $effRaw%.3f)" else "")
 
     // --- per-operator query timings on the driver-provided sf dir ---
@@ -232,7 +243,7 @@ object Bench {
       // a level whose tps fell >30% below its cross-cycle best ran inside a
       // co-tenant storm window — flagged so the artifact is self-certifying
       // (the reader need not reverse-engineer which cycles to distrust)
-      val storms = levels.filter(n => m(n).tps < 0.7 * tps(n).tps)
+      val storms = levels.filter(n => stormy(m, n))
       val stormJson = if (storms.isEmpty) ""
         else storms.map(n => "\"local" + n + "\"").mkString(""","storm_levels":[""", ",", "]")
       s"""{"cycle":$c,$lv$effs$stormJson}"""

@@ -959,6 +959,23 @@ object SparkEntry {
       s.read.schema(tt.schema).parquet(table.dataFilesAsOf(1L): _*)
     }),
 
+    // awss3eventreceiver notification plane: each transcript row emits one
+    // SQS-shaped message announcing its 50-turn group's object (keys
+    // URL-ENCODED as S3 does for '=') plus a non-created event that must
+    // filter out; duplicate announcements collapse to DISTINCT objects
+    // (at-least-once SQS), key/bucket regex filters apply
+    "q_s3_events" -> ((s, d) => {
+      val g = (col("turn_idx") % 5).cast("long")
+      val body = format_string(
+        """{"Records":[{"eventName":"ObjectCreated:Put","s3":{"bucket":{"name":"graft-bucket"},"object":{"key":"logs/%s/g%%3D%d/part.json","size":%d}}},{"eventName":"ObjectRemoved:Delete","s3":{"bucket":{"name":"graft-bucket"},"object":{"key":"logs/del.json","size":0}}}]}""",
+        col("conv_id"), g, g)
+      graft.pipeline.S3Events.objectCreatedKeys(
+        t(s, d).select(body.as("body")),
+        graft.pipeline.S3Events.EventFilter(
+          bucketNameRegex = Some("^graft-"),
+          objectKeyRegex = Some("part\\.json$")))
+    }),
+
     "q_paged_scan" -> ((s, d) => {
       val spec = graft.pipeline.PagedSearch.SearchSpec(
         "search", "2024-01-05T00:00", "2024-01-20T00:00",
@@ -1575,6 +1592,12 @@ object SparkEntry {
                WHEN 'oracle.process.pga_memory.size' THEN 'By'
              END AS unit
            FROM comb GROUP BY 1, 2, 3"""),
+
+      "q_s3_events" -> Transcripts.withT(
+        """SELECT DISTINCT 'graft-bucket' AS bucket,
+           'logs/' || conv_id || '/g=' || (turn_idx % 5) || '/part.json' AS key,
+           CAST(turn_idx % 5 AS BIGINT) AS size
+           FROM t"""),
 
       "q_snapshot_read" -> Transcripts.withT(
         """SELECT conv_id, turn_idx, role FROM t WHERE turn_idx % 2 = 0"""),
