@@ -192,7 +192,7 @@ object Bench {
     def stormy(m: Map[Int, LevelResult], n: Int): Boolean =
       m(n).tps < 0.7 * tps(n).tps
     val pairMedians =
-      if (levels.size < 2) Seq((levels.head, levels.head, 1.0))
+      if (levels.size < 2) Seq((levels.head, levels.head, 1.0, cycles))
       else levels.sliding(2).map { p =>
         val (a, b) = (p(0), p(1))
         def effsOf(runs: Seq[(Int, Map[Int, LevelResult])]) =
@@ -201,11 +201,16 @@ object Bench {
           !stormy(m, a) && !stormy(m, b) }
         val effs =
           if (clean.nonEmpty) effsOf(clean) else effsOf(cycleRuns.toSeq)
-        (a, b, median(effs))
+        (a, b, median(effs), clean.size)
       }.toSeq
-    val (bn, b4n, effRaw) = pairMedians.maxBy(_._3)
+    val (bn, b4n, effRaw, cleanN) = pairMedians.maxBy(_._3)
     val efficiency = math.min(effRaw, 1.0)
-    val effBasis = s"median of storm-clean within-cycle local[$bn]->local[$b4n] pairs ($cycles cycles)" +
+    // the basis string states exactly what fed the median — how many clean
+    // cycles, or that every cycle was storm-flagged and the fallback fired
+    val effBasis = (if (cleanN > 0)
+        s"median of $cleanN storm-clean within-cycle local[$bn]->local[$b4n] pairs of $cycles cycles"
+      else
+        s"ALL $cycles cycles storm-flagged for local[$bn]->local[$b4n]; median over flagged cycles") +
       (if (effRaw > 1.0) f", capped at 1.0 (raw $effRaw%.3f)" else "")
 
     // --- per-operator query timings on the driver-provided sf dir ---

@@ -937,22 +937,35 @@ object SparkEntry {
     // the commit log)
     "q_snapshot_read" -> ((s, d) => {
       val tt = t(s, d).select(col("conv_id"), col("turn_idx"), col("role"))
-      // the two-snapshot table builds ONCE per sfDir (deterministic cache
-      // dir, content-committed marker) — repeated builder invocations
-      // (best-of-N bench, verify) time the PINNED SCAN, not the table
-      // build, and no temp copies accumulate
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      // the two-snapshot table builds ONCE per input CONTENT (the cache key
+      // is the source-file fingerprint, so a regenerated table at the same
+      // path rebuilds) and publishes ATOMICALLY from a pid-suffixed staging
+      // dir (two cold-cache JVMs race on the rename; the loser discards its
+      // staging copy) — repeated invocations time the PINNED SCAN only
+      val key = Transcripts.sourceFingerprint(d)
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_icb_cache_$key"
-      val table = new graft.pipeline.IcebergLikeTable(root)
-      if (table.currentSnapshot() < 2L) {
+      // probe WITHOUT constructing a table at root (the constructor creates
+      // metadata/, which would block the staging dir's atomic rename)
+      val ready = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "metadata", "v00002.metadata.json"))
+      if (!ready) {
+        val stage = s"$root.stage-${java.lang.ProcessHandle.current.pid}"
+        val st = new graft.pipeline.IcebergLikeTable(stage)
+        // metadata records the FINAL paths; data stages under the temp root
         tt.filter(col("turn_idx") % 2 === 0)
-          .write.mode("overwrite").parquet(s"$root/data/even")
-        table.commitPartition("even", 0L, Seq(s"$root/data/even"))
+          .write.mode("overwrite").parquet(s"$stage/data/even")
+        st.commitPartition("even", 0L, Seq(s"$root/data/even"))
         tt.filter(col("turn_idx") % 2 =!= 0)
-          .write.mode("overwrite").parquet(s"$root/data/odd")
-        table.commitPartition("odd", 0L, Seq(s"$root/data/odd"))
+          .write.mode("overwrite").parquet(s"$stage/data/odd")
+        st.commitPartition("odd", 0L, Seq(s"$root/data/odd"))
+        try java.nio.file.Files.move(java.nio.file.Paths.get(stage),
+          java.nio.file.Paths.get(root),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException => // lost the race
+          graft.Bench.deleteRec(stage)
+        }
       }
+      val table = new graft.pipeline.IcebergLikeTable(root)
       // head sees both batches; the scan pinned to snapshot 1 must NOT
       // see batch 2
       require(table.committed() == Set("even", "odd"))

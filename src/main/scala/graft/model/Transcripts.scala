@@ -47,7 +47,7 @@ object Transcripts {
   /** Cache key fingerprints the SOURCE files (names, sizes, mtimes), so a
     * regenerated events table never serves a stale derived cache.
     */
-  private def sourceFingerprint(sfDir: String): String = {
+  private[graft] def sourceFingerprint(sfDir: String): String = {
     val src = java.nio.file.Paths.get(sfDir, "events.parquet")
     def fileSig(p: java.nio.file.Path): String =
       s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +

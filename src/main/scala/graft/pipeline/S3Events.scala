@@ -56,8 +56,10 @@ object S3Events {
     val keyOk: Column = cfg.objectKeyRegex
       .map(col("key").rlike(_)).getOrElse(lit(true))
     recs.filter(bucketOk && keyOk)
-      .select(col("bucket"), col("key"), col("size"))
-      // at-least-once SQS: duplicate announcements collapse before read
-      .distinct()
+      // at-least-once SQS: announcements collapse PER OBJECT (bucket, key)
+      // before read — an overwritten object re-announced with a new size is
+      // still one object (latest = max size)
+      .groupBy(col("bucket"), col("key"))
+      .agg(max(col("size")).as("size"))
   }
 }

@@ -962,19 +962,20 @@ object Plugins {
     PluginParam("parse", Some("true"), Seq("true", "false")),
     PluginParam("save_log_record_original", Some("false"), Seq("true", "false")),
     PluginParam("log_type", Some("sql_server")))) {
-    private val WinEventSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("provider",
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("name",
-            org.apache.spark.sql.types.StringType)))),
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("message",
-        org.apache.spark.sql.types.StringType)))
+    import org.apache.spark.sql.types.{StructType, StructField, StringType, IntegerType}
+    private val WinEventSchema = StructType(Seq(
+      StructField("provider", StructType(Seq(
+        StructField("name", StringType)))),
+      StructField("event_id", IntegerType),
+      StructField("message", StringType)))
     protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
       val j = input.withColumn("b", from_json(col("line"), WinEventSchema))
       val routed =
         if (p("parse").toBoolean)
+          // the template's router expr is `body.provider.name matches
+          // "MSSQLSERVER"` — expr-lang `matches` is an UNANCHORED regex, so
+          // the substring rlike is exact parity (a superstring provider
+          // passes upstream too)
           j.filter(coalesce(col("b.provider.name").rlike("MSSQLSERVER"),
             lit(false)))
         else j

@@ -213,7 +213,12 @@ def parse_version(vdir):
     # the objtype->validator map, so deep validation recurses for these
     # classes too (fieldTypes stay empty: validators carry no coercion types)
     uid_name = {v: k for k, v in uid_by_name.items()}
-    func_objtype = {fn: ot for ot, fn in objfunc.items()}
+    func_objtype = {}
+    for ot, fn in sorted(objfunc.items()):
+        assert fn not in func_objtype, \
+            f"validator {fn} serves both {func_objtype[fn]} and {ot}; " \
+            "synthesized-class object edges would be ambiguous"
+        func_objtype[fn] = ot
     for uid, fn in func_by_uid.items():
         if uid not in class_reqs and fn in funcs:
             nested_objs = {field: func_objtype[nf]
