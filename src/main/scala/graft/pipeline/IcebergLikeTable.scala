@@ -77,11 +77,15 @@ class IcebergLikeTable(root: String) extends TableFormat {
                                inputFiles: Seq[String]): Unit = {
     var committed = false
     while (!committed) {
-      // idempotency re-checked INSIDE the retry loop: two concurrent
-      // committers of the same partition race on version N; the loser must
-      // observe the winner's commit and stop, not claim N+1 with a duplicate
-      if (isPartitionCommitted(partition)) return
+      // Linearizable duplicate protection: read head ONCE, validate the
+      // partition against committedAsOf(THAT head), and claim head+1. Any
+      // interleaved commit takes head+1 first, our exclusive claim fails,
+      // and the retry re-validates against the new head — checking
+      // "committed?" against live state and then re-reading head would
+      // leave a window where a racer's fresh commit lands between the two
+      // reads and we'd claim head'+1 with a duplicate.
       val head = currentSnapshot()
+      if (committedAsOf(head).contains(partition)) return
       val v = head + 1
       val json = s"""{"snapshot":$v,"parent":$head,"partition":"${esc(partition)}","rows":$rowsOut,"files":[${inputFiles.map(f => "\"" + esc(f) + "\"").mkString(",")}]}"""
       val tmp = Files.createTempFile(metaDir, s".v$v-", ".tmp")
