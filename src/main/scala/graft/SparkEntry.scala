@@ -20,6 +20,10 @@ import graft.route.Router
   */
 object SparkEntry {
 
+  // JVM-unique staging suffix component for cold-cache fixture builds: two
+  // concurrent builders in the SAME JVM must never share a staging dir
+  private val stageNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def t(s: SparkSession, dir: String): DataFrame =
     Transcripts.fromEvents(s, dir)
 
@@ -668,6 +672,18 @@ object SparkEntry {
         .groupBy(AggOps.windowStart(col("ts"), "1 hour").as("window_start"),
           (col("value_int") >= 1000).as("is_slow"))
         .agg(count(lit(1)).as("span_count"))),
+    // span expression environment (expr/span.go:22-56): the four trace env
+    // fields as first-class columns of the span-view relation
+    "q_span_env" -> ((s, d) =>
+      AggOps.spanView(t(s, d)).select(col("conv_id"), col("turn_idx"),
+        col("span_duration_ms"), col("trace_kind"),
+        col("trace_status_code"), col("trace_status_message"))),
+    // spancount with a span-env predicate compiled by the expr ENGINE
+    // (spancountprocessor config match over expr.Span fields): both
+    // span_duration_ms and trace_status_code resolve through boolExpr
+    "q_span_count_duration" -> ((s, d) =>
+      AggOps.spanCountMatched(t(s, d),
+        "span_duration_ms > 1000 and trace_status_code != 'error'")),
     // metricstats via the typed Aggregator (stats.Statistic parity)
     "q_metric_stats_agg" -> ((s, d) => {
       val dp = AggOps.metricExtract(t(s, d))
@@ -939,17 +955,22 @@ object SparkEntry {
       val tt = t(s, d).select(col("conv_id"), col("turn_idx"), col("role"))
       // the two-snapshot table builds ONCE per input CONTENT (the cache key
       // is the source-file fingerprint, so a regenerated table at the same
-      // path rebuilds) and publishes ATOMICALLY from a pid-suffixed staging
-      // dir (two cold-cache JVMs race on the rename; the loser discards its
-      // staging copy) — repeated invocations time the PINNED SCAN only
-      val key = Transcripts.sourceFingerprint(d)
+      // path rebuilds; the m2 suffix versions the METADATA FORMAT — the
+      // cumulative-state layout rejects old-format caches, so a format bump
+      // must miss) and publishes ATOMICALLY from a staging dir suffixed
+      // with pid AND a JVM-unique nonce (two cold-cache builders in the
+      // same JVM — e.g. parallel query execution — must not share a
+      // staging dir; racers on the rename discard their staging copy) —
+      // repeated invocations time the PINNED SCAN only
+      val key = Transcripts.sourceFingerprint(d) + "_m2"
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_icb_cache_$key"
       // probe WITHOUT constructing a table at root (the constructor creates
       // metadata/, which would block the staging dir's atomic rename)
       val ready = java.nio.file.Files.exists(
         java.nio.file.Paths.get(root, "metadata", "v00002.metadata.json"))
       if (!ready) {
-        val stage = s"$root.stage-${java.lang.ProcessHandle.current.pid}"
+        val stage = s"$root.stage-${java.lang.ProcessHandle.current.pid}-" +
+          stageNonce.incrementAndGet()
         val st = new graft.pipeline.IcebergLikeTable(stage)
         // metadata records the FINAL paths; data stages under the temp root
         tt.filter(col("turn_idx") % 2 === 0)
@@ -2120,6 +2141,33 @@ object SparkEntry {
            CAST(json_extract(text, '$.latency_ms') AS BIGINT) >= 1000 AS is_slow,
            COUNT(*) AS span_count
            FROM t WHERE starts_with(text, '{') GROUP BY 1, 2"""),
+
+      "q_span_env" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS span_duration_ms,
+           CASE WHEN role = 'tool' THEN 'client'
+                WHEN role = 'assistant' THEN 'server'
+                WHEN role = 'user' THEN 'consumer'
+                ELSE 'internal' END AS trace_kind,
+           CASE WHEN CAST(json_extract(text, '$.status') AS INT) >= 500 THEN 'error'
+                WHEN CAST(json_extract(text, '$.status') AS INT) >= 400 THEN 'unset'
+                ELSE 'ok' END AS trace_status_code,
+           json_extract_string(text, '$.msg') AS trace_status_message
+           FROM t WHERE starts_with(text, '{')"""),
+
+      "q_span_count_duration" -> Transcripts.withT(
+        """SELECT window_start, trace_kind, COUNT(*) AS span_count FROM (
+             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               CASE WHEN role = 'tool' THEN 'client'
+                    WHEN role = 'assistant' THEN 'server'
+                    WHEN role = 'user' THEN 'consumer'
+                    ELSE 'internal' END AS trace_kind,
+               CAST(json_extract(text, '$.latency_ms') AS BIGINT) AS dur,
+               CASE WHEN CAST(json_extract(text, '$.status') AS INT) >= 500 THEN 'error'
+                    WHEN CAST(json_extract(text, '$.status') AS INT) >= 400 THEN 'unset'
+                    ELSE 'ok' END AS code
+             FROM t WHERE starts_with(text, '{')
+           ) WHERE dur > 1000 AND code <> 'error' GROUP BY 1, 2"""),
 
       "q_metric_stats_agg" -> Transcripts.withT(
         """SELECT window_start, level,

@@ -520,4 +520,57 @@ object AggOps {
         .agg(count(lit(1)).as("log_count"))
     }
   }
+
+  // -------------------------------------------------------------------
+  // Span expression environment — expr/span.go:22-56: a span presents to
+  // the expr engine as a flat env with four trace-specific fields beyond
+  // resource/attributes: span_duration_ms (end-start in millis, :51),
+  // trace_kind (SpanKind rendered via spanKindToString, :29-36),
+  // trace_status_code ("ok"/"error"/"unset" via spanStatusCodeToString,
+  // :38-42) and trace_status_message (:54). Spans here ≅ the JSON request
+  // turns of a transcript (a request/response round-trip is the span);
+  // the env fields derive deterministically from the turn so every span
+  // predicate stays oracle-checkable.
+  // -------------------------------------------------------------------
+  /** The span-view relation: one row per span with the four expr env fields
+    * as first-class columns, so `ExprLang.boolExpr("span_duration_ms > N",
+    * sv.columns.toSet)` resolves them exactly like Record env fields.
+    *  - span_duration_ms: the request latency (the reference computes
+    *    EndTimestamp-StartTimestamp; our round-trip duration IS latency_ms)
+    *  - trace_kind: from the turn's role — tool→client (the agent calls
+    *    out), assistant→server (it serves the reply), user→consumer,
+    *    system→internal; the five reference kind strings (span.go:29-36)
+    *  - trace_status_code: HTTP status → ok(<400) / unset(4xx, no explicit
+    *    status set) / error(5xx) per spanStatusCodeToString's value set
+    *  - trace_status_message: the body msg field
+    */
+  def spanView(t: DataFrame): DataFrame =
+    t.filter(ParseOps.isJson)
+      .withColumn("p", from_json(col("text"), ParseOps.JsonBodySchema))
+      .select(
+        col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
+        col("p.latency_ms").cast("long").as("span_duration_ms"),
+        when(col("role") === "tool", "client")
+          .when(col("role") === "assistant", "server")
+          .when(col("role") === "user", "consumer")
+          .otherwise("internal").as("trace_kind"),
+        when(col("p.status") >= 500, "error")
+          .when(col("p.status") >= 400, "unset")
+          .otherwise("ok").as("trace_status_code"),
+        col("p.msg").as("trace_status_message"))
+
+  /** spancountprocessor with a first-class span predicate through the expr
+    * engine (spancountprocessor/processor.go:78-105 consumeTraces matches
+    * each expr.Span env against the compiled config match expression, then
+    * counts per interval grouped by extracted attrs — here trace_kind).
+    */
+  def spanCountMatched(t: DataFrame, matchExpr: String,
+                       interval: String = "1 hour"): DataFrame = {
+    val sv = spanView(t)
+    sv.filter(coalesce(
+        graft.expr.ExprLang.boolExpr(matchExpr, sv.columns.toSet), lit(false)))
+      .groupBy(windowStart(col("ts"), interval).as("window_start"),
+        col("trace_kind"))
+      .agg(count(lit(1)).as("span_count"))
+  }
 }

@@ -15,6 +15,15 @@ import scala.jdk.CollectionConverters._
   * implements the same commit/snapshot/time-travel contract
   * ([[TableFormat]], verified by `TableFormatConformance`) against plain
   * files, and a real Iceberg catalog drops in behind the same trait.
+  *
+  * Like the real spec's metadata.json — which carries the cumulative
+  * snapshot list so a commit needs only the head file — every
+  * vN.metadata.json embeds the CUMULATIVE committed-partition set and
+  * visible-data-file list as of that version. `commitPartition`,
+  * `committedAsOf` and `dataFilesAsOf` therefore read exactly ONE metadata
+  * file each, independent of how many versions exist (10^5 hour partitions
+  * would otherwise mean ~10^10 metadata reads across a run); the per-commit
+  * delta fields (`partition`, `rows`, `files`) remain for lineage.
   */
 class IcebergLikeTable(root: String) extends TableFormat {
 
@@ -27,7 +36,8 @@ class IcebergLikeTable(root: String) extends TableFormat {
 
   /** Highest committed version: hint fast path, then forward scan (a stale
     * hint under-reads), then backward heal (an over-written hint from a
-    * crashed committer walks back to the last real version).
+    * crashed committer walks back to the last real version). Probes are
+    * existence stats, not content reads — amortized O(1) with a live hint.
     */
   override def currentSnapshot(): Long = {
     val start =
@@ -40,8 +50,9 @@ class IcebergLikeTable(root: String) extends TableFormat {
     v
   }
 
-  private case class Entry(snapshot: Long, partition: String, rows: Long,
-                           files: Seq[String])
+  protected case class Entry(snapshot: Long, partition: String, rows: Long,
+                             files: Seq[String], allPartitions: Seq[String],
+                             allFiles: Seq[String])
 
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
@@ -53,19 +64,35 @@ class IcebergLikeTable(root: String) extends TableFormat {
   private val Str = """"((?:[^"\\]|\\.)*)""""
   private val FieldRe =
     ("""\{"snapshot":(\d+),"parent":(-?\d+),"partition":""" + Str +
-      ""","rows":(\d+),"files":\[(.*?)\]\}""").r
+      ""","rows":(\d+),"files":\[(.*?)\],"all_partitions":\[(.*?)\],"all_files":\[(.*?)\]\}""").r
 
-  private def readEntry(v: Long): Option[Entry] = {
+  private def strList(s: String): Seq[String] =
+    Str.r.findAllMatchIn(s).map(m => unesc(m.group(1))).toSeq
+
+  // overridable (protected) so tests can COUNT metadata reads and assert
+  // the O(1)-per-commit contract mechanically
+  protected def readEntry(v: Long): Option[Entry] = {
     val f = versionFile(v)
     if (!Files.exists(f)) None
     else Files.readString(f).trim match {
-      case FieldRe(s, _, p, r, fs) =>
-        val files = Str.r.findAllMatchIn(fs).map(m => unesc(m.group(1))).toSeq
-        Some(Entry(s.toLong, unesc(p), r.toLong, files))
+      case FieldRe(s, _, p, r, fs, aps, afs) =>
+        Some(Entry(s.toLong, unesc(p), r.toLong, strList(fs),
+          strList(aps), strList(afs)))
       case other =>
         throw new IllegalStateException(s"corrupt metadata $f: $other")
     }
   }
+
+  /** The entry visible at `snapshot`: the exact version when it exists, else
+    * (a future snapshot id) the current head — matching the old clamp
+    * semantics without a per-version walk.
+    */
+  private def entryAt(snapshot: Long): Option[Entry] =
+    if (snapshot <= 0) None
+    else readEntry(snapshot).orElse {
+      val head = currentSnapshot()
+      if (snapshot > head && head > 0) readEntry(head) else None
+    }
 
   /** Optimistic commit: stage the metadata, then claim version v with an
     * exclusive hard link (atomic on POSIX — exactly one committer wins a
@@ -85,9 +112,15 @@ class IcebergLikeTable(root: String) extends TableFormat {
       // leave a window where a racer's fresh commit lands between the two
       // reads and we'd claim head'+1 with a duplicate.
       val head = currentSnapshot()
-      if (committedAsOf(head).contains(partition)) return
+      val headEntry = if (head > 0) readEntry(head) else None
+      val priorPartitions = headEntry.map(_.allPartitions).getOrElse(Seq.empty)
+      if (priorPartitions.contains(partition)) return
+      val priorFiles = headEntry.map(_.allFiles).getOrElse(Seq.empty)
       val v = head + 1
-      val json = s"""{"snapshot":$v,"parent":$head,"partition":"${esc(partition)}","rows":$rowsOut,"files":[${inputFiles.map(f => "\"" + esc(f) + "\"").mkString(",")}]}"""
+      val allPartitions = priorPartitions :+ partition
+      val allFiles = priorFiles ++ inputFiles.filterNot(priorFiles.contains)
+      def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString(",")
+      val json = s"""{"snapshot":$v,"parent":$head,"partition":"${esc(partition)}","rows":$rowsOut,"files":[${arr(inputFiles)}],"all_partitions":[${arr(allPartitions)}],"all_files":[${arr(allFiles)}]}"""
       val tmp = Files.createTempFile(metaDir, s".v$v-", ".tmp")
       Files.write(tmp, json.getBytes("UTF-8"),
         StandardOpenOption.TRUNCATE_EXISTING)
@@ -108,16 +141,15 @@ class IcebergLikeTable(root: String) extends TableFormat {
   override def committed(): Set[String] =
     committedAsOf(currentSnapshot())
 
+  /** ONE metadata read: the cumulative set embedded at `snapshot`. */
   override def committedAsOf(snapshot: Long): Set[String] =
-    (1L to math.min(snapshot, currentSnapshot()))
-      .flatMap(readEntry).map(_.partition).toSet
+    entryAt(snapshot).map(_.allPartitions.toSet).getOrElse(Set.empty)
 
   /** Time travel over the DATA: every data file visible at `snapshot` —
-    * the file list a scan pinned to that snapshot would read.
+    * the file list a scan pinned to that snapshot would read. ONE read.
     */
   def dataFilesAsOf(snapshot: Long): Seq[String] =
-    (1L to math.min(snapshot, currentSnapshot()))
-      .flatMap(readEntry).flatMap(_.files).distinct
+    entryAt(snapshot).map(_.allFiles).getOrElse(Seq.empty)
 
   override def clear(): Unit = {
     val stream = Files.list(metaDir)

@@ -135,4 +135,28 @@ class AggSpec extends SparkTestBase {
     assert(e.agg(sum(col("log_count"))).collect().head.getLong(0) ==
       o.agg(sum(col("log_count"))).collect().head.getLong(0))
   }
+
+  test("span env: the four expr/span.go fields resolve through boolExpr") {
+    val sv = AggOps.spanView(t).cache()
+    // field value sets match the reference's rendering tables
+    val kinds = sv.select("trace_kind").distinct().as[String].collect().toSet
+    assert(kinds.subsetOf(Set("unspecified", "internal", "client", "server",
+      "consumer", "producer")))
+    val codes = sv.select("trace_status_code").distinct().as[String].collect().toSet
+    assert(codes.subsetOf(Set("ok", "error", "unset")) && codes.size == 3)
+    // a span predicate through the EXPR ENGINE (not hand-built Columns)
+    // equals the direct column filter — all four env fields are live
+    val cols = sv.columns.toSet
+    // 'server' (assistant turns): JSON turns are odd event ids, so the
+    // tool role (even ids) never intersects — client spans don't occur on
+    // this derivation and the live kinds are server/internal
+    val viaExpr = sv.filter(graft.expr.ExprLang.boolExpr(
+      "span_duration_ms > 500 and trace_kind == 'server' and " +
+        "trace_status_code == 'ok' and trace_status_message != ''", cols)).count()
+    val direct = sv.filter(col("span_duration_ms") > 500 &&
+      col("trace_kind") === "server" && col("trace_status_code") === "ok" &&
+      col("trace_status_message") =!= "").count()
+    assert(viaExpr == direct && viaExpr > 0)
+    sv.unpersist()
+  }
 }

@@ -188,4 +188,29 @@ class IcebergLikeTableSpec extends SparkTestBase {
     assert(t.currentSnapshot() == 16L) // one snapshot per commit, no gaps
     assert(t.committed() == (1 to 16).map(i => s"p$i").toSet)
   }
+
+  test("commit cost is O(1) metadata reads, independent of version count") {
+    // the cumulative-state layout: every vN.metadata.json embeds the full
+    // committed set, so a commit at version 300 reads the HEAD file only —
+    // not 300 files (the superlinear shape round-5's verdict flagged)
+    val root = java.nio.file.Files.createTempDirectory("icb_o1").toString
+    class Counting(r: String) extends IcebergLikeTable(r) {
+      val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+      override protected def readEntry(v: Long): Option[Entry] = {
+        reads.incrementAndGet(); super.readEntry(v)
+      }
+    }
+    val t = new Counting(root)
+    (1 to 300).foreach(i => t.commitPartition(s"p$i", i.toLong, Seq(s"f$i")))
+    t.reads.set(0)
+    t.commitPartition("p301", 301L, Seq("f301"))
+    assert(t.reads.get() <= 2,
+      s"commit after 300 versions took ${t.reads.get()} metadata reads")
+    t.reads.set(0)
+    assert(t.committedAsOf(150L) == (1 to 150).map(i => s"p$i").toSet)
+    assert(t.dataFilesAsOf(150L).toSet == (1 to 150).map(i => s"f$i").toSet)
+    assert(t.reads.get() <= 2,
+      s"as-of reads took ${t.reads.get()} metadata reads")
+    assert(t.committed() == (1 to 301).map(i => s"p$i").toSet)
+  }
 }
