@@ -225,28 +225,55 @@ object Similarity {
 
   /** Near-duplicate pairs by cosine ≥ threshold: candidates from the
     * hyperplane buckets (near-identical vectors share all sign bits), pair
-    * generation bounded by [[Dedup.candidatePairs]], verification by exact
-    * integer dot products — never an all-pairs join.
+    * enumeration bounded exactly like [[Dedup.candidatePairs]] (≤ maxBucket
+    * buckets enumerate, degenerate buckets emit star pairs to the min-id
+    * representative), verification by exact integer dot products — never
+    * an all-pairs join.
+    *
+    * The vectors RIDE THE BUCKET WINDOW (the same window-borne-state trick
+    * that collapsed chronicle_split): one (band,bucket) exchange carries
+    * (doc_id, v); small buckets enumerate pairs by exploding the
+    * window-collected member list and degenerate buckets take their
+    * representative's vector from a window-min struct — so the candidate-id
+    * distinct, the left-semi vector gate and both vector re-join shuffles
+    * of the previous shape are gone (7 exchanges → 1) and verification is
+    * a pure projection over the exploded pairs.
     */
-  def cosineNearDups(emb: DataFrame, threshold: Double = 0.99): DataFrame = {
-    val planted = withPlantedVecs(emb)
+  def cosineNearDups(emb: DataFrame, threshold: Double = 0.99,
+                     maxBucket: Int = 64): DataFrame = {
+    val bandedV = withPlantedVecs(emb)
+      .select(col("vec_id").as("doc_id"), lit(0).as("band"),
+        hyperplaneBucket(col("v")).cast("string").as("bucket"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = planted.select(col("vec_id").as("doc_id"),
-      lit(0).as("band"), hyperplaneBucket(col("v")).cast("string").as("bucket"))
-    val pairs = Dedup.candidatePairs(banded)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // verify joins read CANDIDATE vectors only (left-semi gate on the
-    // bounded pair ids) — at corpus scale the join sides stay
-    // candidate-sized, mirroring the MinHash verify-path bound
-    val ids = pairs.select(col("a_id").as("vec_id"))
-      .union(pairs.select(col("b_id").as("vec_id"))).distinct()
-    val candVecs = planted.join(ids, Seq("vec_id"), "left_semi")
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val sized = bandedV
+      .withColumn("bsz", count(lit(1)).over(w))
+      // min(struct) orders on doc_id first: the representative AND its
+      // vector in one pass
+      .withColumn("rep", min(struct(col("doc_id"), col("v"))).over(w))
+    // the bsz filter runs BEFORE the collect_list window, so a degenerate
+    // bucket never materializes a member list; the filter preserves the
+    // (band,bucket) hash partitioning, so this WindowExec reuses the same
+    // exchange instead of shuffling again
+    val small = sized.filter(col("bsz") <= maxBucket)
+      .withColumn("members",
+        collect_list(struct(col("doc_id"), col("v"))).over(w))
+    // each member pairs with its strictly-greater bucket peers: every
+    // unordered pair exactly once (docs sit in ONE bucket per band)
+    val pairsSmall = small
+      .select(col("doc_id").as("a_id"), col("v").as("a_v"),
+        explode(filter(col("members"),
+          m => m.getField("doc_id") > col("doc_id"))).as("m"))
+      .select(col("a_id"), col("m.doc_id").as("b_id"), col("a_v"),
+        col("m.v").as("b_v"))
+    val pairsBig = sized
+      .filter(col("bsz") > maxBucket && col("doc_id") =!= col("rep.doc_id"))
+      .select(col("rep.doc_id").as("a_id"), col("rep.v").as("a_v"),
+        col("doc_id").as("b_id"), col("v").as("b_v"))
     val d = dot(col("a_v"), col("b_v"))
     val cos = signum(d) * d * d /
       (dot(col("a_v"), col("a_v")) * dot(col("b_v"), col("b_v"))).cast("double")
-    pairs
-      .join(candVecs.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
-      .join(candVecs.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")
+    pairsSmall.unionByName(pairsBig)
       .withColumn("cos2_e6", round(cos * 1000000).cast("long"))
       .filter(col("cos2_e6") >= math.round(threshold * threshold * 1000000))
       .select(col("a_id"), col("b_id"), col("cos2_e6"))

@@ -806,7 +806,9 @@ object Plugins {
     // plugins/solr_logs.yaml:56 (core form)
     RegexPluginDef("solr",
       """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3,6}) (\w+)\s+\(([^)]+)\) (\S+) (.*)$""",
-      Seq("timestamp", "severity", "thread", "source", "message")),
+      Seq("timestamp", "severity", "thread", "source", "message"),
+      timeLayout = Some("timestamp" -> "%Y-%m-%d %H:%M:%S.%L"),
+      timeLayoutType = "strptime"),
     // plugins/sap_hana_logs.yaml:71 (single-letter severities like klog)
     RegexPluginDef("sap_hana",
       """^\[(\d+)\]\{([^}]+)\}\[([^/]+)/([^\]]+)\] (\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d+) (\S+) (\S+)\s+(.*)$""",

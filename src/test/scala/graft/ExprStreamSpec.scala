@@ -406,9 +406,85 @@ class OttlSpec extends SparkTestBase {
     assert(byRole("user") == "prod")
     assert(byRole("assistant") == "staging") // NULL condition → no edit
   }
+
+  test("OTTL registry parity vs upstream StandardConverters (pkg/ottl v0.147.0)") {
+    // expr/ottl.go:96 wires ottlfuncs.StandardConverters[T]() — the public
+    // contrib registry at the version pinned by expr/go.mod (v0.147.0).
+    // Every upstream converter name must be either implemented here or on
+    // the DOCUMENTED exclusion list (COVERAGE.md round-5 delta); this gate
+    // turns the "remainder documented context-inapplicable" prose into a
+    // mechanical audit that fails when either side drifts.
+    val upstream = Set(
+      "Base64Decode", "Concat", "ConvertCase",
+      "ConvertAttributesToElementsXML", "ConvertTextToElementsXML",
+      "Day", "Decode", "Double", "Duration", "ExtractPatterns",
+      "ExtractGrokPatterns", "FNV", "Flatten", "Format", "GetXML", "Hex",
+      "Hour", "Hours", "InsertXML", "Int", "IsBool", "IsDouble", "IsInt",
+      "IsList", "IsMap", "IsMatch", "IsRootSpan", "IsString", "Keys",
+      "Len", "Log", "MD5", "Microseconds", "Milliseconds", "Minute",
+      "Minutes", "Month", "Murmur3Hash", "Murmur3Hash128", "Nanoseconds",
+      "Now", "ParseCSV", "ParseJSON", "ParseKeyValue",
+      "ParseSimplifiedXML", "ParseXML", "ProfileID", "RemoveXML", "SHA1",
+      "SHA256", "SHA512", "Second", "Seconds", "SliceToMap", "Sort",
+      "SpanID", "Split", "String", "Substring", "Time", "ToCamelCase",
+      "ToKeyValueString", "ToLowerCase", "ToSnakeCase", "ToUpperCase",
+      "TraceID", "TrimSpace", "TruncateTime", "UUID", "UUIDv7", "Unix",
+      "UnixMicro", "UnixMilli", "UnixNano", "UnixSeconds", "UserAgent",
+      "Values", "Weekday", "Year")
+    // documented context-inapplicable (COVERAGE.md): XML attribute
+    // rewriting needs per-element callbacks; no JVM-native murmur128 (a
+    // fake would silently mismatch); Is{String,List,Map} are answered at
+    // plan time by static column types; IsRootSpan/ProfileID are trace /
+    // profile signal contexts this log/metric plane doesn't model
+    val excluded = Set(
+      "ConvertAttributesToElementsXML", "ConvertTextToElementsXML",
+      "Murmur3Hash128", "IsString", "IsList", "IsMap", "IsRootSpan",
+      "ProfileID")
+    val implemented = graft.expr.ExprLang.Converters.keySet
+    val unaccounted = upstream -- implemented -- excluded
+    assert(unaccounted.isEmpty,
+      s"upstream converters neither implemented nor documented-excluded: $unaccounted")
+    val stale = excluded.intersect(implemented)
+    assert(stale.isEmpty,
+      s"exclusion list names now-implemented converters (update COVERAGE.md): $stale")
+    assert((upstream -- excluded).subsetOf(implemented))
+  }
+
+  test("Now/UUID/UUIDv7 shape contracts (nondeterministic, oracle-exempt)") {
+    // registered but correctly absent from the oracle corpus; these pin
+    // their SHAPE contracts so the registrations aren't dead code
+    import graft.expr.ExprLang.Converters
+    val two = spark.range(2).toDF("i")
+    val before = System.currentTimeMillis()
+    val rows = two.select(
+      Converters("Now")(Nil).as("now"),
+      Converters("UUID")(Nil).as("u4"),
+      Converters("UUIDv7")(Nil).as("u7")).collect()
+    val after = System.currentTimeMillis()
+    // Now() ≅ the current wall clock (within the collect round-trip)
+    rows.foreach { r =>
+      val ms = r.getAs[java.sql.Timestamp]("now").getTime
+      assert(ms >= before - 60000 && ms <= after + 60000)
+    }
+    // UUID: RFC 4122 v4 layout, distinct per row
+    val u4re = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    assert(rows.forall(_.getAs[String]("u4").matches(u4re)))
+    assert(rows.map(_.getAs[String]("u4")).distinct.length == 2)
+    // UUIDv7: RFC 9562 layout — version nibble 7, variant nibble 8, and
+    // the 48-bit unix-millis prefix decodes to the current wall clock
+    // (time-ordering: ids minted later can never sort before older ones)
+    val u7re = "^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}$"
+    rows.foreach { r =>
+      val u7 = r.getAs[String]("u7")
+      assert(u7.matches(u7re), s"not a v7 uuid: $u7")
+      val ms = java.lang.Long.parseLong(u7.substring(0, 8) + u7.substring(9, 13), 16)
+      assert(ms >= before - 60000 && ms <= after + 60000)
+    }
+  }
 }
 
 class PluginsSpec extends SparkTestBase {
+  import spark.implicits._
 
   test("plugin parameter validation: unknown param / unsupported value rejected") {
     val t = Transcripts.fromEvents(spark, sfDir)
@@ -462,6 +538,100 @@ class PluginsSpec extends SparkTestBase {
     // recombined cri sessions concatenate at least one partial before final
     assert(cri.filter(col("n_parts") > 1).count() > 0)
     out.unpersist()
+  }
+
+  test("plugin fidelity audit: sampled RegexPlugin rows match the reference YAML") {
+    // drift guard for the data-driven template corpus: for sampled plugins
+    // WITHOUT dedicated oracles, read the reference plugin YAML itself,
+    // extract the regex_parser's key params, and check the template row
+    // against them — (a) our field list is the reference regex's named
+    // groups in ORDER (after the documented normalizations: the
+    // '<plugin>_severity'/'level' parse_from target is canonicalized to
+    // 'severity'; optional/extended reference groups may be absent from a
+    // documented core form), (b) the time layout string matches, (c) on a
+    // concrete log line BOTH regexes extract identical field values
+    import scala.jdk.CollectionConverters._
+    def parserBlock(yaml: String): (String, Seq[String], String) = {
+      val src = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"/root/reference/plugins/$yaml"))
+      val at = src.indexOf("type: regex_parser")
+      assert(at > 0, s"$yaml: no regex_parser")
+      val tail = src.substring(at)
+      val regex = """regex:\s*'(.*?)'""".r.findFirstMatchIn(tail).get.group(1)
+      // ALL declared layouts: plugins with a time-parser router (pgbouncer's
+      // with/without-timezone variants) declare several — ours must be one
+      val layouts = """layout:\s*'(.*?)'""".r.findAllMatchIn(tail)
+        .map(_.group(1)).toSeq
+      val sevFrom = """severity:\s*\n\s*parse_from:\s*attributes\.(\w+)""".r
+        .findFirstMatchIn(tail).map(_.group(1)).getOrElse("severity")
+      (regex, layouts, sevFrom)
+    }
+    def norm(g: String, plugin: String): String =
+      if (g == s"${plugin}_severity" || g == "level") "severity" else g
+    val samples = Map(
+      "jboss" -> ("jboss_logs.yaml",
+        "2024-01-02 03:04:05,123 INFO [com.example.Foo] (thread-1) started ok"),
+      "hadoop" -> ("hadoop_logs.yaml",
+        "2024-01-02 03:04:05,123 INFO org.apache.hdfs.DataNode: Received block blk_1"),
+      "pgbouncer" -> ("pgbouncer_logs.yaml",
+        "2024-01-02 03:04:05.123 17 LOG stats: 0 xacts/s"),
+      "solr" -> ("solr_logs.yaml", null)) // core form: params-only audit
+    samples.foreach { case (name, (yaml, line)) =>
+      val d = Plugins.RegexTemplates.find(_.name == name).get
+      val (refRegex, refLayouts, refSevFrom) = parserBlock(yaml)
+      // named groups of the reference regex, in order, normalized
+      val refGroups = """\(\?P<(\w+)>""".r.findAllMatchIn(refRegex)
+        .map(m => norm(m.group(1), name)).toSeq
+      // (a) field ORDER: our fields are a subsequence of the reference's
+      // groups (equal when no documented core-form/optional-group gap)
+      val it = refGroups.iterator
+      assert(d.fields.forall(f => it.contains(f)),
+        s"$name: fields ${d.fields} not an ordered subsequence of $refGroups")
+      // (b) key params: layout + severity target
+      assert(d.timeLayout.exists(l => refLayouts.contains(l._2)),
+        s"$name: layout ${d.timeLayout} not among reference $refLayouts")
+      assert(norm(refSevFrom, name) == "severity" &&
+        d.fields.contains("severity"))
+      // (c) behavioral: both regexes agree on a concrete line. Java named
+      // groups reject '_' (jboss_severity), so the reference pattern runs
+      // with its names STRIPPED and a name→capture-index map built by a
+      // left-to-right scan (escapes and char classes skipped; `(?` opens
+      // non-capturing unless it is Go's `(?P<`)
+      if (line != null) {
+        def groupIndexes(re: String): Map[String, Int] = {
+          val out = scala.collection.mutable.Map[String, Int]()
+          var idx = 0; var i = 0
+          while (i < re.length) {
+            re(i) match {
+              case '\\' => i += 2
+              case '[' =>
+                i += 1; if (i < re.length && re(i) == ']') i += 1
+                while (i < re.length && re(i) != ']') {
+                  if (re(i) == '\\') i += 1; i += 1 }
+                i += 1
+              case '(' if re.startsWith("(?P<", i) =>
+                idx += 1; val e = re.indexOf('>', i)
+                out(re.substring(i + 4, e)) = idx; i = e + 1
+              case '(' if i + 1 < re.length && re(i + 1) == '?' => i += 2
+              case '(' => idx += 1; i += 1
+              case _ => i += 1
+            }
+          }
+          out.toMap
+        }
+        val refIdx = groupIndexes(refRegex)
+        val jm = java.util.regex.Pattern
+          .compile("""\(\?P<\w+>""".r.replaceAllIn(refRegex, "(")).matcher(line)
+        assert(jm.find(), s"$name: reference regex rejected sample line")
+        val input = Seq(("c1", 0, line)).toDF("conv_id", "turn_idx", "line")
+        val row = Plugins.registry(name)(spark)(input).collect().head
+        d.fields.foreach { f =>
+          val refName = refIdx.keys.find(g => norm(g, name) == f).get
+          assert(String.valueOf(row.getAs[Any](f)) == jm.group(refIdx(refName)),
+            s"$name.$f: ours=${row.getAs[Any](f)} ref=${jm.group(refIdx(refName))}")
+        }
+      }
+    }
   }
 }
 

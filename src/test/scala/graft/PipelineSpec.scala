@@ -201,6 +201,65 @@ class ResumeSpec extends SparkTestBase {
     Bench.deleteRec(base)
   }
 
+  test("mid-group crash: stale partial sink files of an UNCOMMITTED partition are replaced, not duplicated") {
+    // the complement of the resume test above: there the outputs were wiped
+    // before pre-committing; here a kill strikes AFTER the sink write but
+    // BEFORE the manifest commit, so the uncommitted partition's sink files
+    // (plus an injected extra "partial" part file) are still on disk when
+    // the rerun arrives — dynamic partition overwrite must REPLACE those
+    // leaf dirs, never append to them
+    val base = java.nio.file.Files.createTempDirectory("crash").toString
+    val input = s"$base/in"
+    val out = s"$base/out"
+    Transcripts.writePartitioned(
+      Transcripts.generate(spark, nTurns = 20000, nConvs = 50), input)
+    val parts = PipelineRunner.discoverPartitions(spark, input)
+    assert(parts.size > 1)
+
+    val full = PipelineRunner.run(spark, Pipeline.Canonical, input, out)
+    def sinkCountsOnDisk(): Map[String, Long] =
+      spark.read.option("basePath", s"$out/sinks").parquet(s"$out/sinks")
+        .groupBy(col("route")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val baseline = sinkCountsOnDisk()
+    assert(baseline.values.sum == full.sinkCounts.values.sum)
+
+    // uncommit ONE partition (manifest only — sink files stay on disk)
+    val victim = parts.last
+    val manifest = new Manifest(s"$out/_manifest")
+    manifest.clear()
+    parts.init.foreach { p =>
+      manifest.commit(manifest.PartitionEntry(
+        p.replaceAll("[^A-Za-z0-9=_-]", "_"), "committed", 0L, Map.empty,
+        Seq(p), 0L))
+    }
+    // inject a partial extra part file into each of the victim's leaf dirs
+    // (a killed writer's orphaned output): a COPY of a real part file, so
+    // if the rerun fails to replace the dir the duplicate rows are counted
+    val sinksRoot = java.nio.file.Paths.get(s"$out/sinks")
+    val victimLeaves = java.nio.file.Files.walk(sinksRoot).iterator()
+    val leaves = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    try victimLeaves.forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet") && p.toString.contains(victim))
+        leaves += p
+    } finally ()
+    assert(leaves.nonEmpty, s"no sink files under $victim")
+    leaves.foreach { p =>
+      java.nio.file.Files.copy(p,
+        p.getParent.resolve("part-99999-orphan.c000.parquet"))
+    }
+    val inflated = sinkCountsOnDisk()
+    assert(inflated.values.sum > baseline.values.sum) // injection is visible
+
+    // rerun: only the victim is todo; its leaf dirs must come back EXACT
+    val resumed = PipelineRunner.run(spark, Pipeline.Canonical, input, out)
+    assert(resumed.partitionsProcessed == 1 &&
+      resumed.partitionsSkipped == parts.size - 1)
+    assert(sinkCountsOnDisk() == baseline,
+      "rerun did not replace the uncommitted partition's stale sink files")
+    Bench.deleteRec(base)
+  }
+
   test("snapshot payload budget: per-record window is bucket-partitioned (no global sort)") {
     import spark.implicits._
     val rows = (0 until 100).map(i =>
