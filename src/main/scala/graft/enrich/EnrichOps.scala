@@ -670,12 +670,16 @@ object EnrichOps {
                   .getOrElse(lit(false)))
                 .foldLeft(lit(false): Column)(_ || _))
               .foldLeft(lit(true): Column)(_ && _)
-            // FULL ValidateClass parity: the generated validators recurse
-            // into nested OBJECT validators for every object-typed field
-            // holding a map (validateHTTPActivity -> validateHTTPRequest
-            // etc.); mirrored here for every object the mapping's dotted
-            // paths descend into — required subfields, integer enums, and
-            // at-least-one groups, recursively. Opt-in (deepValidation)
+            // ValidateClass parity for the TSV-carried constraint set: the
+            // generated validators recurse into nested OBJECT validators
+            // for every object-typed field holding a map
+            // (validateHTTPActivity -> validateHTTPRequest etc.); mirrored
+            // here for every object the mapping's dotted paths descend
+            // into — required subfields, integer enums, at-least-one
+            // groups, EXACTLY-ONE groups, and string max-length (byte)
+            // checks, recursively. NOT mirrored: the reference's ~25
+            // compiled regex checks (hostname/ip/email shapes) — regex
+            // tables are not carried in the TSV. Opt-in (deepValidation)
             // because the class-level subset is what existing configured
             // pipelines validated against.
             val deepOk: Column =
@@ -709,10 +713,32 @@ object EnrichOps {
                         .getOrElse(lit(false)))
                       .foldLeft(lit(false): Column)(_ || _))
                     .foldLeft(lit(true): Column)(_ && _)
-                  reqOk2 && enumOk2 && anyOk2 && descend(reqs.objectFields, prefix)
+                  // "exactly one of [...]" groups: the generated validator
+                  // counts PRESENT keys and errors on count != 1
+                  // (schema.go "exactly one of ... must be set, got %d")
+                  val justOk2 = reqs.justOne.map(g =>
+                    g.map(p => when(pathValue(prefix + p).map(_.isNotNull)
+                          .getOrElse(lit(false)), 1).otherwise(0))
+                      .foldLeft(lit(0): Column)(_ + _) === 1)
+                    .foldLeft(lit(true): Column)(_ && _)
+                  // string max-length: Go checks len(strVal) — BYTES — and
+                  // only values that are present (absent/null passes)
+                  val lenOk2 = reqs.maxLens.toSeq.sortBy(_._1)
+                    .flatMap { case (f2, mx) =>
+                      pathValue(prefix + f2).map { v =>
+                        val s = v.cast("string")
+                        s.isNull || octet_length(s) <= mx
+                      }
+                    }.foldLeft(lit(true): Column)(_ && _)
+                  reqOk2 && enumOk2 && anyOk2 && justOk2 && lenOk2 &&
+                    descend(reqs.objectFields, prefix)
                 }
+                // the CLASS-level Reqs run through the same predicate, so
+                // class-level exactly-one groups and max-lengths (e.g.
+                // kernel_extension's driver group) are enforced too, then
+                // recursion descends into the mapped objects
                 vs.classes.get(m.classId)
-                  .map(cr => descend(cr.objectFields, ""))
+                  .map(cr => objPredicate(cr, ""))
                   .getOrElse(lit(true))
               }.getOrElse(lit(true))
             when(col("__ocsf_idx") === i, reqOk && enumOk && anyOfOk && deepOk)

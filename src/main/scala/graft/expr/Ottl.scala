@@ -210,16 +210,29 @@ object Ottl {
       case "append" =>
         // append(target, value...): grows an array target; a missing or
         // null target starts a fresh array (upstream append creates the
-        // slice when absent)
+        // slice when absent). Element TYPE follows upstream appendTo: an
+        // existing array target keeps its element type and appended values
+        // cast into it; a scalar target is promoted to a slice holding the
+        // old value then the appended ones (engine-context deviation: the
+        // promotion applies to the whole COLUMN, including rows whose
+        // `where` is false — a relational column has one type, same
+        // documented deviation as the other type-narrowing editors); only
+        // a fresh (absent) target defaults to array<string>.
         val tgt = parseTarget(rawArgs(0)).asInstanceOf[ColTarget].name
         val values = rawArgs.drop(1).map(a => ExprLang.valueExpr(a, columns))
         df => {
-          val old =
-            if (df.columns.contains(tgt)) col(tgt)
-            else lit(null).cast("array<string>")
+          import org.apache.spark.sql.types.ArrayType
+          val (old, elem) =
+            if (!df.columns.contains(tgt))
+              (lit(null).cast("array<string>"), "string")
+            else df.schema(tgt).dataType match {
+              case ArrayType(et, _) => (col(tgt), et.sql)
+              case et => // scalar promotion to a one-element slice
+                (when(col(tgt).isNotNull, array(col(tgt))), et.sql)
+            }
           df.withColumn(tgt, guarded(old,
-            concat(coalesce(old, array().cast("array<string>")),
-              array(values.map(_.cast("string")): _*))))
+            concat(coalesce(old, array().cast(s"array<$elem>")),
+              array(values.map(_.cast(elem)): _*))))
         }
 
       case "replace_match" =>

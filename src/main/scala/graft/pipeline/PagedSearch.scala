@@ -81,13 +81,22 @@ object PagedSearch {
     // batch-size — or the same spec after the source table changed — builds
     // its own store instead of exporting stale results
     // content identity, not just names: size+mtime catch in-place rewrites
-    // of an unchanged path (non-file URIs degrade to the bare path)
-    val inputId = t.inputFiles.sorted.map { f =>
-      try {
-        val file = new java.io.File(new java.net.URI(f).getPath)
-        s"$f:${file.length}:${file.lastModified}"
-      } catch { case _: Exception => f }
-    }.mkString(",")
+    // of an unchanged path (non-file URIs degrade to the bare path).
+    // NON-file-backed inputs (in-memory relations, generated ranges) expose
+    // no files at all — an empty string would collapse every such input to
+    // one store key and serve stale results across different inputs; they
+    // key on the CANONICALIZED plan hash instead (two structurally
+    // different in-memory inputs get different stores; re-running the same
+    // generator expression — the resume path — still reuses its store)
+    val files = t.inputFiles
+    val inputId =
+      if (files.isEmpty) s"plan-${t.queryExecution.analyzed.semanticHash()}"
+      else files.sorted.map { f =>
+        try {
+          val file = new java.io.File(new java.net.URI(f).getPath)
+          s"$f:${file.length}:${file.lastModified}"
+        } catch { case _: Exception => f }
+      }.mkString(",")
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(s"${spec.query}|${spec.earliest}|${spec.latest}|${spec.eventBatchSize}|${spec.limit}|$inputId"
         .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)

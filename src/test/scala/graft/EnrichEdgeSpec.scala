@@ -192,4 +192,51 @@ class EnrichEdgeSpec extends SparkTestBase {
     assert(salted == plain)
     t.unpersist()
   }
+
+  test("deep validation enforces exactly-one groups and string max lengths") {
+    // class 3003's justOne {group, privileges} (J record, all versions) and
+    // network_endpoint's ip:40 byte cap (L record, 1.7.0) — the two
+    // TSV-carried constraint families the round-5 verdict flagged as read
+    // by no predicate
+    val t = graft.model.Transcripts.fromEvents(spark, sfDir).limit(600).cache()
+    def base(extra: EnrichOps.FieldMapping*)(filterMod: Int) =
+      EnrichOps.EventMapping(Some(col("turn_idx") % 3 === filterMod), 3003,
+        Seq(
+          EnrichOps.FieldMapping("activity_id", from = Some(lit(1))),
+          EnrichOps.FieldMapping("severity_id", from = Some(lit(1))),
+          EnrichOps.FieldMapping("time", from = Some(col("turn_idx").cast("long"))),
+          // the metadata OBJECT validator requires product AND version
+          // (R ometadata record); version is engine-computed, product is not
+          EnrichOps.FieldMapping("metadata.product", from = Some(lit("graft"))),
+          EnrichOps.FieldMapping("user.name", from = Some(lit("u")))) ++ extra)
+    val longIp = "x" * 50
+    val out = EnrichOps.ocsfStandardizeConfig(t, Seq(
+        // BOTH of the exactly-one pair mapped -> every matched row dropped
+        base(
+          EnrichOps.FieldMapping("group.name", from = Some(lit("g"))),
+          EnrichOps.FieldMapping("privileges", from = Some(lit("p"))))(0),
+        // one of the pair + a conditional oversized ip -> only rows whose
+        // ip exceeds 40 BYTES are dropped
+        base(
+          EnrichOps.FieldMapping("group.name", from = Some(lit("g"))),
+          EnrichOps.FieldMapping("src_endpoint.ip",
+            from = Some(when(col("turn_idx") % 2 === 0, longIp)
+              .otherwise("1.2.3.4"))))(1),
+        // the other one of the pair alone -> kept
+        base(EnrichOps.FieldMapping("privileges", from = Some(lit("p"))))(2)),
+      version = "1.7.0", runtimeValidation = true, deepValidation = true)
+    val kept = out.select("turn_idx").as[Int].collect().toSet
+    val expected = t.select("turn_idx").as[Int].collect().toSet
+      .filter(i => i % 3 == 2 || (i % 3 == 1 && i % 2 != 0))
+    assert(kept == expected,
+      s"justOne/maxLens drops wrong rows: extra=${kept -- expected} missing=${expected -- kept}")
+    // sanity: without deep validation the same config keeps every row
+    val shallow = EnrichOps.ocsfStandardizeConfig(t, Seq(
+        base(
+          EnrichOps.FieldMapping("group.name", from = Some(lit("g"))),
+          EnrichOps.FieldMapping("privileges", from = Some(lit("p"))))(0)),
+      version = "1.7.0", runtimeValidation = true)
+    assert(shallow.count() == t.filter(col("turn_idx") % 3 === 0).count())
+    t.unpersist()
+  }
 }
