@@ -94,15 +94,19 @@ object Bench {
     * 2 timed reps (after the warmup) × 3 interleaved cycles = 6 samples
     * per level. `work` returns the rows processed (the tps numerator).
     */
-  def measuredRun(master: String)(work: SparkSession => Long): LevelResult = {
+  def measuredRun(master: String, pre: () => Unit = () => ())
+                 (work: SparkSession => Long): LevelResult = {
     val s = session(master)
     try {
       val listener = new MetricsListener
       s.sparkContext.addSparkListener(listener)
-      work(s) // untimed warmup
+      pre(); work(s) // untimed warmup
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
       var best = LevelResult(0.0, 0L, 0.0, Map.empty)
       (1 to reps).foreach { _ =>
+        // `pre` (output cleanup) runs OUTSIDE the timed region — the rate
+        // measures the pipeline, not recursive unlinking of the prior rep
+        pre()
         listener.reset()
         val t0 = System.nanoTime()
         val rows = work(s)
@@ -122,8 +126,7 @@ object Bench {
     * ~18 KB of shuffle; the map-plane scaling evidence.
     */
   def pipelineRun(master: String, input: String, outRoot: String): LevelResult =
-    measuredRun(master) { s =>
-      deleteRec(outRoot)
+    measuredRun(master, pre = () => deleteRec(outRoot)) { s =>
       PipelineRunner.run(s, Pipeline.Canonical, input, outRoot,
         groupSize = 1000).rowsIn
     }
@@ -306,7 +309,10 @@ object Bench {
     val tableGb = dirBytes(new java.io.File(benchTable)) / 1e9
     val reports = phases.map { case (name, _) =>
       name -> phaseReport(levels, cycles, phaseCycles(name).toSeq, tableGb) }.toMap
-    val rep = reports("pipeline")
+    // headline = the pipeline phase when it ran; a shuffle-only invocation
+    // (SPARK_GRAFT_BENCH_PHASES=shuffle) headlines its own phase instead of
+    // losing the whole run to a missing-key crash
+    val rep = reports.getOrElse("pipeline", reports(phases.head._1))
     val tps = rep.tps
     val rows = tps(levels.last).rows
     val tpsTop = tps(levels.last).tps

@@ -274,8 +274,15 @@ object ParseOps {
     * (stanza time_parser on_error semantics; ANSI to_timestamp would throw).
     */
   def strptimeParse(c: Column, layout: String,
-                    defaultYear: Option[Int] = None): Column =
-    parseWithPattern(c, strptimeToJava(layout), defaultYear)
+                    defaultYear: Option[Int] = None): Column = {
+    // %L is milliseconds (exactly 3 digits as DateTimeFormatter 'SSS');
+    // sources emitting higher precision (solr logs carry 3-6 fractional
+    // digits) TRUNCATE to millis instead of nulling the whole timestamp
+    val prepped =
+      if (layout.contains("%L")) regexp_replace(c, "(\\.\\d{3})\\d+", "$1")
+      else c
+    parseWithPattern(prepped, strptimeToJava(layout), defaultYear)
+  }
 
   private def parseWithPattern(c: Column, pat: String,
                                defaultYear: Option[Int]): Column =

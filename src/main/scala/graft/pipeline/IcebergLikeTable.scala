@@ -16,14 +16,19 @@ import scala.jdk.CollectionConverters._
   * ([[TableFormat]], verified by `TableFormatConformance`) against plain
   * files, and a real Iceberg catalog drops in behind the same trait.
   *
-  * Like the real spec's metadata.json — which carries the cumulative
-  * snapshot list so a commit needs only the head file — every
-  * vN.metadata.json embeds the CUMULATIVE committed-partition set and
-  * visible-data-file list as of that version. `commitPartition`,
-  * `committedAsOf` and `dataFilesAsOf` therefore read exactly ONE metadata
-  * file each, independent of how many versions exist (10^5 hour partitions
-  * would otherwise mean ~10^10 metadata reads across a run); the per-commit
-  * delta fields (`partition`, `rows`, `files`) remain for lineage.
+  * Metadata I/O follows the spec's shape:
+  *  - each `vN.metadata.json` embeds the CUMULATIVE committed-partition
+  *    set (the analog of the spec's snapshot list, which metadata.json
+  *    also carries in full — real tables bound its growth with snapshot
+  *    expiry; same maintenance story here), so `commitPartition` and
+  *    `committedAsOf` read exactly ONE metadata file regardless of how
+  *    many versions exist;
+  *  - each commit's DATA FILE list lives in its own manifest file
+  *    (`snap-<v>-<nonce>.manifest`, a delta — never rewritten), chained by
+  *    a parent pointer like a manifest list. The metadata files stay
+  *    O(#partitions) bytes instead of O(#data-files), and time travel
+  *    (`dataFilesAsOf`) walks the chain: O(v) small delta reads, the same
+  *    cost as real Iceberg reading a snapshot's manifest list + manifests.
   */
 class IcebergLikeTable(root: String) extends TableFormat {
 
@@ -51,8 +56,7 @@ class IcebergLikeTable(root: String) extends TableFormat {
   }
 
   protected case class Entry(snapshot: Long, partition: String, rows: Long,
-                             files: Seq[String], allPartitions: Seq[String],
-                             allFiles: Seq[String])
+                             manifest: String, allPartitions: Seq[String])
 
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
@@ -64,27 +68,31 @@ class IcebergLikeTable(root: String) extends TableFormat {
   private val Str = """"((?:[^"\\]|\\.)*)""""
   private val FieldRe =
     ("""\{"snapshot":(\d+),"parent":(-?\d+),"partition":""" + Str +
-      ""","rows":(\d+),"files":\[(.*?)\],"all_partitions":\[(.*?)\],"all_files":\[(.*?)\]\}""").r
+      ""","rows":(\d+),"manifest":""" + Str +
+      ""","all_partitions":\[(.*?)\]\}""").r
 
   private def strList(s: String): Seq[String] =
     Str.r.findAllMatchIn(s).map(m => unesc(m.group(1))).toSeq
 
   // overridable (protected) so tests can COUNT metadata reads and assert
-  // the O(1)-per-commit contract mechanically
+  // the O(1)-reads-per-commit contract mechanically
   protected def readEntry(v: Long): Option[Entry] = {
     val f = versionFile(v)
     if (!Files.exists(f)) None
     else Files.readString(f).trim match {
-      case FieldRe(s, _, p, r, fs, aps, afs) =>
-        Some(Entry(s.toLong, unesc(p), r.toLong, strList(fs),
-          strList(aps), strList(afs)))
+      case FieldRe(s, _, p, r, mf, aps) =>
+        Some(Entry(s.toLong, unesc(p), r.toLong, unesc(mf), strList(aps)))
+      case old if old.startsWith("""{"snapshot":""") =>
+        throw new IllegalStateException(
+          s"metadata $f was written by an older format generation " +
+            "(pre-manifest layout); rebuild the table or clear() it")
       case other =>
         throw new IllegalStateException(s"corrupt metadata $f: $other")
     }
   }
 
   /** The entry visible at `snapshot`: the exact version when it exists, else
-    * (a future snapshot id) the current head — matching the old clamp
+    * (a future snapshot id) the current head — matching as-of clamp
     * semantics without a per-version walk.
     */
   private def entryAt(snapshot: Long): Option[Entry] =
@@ -93,6 +101,27 @@ class IcebergLikeTable(root: String) extends TableFormat {
       val head = currentSnapshot()
       if (snapshot > head && head > 0) readEntry(head) else None
     }
+
+  // a manifest file: line 1 = parent manifest name (or "-" at the chain
+  // root), then one escaped data-file path per line
+  private def writeManifest(name: String, parent: String,
+                            files: Seq[String]): Unit =
+    Files.writeString(metaDir.resolve(name),
+      (parent +: files.map(esc)).mkString("\n"))
+
+  private def readManifestChain(name: String): Seq[String] = {
+    // walk child -> root, then restore commit order (root first)
+    val rev = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    var cur = name
+    while (cur != "-") {
+      val lines = Files.readString(metaDir.resolve(cur)).split("\n", -1).toSeq
+      rev += lines.drop(1).filter(_.nonEmpty).map(unesc)
+      cur = lines.head
+    }
+    rev.reverse.flatten.toSeq
+  }
+
+  private val nonce = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Optimistic commit: stage the metadata, then claim version v with an
     * exclusive hard link (atomic on POSIX — exactly one committer wins a
@@ -114,13 +143,18 @@ class IcebergLikeTable(root: String) extends TableFormat {
       val head = currentSnapshot()
       val headEntry = if (head > 0) readEntry(head) else None
       val priorPartitions = headEntry.map(_.allPartitions).getOrElse(Seq.empty)
-      if (priorPartitions.contains(partition)) return
-      val priorFiles = headEntry.map(_.allFiles).getOrElse(Seq.empty)
+      if (priorPartitions.toSet.contains(partition)) return
       val v = head + 1
+      // the manifest carries this commit's DELTA only and is written before
+      // the claim under a committer-unique name; a losing racer deletes its
+      // orphan (readers only follow pointers from CLAIMED metadata)
+      val mfName = s"snap-$v-${java.lang.ProcessHandle.current.pid}-" +
+        s"${nonce.incrementAndGet()}.manifest"
+      writeManifest(mfName, headEntry.map(_.manifest).getOrElse("-"),
+        inputFiles)
       val allPartitions = priorPartitions :+ partition
-      val allFiles = priorFiles ++ inputFiles.filterNot(priorFiles.contains)
       def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString(",")
-      val json = s"""{"snapshot":$v,"parent":$head,"partition":"${esc(partition)}","rows":$rowsOut,"files":[${arr(inputFiles)}],"all_partitions":[${arr(allPartitions)}],"all_files":[${arr(allFiles)}]}"""
+      val json = s"""{"snapshot":$v,"parent":$head,"partition":"${esc(partition)}","rows":$rowsOut,"manifest":"${esc(mfName)}","all_partitions":[${arr(allPartitions)}]}"""
       val tmp = Files.createTempFile(metaDir, s".v$v-", ".tmp")
       Files.write(tmp, json.getBytes("UTF-8"),
         StandardOpenOption.TRUNCATE_EXISTING)
@@ -131,6 +165,7 @@ class IcebergLikeTable(root: String) extends TableFormat {
         try Files.writeString(hintFile, v.toString) catch { case _: Exception => }
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => // lost the race
+          Files.deleteIfExists(metaDir.resolve(mfName))
       } finally Files.deleteIfExists(tmp)
     }
   }
@@ -146,10 +181,14 @@ class IcebergLikeTable(root: String) extends TableFormat {
     entryAt(snapshot).map(_.allPartitions.toSet).getOrElse(Set.empty)
 
   /** Time travel over the DATA: every data file visible at `snapshot` —
-    * the file list a scan pinned to that snapshot would read. ONE read.
+    * the file list a scan pinned to that snapshot would read. One metadata
+    * read plus the manifest chain (O(v) delta files, manifest-list
+    * parity); duplicates — within a commit or across commits — collapse.
     */
   def dataFilesAsOf(snapshot: Long): Seq[String] =
-    entryAt(snapshot).map(_.allFiles).getOrElse(Seq.empty)
+    entryAt(snapshot)
+      .map(e => readManifestChain(e.manifest).distinct)
+      .getOrElse(Seq.empty)
 
   override def clear(): Unit = {
     val stream = Files.list(metaDir)

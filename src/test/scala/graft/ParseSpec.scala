@@ -193,4 +193,15 @@ class RecombineConfigSpec extends SparkTestBase {
         r.getAs[String]("anchor_role")).toMap
     assert(oldest((1L, 0L)) == "u")
   }
+
+  test("strptime %L truncates 4-6 digit fractions to millis instead of nulling") {
+    // solr logs carry 3-6 fractional digits; DateTimeFormatter 'SSS' is
+    // exactly-3, so higher precision must truncate, not null the timestamp
+    val df = Seq("2024-01-02 03:04:05.123", "2024-01-02 03:04:05.123456",
+      "2024-01-02 03:04:05.1234").toDF("s")
+    val out = df.select(ParseOps.strptimeParse(col("s"),
+      "%Y-%m-%d %H:%M:%S.%L").as("ts")).collect().map(_.getAs[java.sql.Timestamp](0))
+    assert(out.forall(_ != null))
+    assert(out.forall(_.getTime == java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123").getTime))
+  }
 }

@@ -237,12 +237,12 @@ class ResumeSpec extends SparkTestBase {
     // (a killed writer's orphaned output): a COPY of a real part file, so
     // if the rerun fails to replace the dir the duplicate rows are counted
     val sinksRoot = java.nio.file.Paths.get(s"$out/sinks")
-    val victimLeaves = java.nio.file.Files.walk(sinksRoot).iterator()
+    val walk = java.nio.file.Files.walk(sinksRoot)
     val leaves = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
-    try victimLeaves.forEachRemaining { p =>
+    try walk.forEach { p =>
       if (p.toString.endsWith(".parquet") && p.toString.contains(victim))
         leaves += p
-    } finally ()
+    } finally walk.close()
     assert(leaves.nonEmpty, s"no sink files under $victim")
     leaves.foreach { p =>
       java.nio.file.Files.copy(p,
