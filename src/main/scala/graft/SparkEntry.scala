@@ -684,6 +684,16 @@ object SparkEntry {
     "q_span_count_duration" -> ((s, d) =>
       AggOps.spanCountMatched(t(s, d),
         "span_duration_ms > 1000 and trace_status_code != 'error'")),
+    // spancount attributes surface: ExpressionMap over the span env (the
+    // log plane's attrs.Extract, fed expr.Span envs) — including a
+    // failed-entry key that must be silently absent
+    "q_span_attrs" -> ((s, d) =>
+      AggOps.spanCountAttrs(t(s, d), Seq(
+        "kind" -> "trace_kind",
+        "speed" -> "span_duration_ms > 1000 ? 'slow' : 'fast'",
+        "code" -> "trace_status_code",
+        "missing" -> "no_such_field"),
+        matchExpr = Some("trace_status_message == 'request completed'"))),
     // metricstats via the typed Aggregator (stats.Statistic parity)
     "q_metric_stats_agg" -> ((s, d) => {
       val dp = AggOps.metricExtract(t(s, d))
@@ -2154,6 +2164,26 @@ object SparkEntry {
                 ELSE 'ok' END AS trace_status_code,
            json_extract_string(text, '$.msg') AS trace_status_message
            FROM t WHERE starts_with(text, '{')"""),
+
+      "q_span_attrs" -> Transcripts.withT(
+        """SELECT window_start, attrs_json, COUNT(*) AS span_count FROM (
+             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               '{"code":"' ||
+                 CASE WHEN CAST(json_extract(text, '$.status') AS INT) >= 500 THEN 'error'
+                      WHEN CAST(json_extract(text, '$.status') AS INT) >= 400 THEN 'unset'
+                      ELSE 'ok' END ||
+               '","kind":"' ||
+                 CASE WHEN role = 'tool' THEN 'client'
+                      WHEN role = 'assistant' THEN 'server'
+                      WHEN role = 'user' THEN 'consumer'
+                      ELSE 'internal' END ||
+               '","speed":"' ||
+                 CASE WHEN CAST(json_extract(text, '$.latency_ms') AS BIGINT) > 1000
+                      THEN 'slow' ELSE 'fast' END ||
+               '"}' AS attrs_json
+             FROM t WHERE starts_with(text, '{')
+               AND json_extract_string(text, '$.msg') = 'request completed'
+           ) GROUP BY 1, 2"""),
 
       "q_span_count_duration" -> Transcripts.withT(
         """SELECT window_start, trace_kind, COUNT(*) AS span_count FROM (

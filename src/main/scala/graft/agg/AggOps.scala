@@ -573,4 +573,26 @@ object AggOps {
         col("trace_kind"))
       .agg(count(lit(1)).as("span_count"))
   }
+
+  /** spancount's attributes surface: the same ExpressionMap extraction the
+    * log plane uses (attrs.Extract), evaluated over the SPAN env — named
+    * expr programs resolve span_duration_ms / trace_* exactly like Record
+    * fields, failed/nil entries silently absent, count per canonical attr
+    * set per interval (spancountprocessor/processor.go consumeTraces →
+    * countSpans over expr.Span envs).
+    */
+  def spanCountAttrs(t: DataFrame, specs: Seq[(String, String)],
+                     matchExpr: Option[String] = None,
+                     interval: String = "1 hour"): DataFrame = {
+    val sv = spanView(t)
+    val matched = matchExpr.map(m => sv.filter(coalesce(
+        graft.expr.ExprLang.boolExpr(m, sv.columns.toSet), lit(false))))
+      .getOrElse(sv)
+    val attrs = graft.expr.ExprLang.expressionMap(specs, sv.columns.toSet)
+    matched.groupBy(
+        windowStart(col("ts"), interval).as("window_start"),
+        to_json(map_from_entries(array_sort(map_entries(attrs))))
+          .as("attrs_json"))
+      .agg(count(lit(1)).as("span_count"))
+  }
 }
