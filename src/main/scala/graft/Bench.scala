@@ -296,6 +296,9 @@ object Bench {
       .filter { case (name, _) =>
         sys.env.getOrElse("SPARK_GRAFT_BENCH_PHASES", "pipeline,shuffle")
           .split(",").map(_.trim).contains(name) }
+    // fail fast on a typo'd phase list — before hours of cycles, not after
+    require(phases.nonEmpty,
+      s"SPARK_GRAFT_BENCH_PHASES selected no known phase (pipeline, shuffle)")
     val phaseCycles = phases.map { case (name, _) =>
       name -> scala.collection.mutable.ArrayBuffer[(Int, Map[Int, LevelResult])]()
     }.toMap

@@ -713,32 +713,40 @@ object EnrichOps {
                         .getOrElse(lit(false)))
                       .foldLeft(lit(false): Column)(_ || _))
                     .foldLeft(lit(true): Column)(_ && _)
-                  // "exactly one of [...]" groups: the generated validator
-                  // counts PRESENT keys and errors on count != 1
-                  // (schema.go "exactly one of ... must be set, got %d")
-                  val justOk2 = reqs.justOne.map(g =>
+                  reqOk2 && enumOk2 && anyOk2 &&
+                    justOneOk(reqs, prefix) && maxLenOk(reqs, prefix) &&
+                    descend(reqs.objectFields, prefix)
+                }
+                // "exactly one of [...]" groups: the generated validator
+                // counts PRESENT keys and errors on count != 1
+                // (schema.go "exactly one of ... must be set, got %d")
+                def justOneOk(reqs: graft.enrich.OcsfTables.Reqs,
+                              prefix: String): Column =
+                  reqs.justOne.map(g =>
                     g.map(p => when(pathValue(prefix + p).map(_.isNotNull)
                           .getOrElse(lit(false)), 1).otherwise(0))
                       .foldLeft(lit(0): Column)(_ + _) === 1)
                     .foldLeft(lit(true): Column)(_ && _)
-                  // string max-length: Go checks len(strVal) — BYTES — and
-                  // only values that are present (absent/null passes)
-                  val lenOk2 = reqs.maxLens.toSeq.sortBy(_._1)
+                // string max-length: Go checks len(strVal) — BYTES — and
+                // only values that are present (absent/null passes)
+                def maxLenOk(reqs: graft.enrich.OcsfTables.Reqs,
+                             prefix: String): Column =
+                  reqs.maxLens.toSeq.sortBy(_._1)
                     .flatMap { case (f2, mx) =>
                       pathValue(prefix + f2).map { v =>
                         val s = v.cast("string")
                         s.isNull || octet_length(s) <= mx
                       }
                     }.foldLeft(lit(true): Column)(_ && _)
-                  reqOk2 && enumOk2 && anyOk2 && justOk2 && lenOk2 &&
-                    descend(reqs.objectFields, prefix)
-                }
-                // the CLASS-level Reqs run through the same predicate, so
-                // class-level exactly-one groups and max-lengths (e.g.
-                // kernel_extension's driver group) are enforced too, then
-                // recursion descends into the mapped objects
+                // at class level only the families the SHALLOW gate does
+                // not already cover run here (exactly-one + max-length,
+                // e.g. c3003's group/privileges pair) — re-running
+                // required/enums/any-of would re-embed expression trees
+                // reqOk/enumOk/anyOfOk already carry — then recursion
+                // descends into the mapped objects
                 vs.classes.get(m.classId)
-                  .map(cr => objPredicate(cr, ""))
+                  .map(cr => justOneOk(cr, "") && maxLenOk(cr, "") &&
+                    descend(cr.objectFields, ""))
                   .getOrElse(lit(true))
               }.getOrElse(lit(true))
             when(col("__ocsf_idx") === i, reqOk && enumOk && anyOfOk && deepOk)

@@ -277,9 +277,14 @@ object ParseOps {
                     defaultYear: Option[Int] = None): Column = {
     // %L is milliseconds (exactly 3 digits as DateTimeFormatter 'SSS');
     // sources emitting higher precision (solr logs carry 3-6 fractional
-    // digits) TRUNCATE to millis instead of nulling the whole timestamp
+    // digits) TRUNCATE to millis instead of nulling the whole timestamp.
+    // The truncation targets ONLY a fraction directly following a seconds
+    // field (":SS." or ":SS,") — an unanchored "\.\d{3}\d+" would also
+    // mangle e.g. the 4-digit year of a dotted date layout ("02.11.2024");
+    // the comma alternative covers log4j-style "%T,%L" layouts
     val prepped =
-      if (layout.contains("%L")) regexp_replace(c, "(\\.\\d{3})\\d+", "$1")
+      if (layout.contains("%L"))
+        regexp_replace(c, "(:\\d{2}[.,]\\d{3})\\d+", "$1")
       else c
     parseWithPattern(prepped, strptimeToJava(layout), defaultYear)
   }

@@ -82,10 +82,13 @@ class IcebergLikeTable(root: String) extends TableFormat {
     else Files.readString(f).trim match {
       case FieldRe(s, _, p, r, mf, aps) =>
         Some(Entry(s.toLong, unesc(p), r.toLong, unesc(mf), strList(aps)))
-      case old if old.startsWith("""{"snapshot":""") =>
+      // old generations inlined the file list ("files":[...]), which the
+      // manifest layout dropped — that key is the discriminator, so real
+      // corruption of NEW-format files still reports as corruption
+      case old if old.contains(""""files":[""") =>
         throw new IllegalStateException(
           s"metadata $f was written by an older format generation " +
-            "(pre-manifest layout); rebuild the table or clear() it")
+            "(pre-manifest inline-file layout); rebuild the table or clear() it")
       case other =>
         throw new IllegalStateException(s"corrupt metadata $f: $other")
     }
@@ -103,11 +106,23 @@ class IcebergLikeTable(root: String) extends TableFormat {
     }
 
   // a manifest file: line 1 = parent manifest name (or "-" at the chain
-  // root), then one escaped data-file path per line
+  // root), then one escaped data-file path per line. Newline-delimited
+  // entries need their OWN escape alphabet: a path containing a newline
+  // must not silently split into two bogus entries (the JSON esc/unesc
+  // pair cannot round-trip "\n" — its unesc maps any \x to x)
+  private def escLine(s: String): String =
+    s.flatMap { case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"
+                case c => c.toString }
+  private def unescLine(s: String): String =
+    """\\(.)""".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(m.group(1) match {
+        case "n" => "\n"; case "r" => "\r"; case other => other
+      }))
+
   private def writeManifest(name: String, parent: String,
                             files: Seq[String]): Unit =
     Files.writeString(metaDir.resolve(name),
-      (parent +: files.map(esc)).mkString("\n"))
+      (parent +: files.map(escLine)).mkString("\n"))
 
   private def readManifestChain(name: String): Seq[String] = {
     // walk child -> root, then restore commit order (root first)
@@ -115,13 +130,11 @@ class IcebergLikeTable(root: String) extends TableFormat {
     var cur = name
     while (cur != "-") {
       val lines = Files.readString(metaDir.resolve(cur)).split("\n", -1).toSeq
-      rev += lines.drop(1).filter(_.nonEmpty).map(unesc)
+      rev += lines.drop(1).filter(_.nonEmpty).map(unescLine)
       cur = lines.head
     }
     rev.reverse.flatten.toSeq
   }
-
-  private val nonce = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Optimistic commit: stage the metadata, then claim version v with an
     * exclusive hard link (atomic on POSIX — exactly one committer wins a
@@ -146,10 +159,12 @@ class IcebergLikeTable(root: String) extends TableFormat {
       if (priorPartitions.toSet.contains(partition)) return
       val v = head + 1
       // the manifest carries this commit's DELTA only and is written before
-      // the claim under a committer-unique name; a losing racer deletes its
-      // orphan (readers only follow pointers from CLAIMED metadata)
-      val mfName = s"snap-$v-${java.lang.ProcessHandle.current.pid}-" +
-        s"${nonce.incrementAndGet()}.manifest"
+      // the claim under a COMMITTER-UNIQUE name — a UUID, because racers in
+      // the same JVM commonly hold separate table instances (so an
+      // instance-local counter would collide, letting a loser overwrite and
+      // then delete the manifest the winner's metadata references); readers
+      // only follow pointers from CLAIMED metadata
+      val mfName = s"snap-$v-${java.util.UUID.randomUUID()}.manifest"
       writeManifest(mfName, headEntry.map(_.manifest).getOrElse("-"),
         inputFiles)
       val allPartitions = priorPartitions :+ partition
@@ -165,8 +180,14 @@ class IcebergLikeTable(root: String) extends TableFormat {
         try Files.writeString(hintFile, v.toString) catch { case _: Exception => }
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => // lost the race
-          Files.deleteIfExists(metaDir.resolve(mfName))
-      } finally Files.deleteIfExists(tmp)
+      } finally {
+        Files.deleteIfExists(tmp)
+        // ANY non-win (lost race, claim error) orphans the staged manifest;
+        // delete it on every path that did not commit. A crash between
+        // writeManifest and the claim can still leak one file — unreferenced,
+        // harmless to readers, reclaimed by clear()
+        if (!committed) Files.deleteIfExists(metaDir.resolve(mfName))
+      }
     }
   }
 
