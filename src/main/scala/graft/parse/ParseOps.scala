@@ -278,14 +278,17 @@ object ParseOps {
     // %L is milliseconds (exactly 3 digits as DateTimeFormatter 'SSS');
     // sources emitting higher precision (solr logs carry 3-6 fractional
     // digits) TRUNCATE to millis instead of nulling the whole timestamp.
-    // The truncation targets ONLY a fraction directly following a seconds
-    // field (":SS." or ":SS,") — an unanchored "\.\d{3}\d+" would also
-    // mangle e.g. the 4-digit year of a dotted date layout ("02.11.2024");
-    // the comma alternative covers log4j-style "%T,%L" layouts
+    // The truncation targets a fraction directly following a
+    // colon-separated seconds field (":SS." or ":SS,", the shape of every
+    // shipped %L layout) — an unanchored "\.\d{3}\d+" would also mangle
+    // the 4-digit year of a dotted date layout ("02.11.2024"). A layout
+    // with no ':' at all (e.g. compact "%H%M%S.%L") falls back to the
+    // loose rule, where no such dotted-field ambiguity can exist alongside.
     val prepped =
-      if (layout.contains("%L"))
+      if (!layout.contains("%L")) c
+      else if (layout.contains(":"))
         regexp_replace(c, "(:\\d{2}[.,]\\d{3})\\d+", "$1")
-      else c
+      else regexp_replace(c, "([.,]\\d{3})\\d+", "$1")
     parseWithPattern(prepped, strptimeToJava(layout), defaultYear)
   }
 

@@ -58,11 +58,19 @@ class IcebergLikeTable(root: String) extends TableFormat {
   protected case class Entry(snapshot: Long, partition: String, rows: Long,
                              manifest: String, allPartitions: Seq[String])
 
+  // ONE escape alphabet for both metadata JSON fields and manifest lines:
+  // quotes/backslashes (the JSON string atoms) AND newlines — a raw '\n'
+  // inside a partition name would keep the metadata line from ever
+  // re-matching FieldRe (Java '.' excludes \n), bricking every later read,
+  // and would split a manifest entry in two
   private def esc(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                case '\n' => "\\n"; case '\r' => "\\r"; case c => c.toString }
   private def unesc(s: String): String =
     """\\(.)""".r.replaceAllIn(s, m =>
-      java.util.regex.Matcher.quoteReplacement(m.group(1)))
+      java.util.regex.Matcher.quoteReplacement(m.group(1) match {
+        case "n" => "\n"; case "r" => "\r"; case other => other
+      }))
   // string fields parse with escape-aware atoms so a '"' or '\' inside a
   // partition name or file path round-trips exactly
   private val Str = """"((?:[^"\\]|\\.)*)""""
@@ -106,23 +114,12 @@ class IcebergLikeTable(root: String) extends TableFormat {
     }
 
   // a manifest file: line 1 = parent manifest name (or "-" at the chain
-  // root), then one escaped data-file path per line. Newline-delimited
-  // entries need their OWN escape alphabet: a path containing a newline
-  // must not silently split into two bogus entries (the JSON esc/unesc
-  // pair cannot round-trip "\n" — its unesc maps any \x to x)
-  private def escLine(s: String): String =
-    s.flatMap { case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"
-                case c => c.toString }
-  private def unescLine(s: String): String =
-    """\\(.)""".r.replaceAllIn(s, m =>
-      java.util.regex.Matcher.quoteReplacement(m.group(1) match {
-        case "n" => "\n"; case "r" => "\r"; case other => other
-      }))
-
+  // root), then one escaped data-file path per line (same alphabet as the
+  // JSON fields — newline-escaped, so a path never splits into two entries)
   private def writeManifest(name: String, parent: String,
                             files: Seq[String]): Unit =
     Files.writeString(metaDir.resolve(name),
-      (parent +: files.map(escLine)).mkString("\n"))
+      (parent +: files.map(esc)).mkString("\n"))
 
   private def readManifestChain(name: String): Seq[String] = {
     // walk child -> root, then restore commit order (root first)
@@ -130,7 +127,7 @@ class IcebergLikeTable(root: String) extends TableFormat {
     var cur = name
     while (cur != "-") {
       val lines = Files.readString(metaDir.resolve(cur)).split("\n", -1).toSeq
-      rev += lines.drop(1).filter(_.nonEmpty).map(unescLine)
+      rev += lines.drop(1).filter(_.nonEmpty).map(unesc)
       cur = lines.head
     }
     rev.reverse.flatten.toSeq
@@ -170,10 +167,11 @@ class IcebergLikeTable(root: String) extends TableFormat {
       val allPartitions = priorPartitions :+ partition
       def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString(",")
       val json = s"""{"snapshot":$v,"parent":$head,"partition":"${esc(partition)}","rows":$rowsOut,"manifest":"${esc(mfName)}","all_partitions":[${arr(allPartitions)}]}"""
-      val tmp = Files.createTempFile(metaDir, s".v$v-", ".tmp")
-      Files.write(tmp, json.getBytes("UTF-8"),
-        StandardOpenOption.TRUNCATE_EXISTING)
+      var tmp: Path = null
       try {
+        tmp = Files.createTempFile(metaDir, s".v$v-", ".tmp")
+        Files.write(tmp, json.getBytes("UTF-8"),
+          StandardOpenOption.TRUNCATE_EXISTING)
         Files.createLink(versionFile(v), tmp) // exclusive: throws if claimed
         committed = true
         // best-effort hint; recovery never trusts it blindly
@@ -181,11 +179,12 @@ class IcebergLikeTable(root: String) extends TableFormat {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => // lost the race
       } finally {
-        Files.deleteIfExists(tmp)
-        // ANY non-win (lost race, claim error) orphans the staged manifest;
-        // delete it on every path that did not commit. A crash between
-        // writeManifest and the claim can still leak one file — unreferenced,
-        // harmless to readers, reclaimed by clear()
+        // ANY non-win — lost race, staging/claim I/O error — cleans up both
+        // staging artifacts (tmp creation and write sit INSIDE the try so
+        // their failures reach this cleanup too). Only a process crash can
+        // leak a staged manifest — unreferenced, harmless to readers,
+        // reclaimed by clear()
+        if (tmp != null) Files.deleteIfExists(tmp)
         if (!committed) Files.deleteIfExists(metaDir.resolve(mfName))
       }
     }

@@ -137,17 +137,22 @@ class IcebergLikeTableSpec extends SparkTestBase {
     assert(new IcebergLikeTable(root).currentSnapshot() == 2L)
   }
 
-  test("partition names and file paths with quotes/backslashes round-trip") {
+  test("partition names and file paths with quotes/backslashes/newlines round-trip") {
     val root = java.nio.file.Files.createTempDirectory("icb_esc").toString
     val t = new IcebergLikeTable(root)
-    val oddName = """hour="00"\backslash"""
-    val oddFile = """/data/file "v1"\part.parquet"""
+    // newlines are the nastiest case: unescaped they would both split a
+    // manifest line AND keep the one-line metadata JSON from ever
+    // re-matching its extractor (Java '.' excludes \n)
+    val oddName = "hour=\"00\"\\back\nslash"
+    val oddFile = "/data/file \"v1\"\\part\n2.parquet"
     t.commitPartition(oddName, 1L, Seq(oddFile, "/plain.parquet"))
     assert(t.isPartitionCommitted(oddName)) // no duplicate re-commit loop
     val g = new IcebergLikeTable(root)
     assert(g.committed() == Set(oddName))
     assert(g.dataFilesAsOf(g.currentSnapshot()) ==
       Seq(oddFile, "/plain.parquet"))
+    g.commitPartition("plain", 1L, Seq("/p2.parquet")) // table still writable
+    assert(g.committed() == Set(oddName, "plain"))
   }
 
   test("concurrent committers of the SAME partition commit exactly once") {
