@@ -694,6 +694,17 @@ object SparkEntry {
         "code" -> "trace_status_code",
         "missing" -> "no_such_field"),
         matchExpr = Some("trace_status_message == 'request completed'"))),
+    // span hierarchy + IsRootSpan THROUGH the expr engine: every span
+    // carries trace_id / span_id / parent_span_id (lag over the trace's
+    // conv window), root ⇔ empty parent id — the upstream ottlfuncs
+    // IsRootSpan contract (previously documented-excluded)
+    "q_span_root" -> ((s, d) => {
+      val sh = AggOps.spanHierarchy(t(s, d))
+      sh.withColumn("is_root",
+          graft.expr.ExprLang.boolExpr("IsRootSpan()", sh.columns.toSet))
+        .select(col("conv_id"), col("turn_idx"), col("trace_id"),
+          col("span_id"), col("parent_span_id"), col("is_root"))
+    }),
     // metricstats via the typed Aggregator (stats.Statistic parity)
     "q_metric_stats_agg" -> ((s, d) => {
       val dp = AggOps.metricExtract(t(s, d))
@@ -1204,6 +1215,30 @@ object SparkEntry {
         col("ua").getItem("user_agent.name").as("ua_name"),
         col("ua").getItem("user_agent.version").as("ua_version"),
         col("unix_rt"))
+    }),
+
+    // converter tail batch 4: the round-6 de-exclusions. Murmur3Hash /
+    // Murmur3Hash128 are now the CANONICAL seed-0 digests (hex of the
+    // little-endian encoding, the upstream ottlfuncs contract; oracle CASE
+    // constants come from the same vector-locked implementation), and
+    // IsString/IsList/IsMap answer the pcommon dynamic-type predicates from
+    // the static column type — all five previously documented-excluded.
+    "q_ottl_converters4" -> ((s, d) => {
+      val tt = t(s, d).withColumn("kvline",
+        format_string("a=%s b=%d", col("role"), col("turn_idx") % 50))
+      val out = graft.expr.Ottl(Seq(
+        "set(mh, Murmur3Hash(role))",
+        "set(mh128, Murmur3Hash128(role))",
+        "set(is_s, IsString(body))",
+        "set(is_s2, IsString(turn_idx))",
+        "set(is_l, IsList(Split(body, ' ')))",
+        "set(is_l2, IsList(body))",
+        "set(is_m, IsMap(ParseKeyValue(kvline)))",
+        "set(is_m2, IsMap(turn_idx))"
+      ), tt.columns.toSet)(tt)
+      out.select(col("conv_id"), col("turn_idx"), col("mh"), col("mh128"),
+        col("is_s"), col("is_s2"), col("is_l"), col("is_l2"),
+        col("is_m"), col("is_m2"))
     }),
 
     // full recombine config surface: FIRST-entry batching (each 'F|' row
@@ -2199,6 +2234,16 @@ object SparkEntry {
              FROM t WHERE starts_with(text, '{')
            ) WHERE dur > 1000 AND code <> 'error' GROUP BY 1, 2"""),
 
+      "q_span_root" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx, trace_id, span_id,
+           coalesce(lag(span_id) OVER w, '') AS parent_span_id,
+           (coalesce(lag(span_id) OVER w, '') = '') AS is_root
+           FROM (
+             SELECT conv_id, turn_idx, md5(conv_id) AS trace_id,
+               substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id
+             FROM t WHERE starts_with(text, '{')
+           ) WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)"""),
+
       "q_metric_stats_agg" -> Transcripts.withT(
         """SELECT window_start, level,
            MIN(value_int) AS stat_min, MAX(value_int) AS stat_max,
@@ -2697,6 +2742,26 @@ object SparkEntry {
            'agent' || (turn_idx % 9) AS ua_name,
            '2.' || (turn_idx % 30) AS ua_version,
            CAST(1700000000 AS BIGINT) AS unix_rt
+           FROM t"""),
+
+      // murmur CASE constants are canonical MurmurHash3 seed-0 digests of
+      // the four role literals (hex, little-endian byte order) — computed
+      // by an independent pure-Python implementation validated against the
+      // published "hello"/"" vectors, same contract Murmur3Hex locks in
+      // ExprStreamSpec
+      "q_ottl_converters4" -> Transcripts.withT(
+        """SELECT conv_id, turn_idx,
+           CASE role WHEN 'user' THEN '0d3d9495'
+                     WHEN 'assistant' THEN '5db9ab8a'
+                     WHEN 'tool' THEN '266479bd'
+                     ELSE '7499ea7c' END AS mh,
+           CASE role WHEN 'user' THEN 'a0a674d8430f81a2e153ba0856e0d965'
+                     WHEN 'assistant' THEN 'b4ce556dfffea39f6da83067edec636f'
+                     WHEN 'tool' THEN '448617326ff00cdfd9a558e538943964'
+                     ELSE '8befba81e7d4de1b6af807800d36a573' END AS mh128,
+           true AS is_s, false AS is_s2,
+           true AS is_l, false AS is_l2,
+           true AS is_m, false AS is_m2
            FROM t"""),
 
       "q_ottl_converters" -> Transcripts.withT(

@@ -559,6 +559,25 @@ object AggOps {
           .otherwise("ok").as("trace_status_code"),
         col("p.msg").as("trace_status_message"))
 
+  /** Span identity + hierarchy over the span view: trace = conversation
+    * (trace_id from conv_id), span ids are deterministic 16-hex digests of
+    * (conv_id, turn_idx), and each span's parent is the PREVIOUS span of
+    * its trace (lag over the conv_id window) — the first span of a trace
+    * has an empty parent id, which is exactly the root-span contract the
+    * upstream IsRootSpan converter tests (ParentSpanID().IsEmpty()).
+    * Separate from spanView so the count/attr planes stay window-free; the
+    * one window here partitions on conv_id (bounded groups, scale-safe).
+    */
+  def spanHierarchy(t: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy("turn_idx")
+    spanView(t)
+      .withColumn("trace_id", md5(col("conv_id")))
+      .withColumn("span_id",
+        substring(md5(concat_ws(":", col("conv_id"), col("turn_idx"))), 1, 16))
+      .withColumn("parent_span_id", coalesce(lag(col("span_id"), 1).over(w), lit("")))
+  }
+
   /** spancountprocessor with a first-class span predicate through the expr
     * engine (spancountprocessor/processor.go:78-105 consumeTraces matches
     * each expr.Span env against the compiled config match expression, then

@@ -490,9 +490,25 @@ object ExprLang {
       val c = args.head.cast("string")
       when(c.rlike("^[0-9a-fA-F]{16}$"), lower(c))
     }),
-    // Murmur3Hash: Spark's native murmur3_x86_32 (seed 42 vs upstream seed 0
-    // — a keyed-hash stand-in, same FNV precedent above)
-    "Murmur3Hash" -> (args => hash(args.head).cast("long")),
+    // Murmur3Hash / Murmur3Hash128: CANONICAL MurmurHash3 x86_32 / x64_128
+    // (seed 0), hex of the little-endian digest — the upstream ottlfuncs
+    // output contract (murmur3hash.go: Sum32/Sum128 → LittleEndian → hex).
+    // Vector-locked in ExprStreamSpec; see functions/Murmur3Hex.scala.
+    "Murmur3Hash" -> (args => graft.functions.Murmur3Hex.of(args.head, bits128 = false)),
+    "Murmur3Hash128" -> (args => graft.functions.Murmur3Hex.of(args.head, bits128 = true)),
+    // IsString/IsList/IsMap: pcommon dynamic-type predicates answered from
+    // the STATIC column type — a typed Dataset engine knows the answer at
+    // plan time, so these compile to constants per expression (typeof's
+    // result depends only on the plan, never the row)
+    "IsString" -> (args => call_function("typeof", args.head) === lit("string")),
+    "IsList" -> (args => call_function("typeof", args.head).startsWith("array")),
+    "IsMap" -> (args => call_function("typeof", args.head).startsWith("map")),
+    // IsRootSpan(): span-context predicate — true iff the span's parent id
+    // is empty (ottlfuncs IsRootSpan: span.ParentSpanID().IsEmpty()).
+    // Resolves only against a span env that publishes parent_span_id
+    // (AggOps.spanHierarchy); elsewhere analysis fails, matching upstream's
+    // context scoping (the converter exists only for ottlspan contexts).
+    "IsRootSpan" -> (_ => coalesce(col("parent_span_id"), lit("")) === lit("")),
     // Sort(array[, order]) — 'asc' (default) | 'desc'
     "Sort" -> {
       case c :: Nil => array_sort(c)

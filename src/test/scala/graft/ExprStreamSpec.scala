@@ -207,7 +207,9 @@ class ExprLangSpec extends SparkTestBase {
     assert(v("IsInt('42')") == true && v("IsInt('4.2')") == false)
     assert(v("IsDouble('4.2')") == true && v("IsDouble('x')") == false)
     assert(v("IsBool('T')") == true && v("IsBool('maybe')") == false)
-    assert(v("Murmur3Hash('abc')").isInstanceOf[Long])
+    // canonical seed-0 x86_32, hex of the LE digest (0xb3dd93fa)
+    assert(v("Murmur3Hash('abc')") == "fa93ddb3")
+    assert(v("Murmur3Hash128('abc')") == "6778ad3f3f3f96b4522dca264174a23b")
     assert(v("UUID()").toString
       .matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
     assert(v("UUIDv7()").toString
@@ -432,13 +434,13 @@ class OttlSpec extends SparkTestBase {
       "UnixMicro", "UnixMilli", "UnixNano", "UnixSeconds", "UserAgent",
       "Values", "Weekday", "Year")
     // documented context-inapplicable (COVERAGE.md): XML attribute
-    // rewriting needs per-element callbacks; no JVM-native murmur128 (a
-    // fake would silently mismatch); Is{String,List,Map} are answered at
-    // plan time by static column types; IsRootSpan/ProfileID are trace /
-    // profile signal contexts this log/metric plane doesn't model
+    // rewriting needs per-element callbacks; ProfileID is a profile-signal
+    // context this log/metric/span plane doesn't model. (Round 6 shrank
+    // this list: Murmur3Hash128 landed as canonical Guava murmur3_128,
+    // Is{String,List,Map} as static-type predicates, IsRootSpan over the
+    // spanHierarchy parent ids.)
     val excluded = Set(
       "ConvertAttributesToElementsXML", "ConvertTextToElementsXML",
-      "Murmur3Hash128", "IsString", "IsList", "IsMap", "IsRootSpan",
       "ProfileID")
     val implemented = graft.expr.ExprLang.Converters.keySet
     val unaccounted = upstream -- implemented -- excluded
@@ -448,6 +450,25 @@ class OttlSpec extends SparkTestBase {
     assert(stale.isEmpty,
       s"exclusion list names now-implemented converters (update COVERAGE.md): $stale")
     assert((upstream -- excluded).subsetOf(implemented))
+  }
+
+  test("murmur3 reference vectors") {
+    // The upstream ottlfuncs contract: canonical seed-0 MurmurHash3
+    // x86_32 / x64_128 over the UTF-8 bytes, hex of the LITTLE-ENDIAN
+    // digest (murmur3hash.go: Sum32/Sum128 → binary.LittleEndian →
+    // hex.EncodeToString). Vectors are the published Appleby/spaolacci
+    // test values, independently recomputed — if Guava's asBytes() ever
+    // stopped matching the LE contract this would catch it.
+    import graft.expr.ExprLang.Converters
+    import spark.implicits._
+    val in = Seq("hello", "", "foo bar").toDF("s")
+    val out = in.select(col("s"),
+      Converters("Murmur3Hash")(List(col("s"))).as("h32"),
+      Converters("Murmur3Hash128")(List(col("s"))).as("h128"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out("hello") == ("47fa8b24", "029bbd41b3a7d8cb191dae486a901e5b"))
+    assert(out("") == ("00000000", "00000000000000000000000000000000"))
+    assert(out("foo bar") == ("579c320a", "2152273d9a64f6c36ae14eab3446ebb9"))
   }
 
   test("Now/UUID/UUIDv7 shape contracts (nondeterministic, oracle-exempt)") {
