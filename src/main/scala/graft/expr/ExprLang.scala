@@ -220,6 +220,11 @@ object ExprLang {
               while (peek.contains(Op(","))) { next(); parseArg() }
             }
             expect(")")
+            ContextRequires.get(name).foreach { req =>
+              if (resolve(req).isEmpty) throw new IllegalArgumentException(
+                s"$name() is context-scoped: the expression env must provide " +
+                  s"'$req' (e.g. a span env from AggOps.spanHierarchy)")
+            }
             Converters(name)(args.toList)
           case _ =>
             val base = resolve(name).getOrElse(
@@ -246,6 +251,14 @@ object ExprLang {
   /** OTTL converter functions ≈ built-in SQL functions (SURVEY §2B): the
     * "return nil on failure" contract maps to null-propagating casts.
     */
+  /** Context-scoped converters: name → env column the expression env must
+    * resolve for the call to be legal (upstream registers these only for
+    * specific ottl contexts, e.g. IsRootSpan for ottlspan). The parser
+    * rejects a call whose env lacks the column — loud and at compile time,
+    * never a silent bind to an unrelated same-named column.
+    */
+  val ContextRequires: Map[String, String] = Map("IsRootSpan" -> "parent_span_id")
+
   val Converters: Map[String, List[Column] => Column] = Map(
     "Concat" -> (args => concat_ws("", args: _*)),
     "Substring" -> {
@@ -354,9 +367,6 @@ object ExprLang {
     },
     "Keys" -> (args => map_keys(args.head)),
     "Values" -> (args => map_values(args.head)),
-    // NOTE: no IsString — a Column-level implementation can't see the
-    // resolved type, and "non-null ⇒ true" would silently diverge from
-    // upstream's type check; configs using it fail loudly instead
     "Log" -> (args => log(args.head.cast("double"))),
     "Sqrt" -> (args => sqrt(args.head.cast("double"))),
     "Abs" -> (args => abs(args.head)),
@@ -497,17 +507,21 @@ object ExprLang {
     "Murmur3Hash" -> (args => graft.functions.Murmur3Hex.of(args.head, bits128 = false)),
     "Murmur3Hash128" -> (args => graft.functions.Murmur3Hex.of(args.head, bits128 = true)),
     // IsString/IsList/IsMap: pcommon dynamic-type predicates answered from
-    // the STATIC column type — a typed Dataset engine knows the answer at
-    // plan time, so these compile to constants per expression (typeof's
-    // result depends only on the plan, never the row)
-    "IsString" -> (args => call_function("typeof", args.head) === lit("string")),
-    "IsList" -> (args => call_function("typeof", args.head).startsWith("array")),
-    "IsMap" -> (args => call_function("typeof", args.head).startsWith("map")),
+    // the STATIC column type (typeof depends only on the plan) — gated on
+    // isNotNull because upstream's pcommon check is against the VALUE, so
+    // Is*(nil) is false (a NULL-valued string column is a nil pcommon
+    // value, not a Str)
+    "IsString" -> (args =>
+      args.head.isNotNull && call_function("typeof", args.head) === lit("string")),
+    "IsList" -> (args =>
+      args.head.isNotNull && call_function("typeof", args.head).startsWith("array")),
+    "IsMap" -> (args =>
+      args.head.isNotNull && call_function("typeof", args.head).startsWith("map")),
     // IsRootSpan(): span-context predicate — true iff the span's parent id
     // is empty (ottlfuncs IsRootSpan: span.ParentSpanID().IsEmpty()).
-    // Resolves only against a span env that publishes parent_span_id
-    // (AggOps.spanHierarchy); elsewhere analysis fails, matching upstream's
-    // context scoping (the converter exists only for ottlspan contexts).
+    // Context-scoped via ContextRequires: the parser rejects it loudly
+    // unless the env resolves parent_span_id (AggOps.spanHierarchy),
+    // matching upstream's ottlspan-only registration.
     "IsRootSpan" -> (_ => coalesce(col("parent_span_id"), lit("")) === lit("")),
     // Sort(array[, order]) — 'asc' (default) | 'desc'
     "Sort" -> {

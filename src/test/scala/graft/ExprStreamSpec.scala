@@ -207,6 +207,10 @@ class ExprLangSpec extends SparkTestBase {
     assert(v("IsInt('42')") == true && v("IsInt('4.2')") == false)
     assert(v("IsDouble('4.2')") == true && v("IsDouble('x')") == false)
     assert(v("IsBool('T')") == true && v("IsBool('maybe')") == false)
+    // pcommon type predicates check the VALUE: nil is never a Str/Slice/Map
+    assert(v("IsString('x')") == true && v("IsString(nil)") == false)
+    assert(v("IsList(Split('a b', ' '))") == true && v("IsList(nil)") == false)
+    assert(v("IsMap(ParseKeyValue('a=1'))") == true && v("IsMap(nil)") == false)
     // canonical seed-0 x86_32, hex of the LE digest (0xb3dd93fa)
     assert(v("Murmur3Hash('abc')") == "fa93ddb3")
     assert(v("Murmur3Hash128('abc')") == "6778ad3f3f3f96b4522dca264174a23b")
@@ -450,6 +454,17 @@ class OttlSpec extends SparkTestBase {
     assert(stale.isEmpty,
       s"exclusion list names now-implemented converters (update COVERAGE.md): $stale")
     assert((upstream -- excluded).subsetOf(implemented))
+  }
+
+  test("IsRootSpan is context-scoped: rejected loudly outside a span env") {
+    // upstream registers IsRootSpan only for ottlspan contexts; here the
+    // parser enforces the same scoping via ContextRequires instead of
+    // silently binding to (or failing to resolve) parent_span_id
+    val e = intercept[IllegalArgumentException] {
+      graft.expr.ExprLang.boolExpr("IsRootSpan()", Set("conv_id", "text"))
+    }
+    assert(e.getMessage.contains("parent_span_id"))
+    graft.expr.ExprLang.boolExpr("IsRootSpan()", Set("parent_span_id")) // legal
   }
 
   test("murmur3 reference vectors") {
