@@ -812,6 +812,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming logdedup: batch parity, state expiry, late duplicates dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[WmTurn]
+    val q = StreamingPipeline.streamingLogDedup(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sld").start()
+    try {
+      val dup = Seq(
+        WmTurn("c1", 0, "user", "dup body", "", ts("2024-01-01 10:05:00")),
+        WmTurn("c1", 1, "user", "dup body", "", ts("2024-01-01 10:20:00")),
+        WmTurn("c2", 0, "user", "solo", "", ts("2024-01-01 10:25:00")))
+      input.addData(dup: _*)
+      q.processAllAvailable()
+      assert(spark.table("sld").count() == 0) // interval still open
+      // watermark passes the 10:00 window → the dedup groups FLUSH (and
+      // their state expires) — the processor's interval ticker
+      input.addData(WmTurn("c3", 0, "user", "advance", "", ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = (r.getAs[String]("body_md5"),
+        r.getAs[Long]("dedup_count"), r.getAs[String]("first_arrival"))
+      val streamed = spark.table("sld").collect().map(key).toSet
+      val batch = AggOps.logDedup(dup.toDF()).collect().map(key).toSet
+      assert(streamed == batch) // identical counts AND first arrivals
+      assert(streamed.exists(_._2 == 2L)) // the duplicate collapsed
+      // a LATE duplicate behind the watermark is dropped — expired state
+      // cannot resurrect or double-emit the flushed group
+      input.addData(WmTurn("c9", 9, "user", "dup body", "", ts("2024-01-01 10:40:00")))
+      q.processAllAvailable()
+      assert(spark.table("sld").collect().map(key).toSet == streamed)
+    } finally q.stop()
+  }
+
   test("typed datapoint count: watermarked windows finalize per metric_type") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
