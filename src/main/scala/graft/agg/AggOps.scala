@@ -1,6 +1,6 @@
 package graft.agg
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, RelationalGroupedDataset}
 import org.apache.spark.sql.functions._
 
 import graft.parse.ParseOps
@@ -334,15 +334,26 @@ object AggOps {
     * Hash-groupBy on the digest — one shuffle on a short key; scales.
     */
   def logDedup(t: DataFrame, interval: String = "1 hour"): DataFrame =
-    t.withColumn("arrival", arrivalKey)
-      .groupBy(
-        windowStart(col("ts"), interval).as("window_start"),
-        md5(col("text")).as("body_md5"), col("role"))
-      .agg(count(lit(1)).as("dedup_count"),
-        min(col("arrival")).as("first"))
-      .select(col("window_start"), col("body_md5"), col("role"),
+    dedupFlush(
+      t.withColumn("arrival", arrivalKey)
+        .groupBy(windowStart(col("ts"), interval).as("window_start"),
+          md5(col("text")).as("body_md5"), col("role")),
+      col("window_start"))
+
+  /** The logdedup flush contract, SHARED by the batch operator above and
+    * `StreamingPipeline.streamingLogDedup`: count + first-arrival min over
+    * the caller's (window, body_md5, role) grouping, projected to the
+    * oracle columns. The zero-padded first_arrival format lives only here —
+    * revising it revises both variants together (it has been revised
+    * before; a drifting streaming copy would be a silent parity break).
+    * first_arrival is formatted once per OUTPUT row, not per input row.
+    */
+  private[graft] def dedupFlush(grouped: RelationalGroupedDataset,
+                                windowCol: Column): DataFrame =
+    grouped
+      .agg(count(lit(1)).as("dedup_count"), min(col("arrival")).as("first"))
+      .select(windowCol.as("window_start"), col("body_md5"), col("role"),
         col("dedup_count"),
-        // formatted once per OUTPUT row (not per input row) for the oracle
         format_string("%019d %s %010d",
           col("first.tsu"), col("first.conv"), col("first.turn")).as("first_arrival"))
 

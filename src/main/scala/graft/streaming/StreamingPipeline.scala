@@ -45,23 +45,22 @@ object StreamingPipeline {
     * one row per (window, body_md5, role) and EXPIRES as soon as the
     * watermark passes the window end, the streaming analog of the
     * processor's interval ticker flush, with state bounded at any scale.
-    * Output matches AggOps.logDedup column-for-column (min() over the
-    * arrival struct is a streaming-legal aggregate, so first_arrival
-    * carries over unchanged).
+    * The flush contract (agg + projection, first_arrival format) is the
+    * SAME code as the batch operator (AggOps.dedupFlush), and the window
+    * is taken over `ts` as-is, so window_start carries the input's
+    * timestamp type exactly like batch windowStart does (NTZ on the
+    * production parquet layout). Parameter order mirrors AggOps.logDedup:
+    * interval second, the streaming-only watermark last.
     */
-  def streamingLogDedup(stream: DataFrame, watermark: String = "2 hours",
-                        interval: String = "1 hour"): DataFrame =
-    stream
-      .withColumn("ts_ltz", col("ts").cast("timestamp"))
-      .withWatermark("ts_ltz", watermark)
-      .withColumn("arrival", graft.agg.AggOps.arrivalKey)
-      .groupBy(window(col("ts_ltz"), interval),
-        md5(col("text")).as("body_md5"), col("role"))
-      .agg(count(lit(1)).as("dedup_count"), min(col("arrival")).as("first"))
-      .select(col("window.start").as("window_start"), col("body_md5"),
-        col("role"), col("dedup_count"),
-        format_string("%019d %s %010d",
-          col("first.tsu"), col("first.conv"), col("first.turn")).as("first_arrival"))
+  def streamingLogDedup(stream: DataFrame, interval: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    graft.agg.AggOps.dedupFlush(
+      stream
+        .withWatermark("ts", watermark)
+        .withColumn("arrival", graft.agg.AggOps.arrivalKey)
+        .groupBy(window(col("ts"), interval),
+          md5(col("text")).as("body_md5"), col("role")),
+      col("window.start"))
 
   /** readStream → severity/route tagging → watermarked windowed per-route
     * counts. One file per micro-batch keeps the demo deterministic.

@@ -832,12 +832,15 @@ class StreamingSpec extends SparkTestBase {
       // their state expires) — the processor's interval ticker
       input.addData(WmTurn("c3", 0, "user", "advance", "", ts("2024-01-01 14:00:00")))
       q.processAllAvailable()
-      def key(r: org.apache.spark.sql.Row) = (r.getAs[String]("body_md5"),
-        r.getAs[Long]("dedup_count"), r.getAs[String]("first_arrival"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[String]("body_md5"),
+          r.getAs[Long]("dedup_count"), r.getAs[String]("first_arrival"))
       val streamed = spark.table("sld").collect().map(key).toSet
       val batch = AggOps.logDedup(dup.toDF()).collect().map(key).toSet
-      assert(streamed == batch) // identical counts AND first arrivals
-      assert(streamed.exists(_._2 == 2L)) // the duplicate collapsed
+      assert(streamed == batch) // identical windows, counts AND first arrivals
+      assert(spark.table("sld").schema("window_start").dataType ==
+        AggOps.logDedup(dup.toDF()).schema("window_start").dataType)
+      assert(streamed.exists(_._3 == 2L)) // the duplicate collapsed
       // a LATE duplicate behind the watermark is dropped — expired state
       // cannot resurrect or double-emit the flushed group
       input.addData(WmTurn("c9", 9, "user", "dup body", "", ts("2024-01-01 10:40:00")))
