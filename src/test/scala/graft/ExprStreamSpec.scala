@@ -883,6 +883,58 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming recombine: marker flush, batch parity, force-flush timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def part(conv: String, idx: Int, text: String, at: String) =
+      WmTurn(conv, idx, "user", text, "", ts(at))
+    val input = MemoryStream[WmTurn]
+    val q = StreamingPipeline.streamingRecombine(input.toDF(),
+        forceFlushTimeoutMs = 30000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("srec").start()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("conv_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_parts"), r.getAs[Int]("first_turn"),
+        r.getAs[Int]("last_turn"), r.getAs[String]("combined"))
+    try {
+      val phase1 = Seq(
+        part("c1", 0, "P|a", "2024-01-01 10:00:00"),
+        part("c1", 1, "P|b", "2024-01-01 10:00:05"),
+        part("c1", 2, "F|c", "2024-01-01 10:00:10"),
+        part("c1", 3, "P|x", "2024-01-01 10:00:20"), // trailing open batch
+        part("c2", 0, "F|solo", "2024-01-01 10:00:15"))
+      input.addData(phase1: _*)
+      q.processAllAvailable()
+      // marker-terminated batches emit in the SAME micro-batch — no
+      // watermark latency (the reference emits on the matching entry)
+      assert(spark.table("srec").collect().map(key).toSet == Set(
+        ("c1", 0L, 3L, 0, 2, "P|a\nP|b\nF|c"), ("c2", 0L, 1L, 0, 0, "F|solo")))
+      // watermark passes c1's last entry + timeout → the OPEN batch
+      // force-flushes (force_flush_timeout); c3's marker closes immediately
+      val advance = part("c3", 0, "F|advance", "2024-01-01 14:00:00")
+      input.addData(advance)
+      q.processAllAvailable()
+      val streamed = spark.table("srec").collect().map(key).toSet
+      // in-order arrival ⇒ column-for-column parity with the batch operator,
+      // INCLUDING the timeout-flushed partial (batch emits the trailing
+      // partial session the same way)
+      val batch = graft.parse.ParseOps.recombine((phase1 :+ advance).toDF())
+        .collect().map(key(_)).toSet
+      assert(streamed == batch)
+      assert(streamed.contains(("c1", 1L, 1L, 3, 3, "P|x")))
+      // post-flush entries start the source's NEXT batch (arrival-order
+      // semantics): the deterministic batch operator would have kept P|x
+      // with these in one session — the documented, intentional divergence
+      input.addData(part("c1", 4, "P|y", "2024-01-01 14:00:05"),
+        part("c1", 5, "F|z", "2024-01-01 14:00:06"))
+      q.processAllAvailable()
+      assert(spark.table("srec").collect().map(key).toSet
+        .contains(("c1", 2L, 2L, 4, 5, "P|y\nF|z")))
+    } finally q.stop()
+  }
+
   test("OTTL statements apply identically in a streaming micro-batch (batch parity)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
