@@ -705,20 +705,13 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("trace_id"),
           col("span_id"), col("parent_span_id"), col("is_root"))
     }),
-    // metricstats via the typed Aggregator (stats.Statistic parity)
-    "q_metric_stats_agg" -> ((s, d) => {
-      val dp = AggOps.metricExtract(t(s, d))
-      dp.groupBy(AggOps.windowStart(col("ts"), "1 hour").as("window_start"),
-          col("level"))
-        .agg(graft.agg.MetricStatsAgg.metricStats(col("value_int"),
-          unix_micros(col("ts").cast("timestamp")), col("conv_id"),
-          col("turn_idx")).as("s"))
-        .select(col("window_start"), col("level"),
-          col("s.stat_min").as("stat_min"), col("s.stat_max").as("stat_max"),
-          col("s.stat_avg_int").as("stat_avg_int"),
-          col("s.stat_first").as("stat_first"), col("s.stat_last").as("stat_last"),
-          col("s.stat_count").as("stat_count"))
-    }),
+    // metricstats via the typed Aggregator (stats.Statistic parity); the
+    // agg + projection is the flush contract shared with the streaming form
+    "q_metric_stats_agg" -> ((s, d) => AggOps.metricStatsFlush(
+      AggOps.metricExtract(t(s, d))
+        .groupBy(AggOps.windowStart(col("ts"), "1 hour").as("window_start"),
+          col("level")),
+      col("window_start"))),
     "q_throughput" -> ((s, d) => AggOps.throughput(t(s, d))),
     // full throughputmeasurement config: payload-level sampling (hash-gated
     // hour payloads), extra labels, raw-bytes opt-in

@@ -245,6 +245,26 @@ object AggOps {
         col("stat_first"), col("stat_last"), col("stat_count"))
   }
 
+  /** The metricstats flush contract over the typed single-pass Aggregator,
+    * SHARED by the batch query surface (q_metric_stats_agg) and
+    * `StreamingPipeline.streamingMetricStats`: stats.Statistic
+    * accumulate/finalize over the caller's (window, level) grouping of a
+    * metricExtract frame, projected to the oracle columns. One buffer,
+    * partial-merge capable, so map-side combine (batch) and incremental
+    * state updates (streaming) both work off the same aggregator.
+    */
+  private[graft] def metricStatsFlush(grouped: RelationalGroupedDataset,
+                                      windowCol: Column): DataFrame =
+    grouped
+      .agg(MetricStatsAgg.metricStats(col("value_int"),
+        unix_micros(col("ts").cast("timestamp")), col("conv_id"),
+        col("turn_idx")).as("s"))
+      .select(windowCol.as("window_start"), col("level"),
+        col("s.stat_min").as("stat_min"), col("s.stat_max").as("stat_max"),
+        col("s.stat_avg_int").as("stat_avg_int"),
+        col("s.stat_first").as("stat_first"), col("s.stat_last").as("stat_last"),
+        col("s.stat_count").as("stat_count"))
+
   /** Two metrics per matching record (latency + status gauges) — gives the
     * include-regex gate real multi-metric work (metricextractprocessor can
     * emit several metrics from one record).

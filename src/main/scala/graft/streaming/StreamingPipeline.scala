@@ -63,6 +63,23 @@ object StreamingPipeline {
           md5(col("text")).as("body_md5"), col("role")),
       col("window.start"))
 
+  /** Continuous metricstats (metricstatsprocessor's flushLoop interval
+    * ticker, §2B/§2E): the SAME typed single-pass Aggregator the batch
+    * surface uses (AggOps.metricStatsFlush / MetricStatsAgg — one buffer,
+    * partial-merge capable) over a watermarked event-time window, so
+    * per-(window, level) state is one stats buffer that updates
+    * incrementally per micro-batch and EXPIRES once the watermark passes
+    * the window — the processor's counter-map-reset-on-flush
+    * (processor.go:262-266) with state bounded at any scale.
+    */
+  def streamingMetricStats(stream: DataFrame, interval: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    graft.agg.AggOps.metricStatsFlush(
+      graft.agg.AggOps.metricExtract(stream)
+        .withWatermark("ts", watermark)
+        .groupBy(window(col("ts"), interval), col("level")),
+      col("window.start"))
+
   /** One buffered partial entry of an in-flight recombine batch. */
   case class RecombinePart(turn_idx: Int, role: String, text: String)
 

@@ -932,6 +932,59 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       assert(spark.table("srec").collect().map(key).toSet
         .contains(("c1", 2L, 2L, 4, 5, "P|y\nF|z")))
+      // bounded state, observably: push the watermark far past every idle
+      // source's expiry timeout — their (empty-buffer) state rows are
+      // REMOVED, leaving only the newest source in the state store
+      input.addData(part("c4", 0, "F|late", "2024-01-02 09:00:00"))
+      q.processAllAvailable()
+      input.addData(part("c5", 0, "F|later", "2024-01-03 09:00:00"))
+      q.processAllAvailable()
+      val stateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
+      assert(stateRows <= 2) // c1/c2/c3/c4 expired or expiring; not 5
+    } finally q.stop()
+  }
+
+  test("streaming metricstats: typed-aggregator window finalizes with batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def m(conv: String, idx: Int, lat: Int, lvl: String, at: String) =
+      WmTurn(conv, idx, "user",
+        s"""{"level":"$lvl","status":200,"path":"/x","latency_ms":$lat,"msg":"ok"}""",
+        "", ts(at))
+    val input = MemoryStream[WmTurn]
+    val q = StreamingPipeline.streamingMetricStats(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sms").start()
+    try {
+      // first/last are arrival-ORDER stats: interleave arrivals so the
+      // aggregator's ArrKey ordering (not input order) decides them
+      val rows = Seq(
+        m("c1", 1, 70, "info", "2024-01-01 10:20:00"),
+        m("c1", 0, 40, "info", "2024-01-01 10:05:00"),
+        m("c2", 0, 10, "info", "2024-01-01 10:10:00"),
+        m("c2", 1, 99, "error", "2024-01-01 10:30:00"))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      assert(spark.table("sms").count() == 0) // window still open
+      input.addData(m("c9", 0, 1, "info", "2024-01-01 14:00:00"))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[String]("level"),
+          r.getAs[Long]("stat_min"), r.getAs[Long]("stat_max"),
+          r.getAs[Long]("stat_avg_int"), r.getAs[Long]("stat_first"),
+          r.getAs[Long]("stat_last"), r.getAs[Long]("stat_count"))
+      val streamed = spark.table("sms").collect().map(key).toSet
+      val batch = AggOps.metricStatsFlush(
+        AggOps.metricExtract(rows.toDF())
+          .groupBy(AggOps.windowStart(col("ts"), "1 hour").as("window_start"),
+            col("level")),
+        col("window_start")).collect().map(key).toSet
+      assert(streamed == batch) // identical stats incl. arrival first/last
+      val info = streamed.find(_._2 == "info").get
+      assert((info._3, info._4, info._5, info._6, info._7, info._8) ==
+        (10L, 70L, 40L, 40L, 70L, 3L)) // min,max,int-avg,first,last,count
     } finally q.stop()
   }
 
