@@ -80,28 +80,8 @@ object StreamingPipeline {
         .groupBy(window(col("ts"), interval), col("level")),
       col("window.start"))
 
-  /** One buffered partial entry of an in-flight recombine batch. */
-  case class RecombinePart(turn_idx: Int, role: String, text: String)
-
-  /** Per-source recombine state: how many batches this source has flushed
-    * (the next session_id) plus the open batch's buffered entries.
-    */
-  case class RecombineBuf(session_id: Long, parts: Seq[RecombinePart])
-
-  /** One flushed batch, column-for-column the batch operator's output row
-    * (ParseOps.recombine): combined text joined oldest-first.
-    */
-  case class RecombinedSession(conv_id: String, session_id: Long,
-      n_parts: Long, first_turn: Int, last_turn: Int, combined: String)
-
-  private implicit val recombinePartRowEnc: Encoder[(String, Int, String, String, java.sql.Timestamp)] =
-    Encoders.tuple(Encoders.STRING, Encoders.scalaInt, Encoders.STRING,
-      Encoders.STRING, Encoders.TIMESTAMP)
-  private implicit val recombineBufEnc: Encoder[RecombineBuf] =
-    Encoders.product[RecombineBuf]
-  private implicit val recombinedSessionEnc: Encoder[RecombinedSession] =
-    Encoders.product[RecombinedSession]
-  private implicit val stringEnc: Encoder[String] = Encoders.STRING
+  private implicit val partTurnEnc: Encoder[StatefulRecombine.PartTurn] =
+    Encoders.product[StatefulRecombine.PartTurn]
 
   /** Continuous recombine (stanza's multiline reassembly, §2A/§2E — the one
     * operator whose reference semantics are INHERENTLY streaming: it buffers
@@ -127,68 +107,28 @@ object StreamingPipeline {
     *     batch flushed joins the source's next batch (arrival-order
     *     semantics, same as the reference appending to a fresh batch).
     *
-    * session_id counts this source's flushes since its state was created —
-    * equal to the batch operator's session numbering when no timeout fires
-    * mid-session (StreamingSpec proves parity), intentionally diverging when
-    * force-flush splits a batch the deterministic operator would keep whole.
+    * The transition function is StatefulRecombine.processGroup — one shared
+    * implementation for every timeout mode. A flushed batch's identity is
+    * (conv_id, first_turn); there is deliberately no session counter (see
+    * StatefulRecombine's scaladoc), so a source's state exists ONLY while a
+    * batch is open and keyed state is bounded by in-flight batches.
     */
   def streamingRecombine(stream: DataFrame,
                          forceFlushTimeoutMs: Long = 30000L,
                          watermark: String = "2 hours"): DataFrame =
-    stream
-      .withColumn("ts_evt", col("ts").cast("timestamp"))
-      .withWatermark("ts_evt", watermark)
-      // the filter sits AFTER the watermark node so non-multiline traffic
-      // still advances event time (an idle multiline source must flush even
-      // when only other routes keep flowing)
-      .filter(ParseOps.isMultiline)
-      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
-        col("ts_evt"))
-      .as[(String, Int, String, String, java.sql.Timestamp)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(recombineFlush(forceFlushTimeoutMs))
-      .toDF()
-
-  /** The per-source recombine transition: merge buffered + arriving entries
-    * (turn_idx order), close a batch at each final marker, or on timeout
-    * force-flush the open batch / expire an idle source.
-    */
-  private def recombineFlush(timeoutMs: Long)(
-      conv: String,
-      incoming: Iterator[(String, Int, String, String, java.sql.Timestamp)],
-      state: GroupState[RecombineBuf]): Iterator[RecombinedSession] = {
-    val buf = state.getOption.getOrElse(RecombineBuf(0L, Vector.empty))
-    def emit(sid: Long, parts: Seq[RecombinePart]) =
-      RecombinedSession(conv, sid, parts.size.toLong, parts.head.turn_idx,
-        parts.last.turn_idx, parts.map(_.text).mkString("\n"))
-    if (state.hasTimedOut) {
-      if (buf.parts.isEmpty) { // second idle timeout: expire the source
-        state.remove(); Iterator.empty
-      } else { // force_flush_timeout: emit the open batch, arm state expiry
-        state.update(RecombineBuf(buf.session_id + 1, Vector.empty))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeoutMs)
-        Iterator.single(emit(buf.session_id, buf.parts))
-      }
-    } else {
-      val arrived = incoming.toVector
-      val merged = (buf.parts ++
-        arrived.map(p => RecombinePart(p._2, p._3, p._4))).sortBy(_.turn_idx)
-      val out = Vector.newBuilder[RecombinedSession]
-      var sid = buf.session_id
-      var open = Vector.empty[RecombinePart]
-      merged.foreach { p =>
-        open :+= p
-        if (p.text.startsWith("F|")) { out += emit(sid, open); sid += 1; open = Vector.empty }
-      }
-      state.update(RecombineBuf(sid, open))
-      val maxEvtMs = arrived.map(_._5.getTime).max
-      // strictly ahead of the watermark, as setTimeoutTimestamp requires
-      state.setTimeoutTimestamp(
-        math.max(maxEvtMs, state.getCurrentWatermarkMs() + 1L) + timeoutMs)
-      out.result().iterator
-    }
-  }
+    StatefulRecombine.recombineStream(
+      stream.sparkSession,
+      stream
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        // the filter sits AFTER the watermark node so non-multiline traffic
+        // still advances event time (an idle multiline source must flush
+        // even when only other routes keep flowing)
+        .filter(ParseOps.isMultiline)
+        .select(col("conv_id"), col("turn_idx"), col("text"), col("ts"))
+        .as[StatefulRecombine.PartTurn],
+      GroupStateTimeout.EventTimeTimeout, forceFlushTimeoutMs)
+    .toDF()
 
   /** readStream → severity/route tagging → watermarked windowed per-route
     * counts. One file per micro-batch keeps the demo deterministic.

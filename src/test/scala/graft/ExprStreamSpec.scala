@@ -894,10 +894,16 @@ class StreamingSpec extends SparkTestBase {
         forceFlushTimeoutMs = 30000L)
       .writeStream.outputMode("append").format("memory")
       .queryName("srec").start()
+    // flushed-batch identity is (conv_id, first_turn) — the streaming form
+    // deliberately has no session counter (StatefulRecombine scaladoc)
     def key(r: org.apache.spark.sql.Row) =
-      (r.getAs[String]("conv_id"), r.getAs[Long]("session_id"),
-        r.getAs[Long]("n_parts"), r.getAs[Int]("first_turn"),
-        r.getAs[Int]("last_turn"), r.getAs[String]("combined"))
+      (r.getAs[String]("conv_id"), r.getAs[Int]("first_turn"),
+        r.getAs[Int]("last_turn"), r.getAs[Int]("n_parts"),
+        r.getAs[String]("combined"))
+    def batchKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("conv_id"), r.getAs[Int]("first_turn"),
+        r.getAs[Int]("last_turn"), r.getAs[Long]("n_parts").toInt,
+        r.getAs[String]("combined"))
     try {
       val phase1 = Seq(
         part("c1", 0, "P|a", "2024-01-01 10:00:00"),
@@ -910,7 +916,7 @@ class StreamingSpec extends SparkTestBase {
       // marker-terminated batches emit in the SAME micro-batch — no
       // watermark latency (the reference emits on the matching entry)
       assert(spark.table("srec").collect().map(key).toSet == Set(
-        ("c1", 0L, 3L, 0, 2, "P|a\nP|b\nF|c"), ("c2", 0L, 1L, 0, 0, "F|solo")))
+        ("c1", 0, 2, 3, "P|a\nP|b\nF|c"), ("c2", 0, 0, 1, "F|solo")))
       // watermark passes c1's last entry + timeout → the OPEN batch
       // force-flushes (force_flush_timeout); c3's marker closes immediately
       val advance = part("c3", 0, "F|advance", "2024-01-01 14:00:00")
@@ -921,9 +927,9 @@ class StreamingSpec extends SparkTestBase {
       // INCLUDING the timeout-flushed partial (batch emits the trailing
       // partial session the same way)
       val batch = graft.parse.ParseOps.recombine((phase1 :+ advance).toDF())
-        .collect().map(key(_)).toSet
+        .collect().map(batchKey(_)).toSet
       assert(streamed == batch)
-      assert(streamed.contains(("c1", 1L, 1L, 3, 3, "P|x")))
+      assert(streamed.contains(("c1", 3, 3, 1, "P|x")))
       // post-flush entries start the source's NEXT batch (arrival-order
       // semantics): the deterministic batch operator would have kept P|x
       // with these in one session — the documented, intentional divergence
@@ -931,17 +937,17 @@ class StreamingSpec extends SparkTestBase {
         part("c1", 5, "F|z", "2024-01-01 14:00:06"))
       q.processAllAvailable()
       assert(spark.table("srec").collect().map(key).toSet
-        .contains(("c1", 2L, 2L, 4, 5, "P|y\nF|z")))
-      // bounded state, observably: push the watermark far past every idle
-      // source's expiry timeout — their (empty-buffer) state rows are
-      // REMOVED, leaving only the newest source in the state store
+        .contains(("c1", 4, 5, 2, "P|y\nF|z")))
+      // bounded state, observably: state is removed on EVERY flush, so
+      // with no open batch in flight the state store is empty — bounded by
+      // in-flight batches, not source cardinality
       input.addData(part("c4", 0, "F|late", "2024-01-02 09:00:00"))
       q.processAllAvailable()
       input.addData(part("c5", 0, "F|later", "2024-01-03 09:00:00"))
       q.processAllAvailable()
       val stateRows = q.recentProgress.reverse
         .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
-      assert(stateRows <= 2) // c1/c2/c3/c4 expired or expiring; not 5
+      assert(stateRows == 0, s"no open batches => empty state, got $stateRows")
     } finally q.stop()
   }
 

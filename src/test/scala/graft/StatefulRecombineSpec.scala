@@ -39,7 +39,9 @@ class StatefulRecombineSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val t = graft.model.Transcripts.fromEvents(spark, sfDir)
       .filter(graft.parse.ParseOps.isMultiline)
-      .select($"conv_id", $"turn_idx", $"text").as[PartTurn]
+      .select($"conv_id", $"turn_idx", $"text",
+        org.apache.spark.sql.functions.lit(null).cast("timestamp").as("ts"))
+      .as[PartTurn]
       .collect().toSeq
     val input = MemoryStream[PartTurn]
     val q = StatefulRecombine.recombineStream(spark, input.toDS())
@@ -78,7 +80,8 @@ class StatefulRecombineSpec extends SparkTestBase {
       hasTimedOut = false)
     val out1 = StatefulRecombine.processGroup("c1",
       Iterator(PartTurn("c1", 0, "P|a"), PartTurn("c1", 1, "P|b")),
-      s1, armTimeout = true, forceFlushMs = 50L).toSeq
+      s1, org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      forceFlushMs = 50L).toSeq
     assert(out1.isEmpty)
     assert(s1.exists && s1.get.parts.map(_._2) == List("P|a", "P|b"))
     assert(s1.getTimeoutTimestampMs.isPresent,
@@ -87,13 +90,14 @@ class StatefulRecombineSpec extends SparkTestBase {
 
     // 2. the timed-out invocation force-flushes the buffer and clears state
     val s2 = TestGroupState.create[SessionBuf](
-      optionalState = Optional.of(SessionBuf(List(0 -> "P|a", 1 -> "P|b"))),
+      optionalState = Optional.of(SessionBuf(List(0 -> "P|a", 1 -> "P|b"), Long.MinValue)),
       timeoutConf =
         org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
       batchProcessingTimeMs = 2000L, eventTimeWatermarkMs = Optional.empty[Long](),
       hasTimedOut = true)
     val out2 = StatefulRecombine.processGroup("c1", Iterator.empty,
-      s2, armTimeout = true, forceFlushMs = 50L).toSeq
+      s2, org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      forceFlushMs = 50L).toSeq
     assert(out2.map(_.combined) == Seq("P|a\nP|b"))
     assert(out2.head.n_parts == 2 && out2.head.conv_id == "c1")
     assert(s2.isRemoved, "flushed session must release its keyed state")
@@ -106,7 +110,8 @@ class StatefulRecombineSpec extends SparkTestBase {
       hasTimedOut = false)
     val out3 = StatefulRecombine.processGroup("c2",
       Iterator(PartTurn("c2", 0, "F|done")), s3,
-      armTimeout = true, forceFlushMs = 50L).toSeq
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      forceFlushMs = 50L).toSeq
     assert(out3.map(_.combined) == Seq("F|done"))
     assert(!s3.exists && !s3.getTimeoutTimestampMs.isPresent)
   }
