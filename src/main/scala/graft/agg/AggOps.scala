@@ -140,8 +140,18 @@ object AggOps {
   // (processor/metricextractprocessor/processor_ottl.go:87-186; ts fallback
   // chain observed→now at :196-206 — here ts is always present)
   // -------------------------------------------------------------------
-  def metricExtract(t: DataFrame): DataFrame =
-    t.filter(ParseOps.isJson)
+  def metricExtract(t: DataFrame): DataFrame = metricExtract(t, lit(false))
+
+  /** `orKeep` exists for the STREAMING caller (StreamingPipeline.
+    * streamingMetricStats): OR-ing a reference to the watermark column into
+    * the gate makes the predicate un-splittable and watermark-referencing,
+    * which pins the Filter ABOVE an upstream EventTimeWatermark node —
+    * Catalyst's PushPredicateThroughNonJoin otherwise pushes it below,
+    * where the rows it drops can no longer advance event time. Batch
+    * callers pass lit(false), which BooleanSimplification folds away.
+    */
+  private[graft] def metricExtract(t: DataFrame, orKeep: Column): DataFrame =
+    t.filter(ParseOps.isJson || orKeep)
       .withColumn("p", from_json(col("text"), ParseOps.JsonBodySchema))
       .select(
         col("conv_id"), col("turn_idx"),
@@ -358,24 +368,24 @@ object AggOps {
       t.withColumn("arrival", arrivalKey)
         .groupBy(windowStart(col("ts"), interval).as("window_start"),
           md5(col("text")).as("body_md5"), col("role")),
-      col("window_start"))
+      col("window_start"), col("body_md5"), col("role"))
 
-  /** The logdedup flush contract, SHARED by the batch operator above and
+  /** The first-arrival dedup flush contract, SHARED by every variant —
+    * logDedup, logDedupExcluding, datapointFirst, and
     * `StreamingPipeline.streamingLogDedup`: count + first-arrival min over
-    * the caller's (window, body_md5, role) grouping, projected to the
-    * oracle columns. The zero-padded first_arrival format lives only here —
-    * revising it revises both variants together (it has been revised
-    * before; a drifting streaming copy would be a silent parity break).
-    * first_arrival is formatted once per OUTPUT row, not per input row.
+    * the caller's grouping, projected to the caller's identity columns.
+    * The zero-padded first_arrival format lives ONLY here — revising it
+    * revises all four together (it has been revised before; a drifting
+    * copy would be a silent parity break). first_arrival is formatted once
+    * per OUTPUT row, not per input row.
     */
   private[graft] def dedupFlush(grouped: RelationalGroupedDataset,
-                                windowCol: Column): DataFrame =
+                                keyCols: Column*): DataFrame =
     grouped
       .agg(count(lit(1)).as("dedup_count"), min(col("arrival")).as("first"))
-      .select(windowCol.as("window_start"), col("body_md5"), col("role"),
-        col("dedup_count"),
+      .select(keyCols ++ Seq(col("dedup_count"),
         format_string("%019d %s %010d",
-          col("first.tsu"), col("first.conv"), col("first.turn")).as("first_arrival"))
+          col("first.tsu"), col("first.conv"), col("first.turn")).as("first_arrival")): _*)
 
   /** logdedup `exclude_fields` parity: the named body sub-fields do NOT
     * participate in the dedup identity — records identical everywhere else
@@ -389,16 +399,12 @@ object AggOps {
       // a JSON member of any scalar shape, with its trailing comma
       regexp_replace(c, "\"" + f + "\":(\"[^\"]*\"|[0-9.]+|true|false|null),?", "")
     }
-    t.withColumn("arrival", arrivalKey)
-      .groupBy(
-        windowStart(col("ts"), interval).as("window_start"),
-        md5(identityBody).as("identity_md5"), col("role"))
-      .agg(count(lit(1)).as("dedup_count"),
-        min(col("arrival")).as("first"))
-      .select(col("window_start"), col("identity_md5"), col("role"),
-        col("dedup_count"),
-        format_string("%019d %s %010d",
-          col("first.tsu"), col("first.conv"), col("first.turn")).as("first_arrival"))
+    dedupFlush(
+      t.withColumn("arrival", arrivalKey)
+        .groupBy(
+          windowStart(col("ts"), interval).as("window_start"),
+          md5(identityBody).as("identity_md5"), col("role")),
+      col("window_start"), col("identity_md5"), col("role"))
   }
 
   /** The pre-round-2 q_dedup shape (datapoint family + first arrival),
@@ -406,16 +412,12 @@ object AggOps {
     */
   def datapointFirst(t: DataFrame, interval: String = "1 hour"): DataFrame = {
     val j = metricExtract(t)
-    j.withColumn("arrival", arrivalKey)
-      .groupBy(
-        windowStart(col("ts"), interval).as("window_start"),
-        col("level"), col("metric_name"))
-      .agg(count(lit(1)).as("dedup_count"),
-        min(col("arrival")).as("first"))
-      .select(col("window_start"), col("level"), col("metric_name"),
-        col("dedup_count"),
-        format_string("%019d %s %010d",
-          col("first.tsu"), col("first.conv"), col("first.turn")).as("first_arrival"))
+    dedupFlush(
+      j.withColumn("arrival", arrivalKey)
+        .groupBy(
+          windowStart(col("ts"), interval).as("window_start"),
+          col("level"), col("metric_name")),
+      col("window_start"), col("level"), col("metric_name"))
   }
 
   // -------------------------------------------------------------------

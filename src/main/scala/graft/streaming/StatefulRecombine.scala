@@ -16,11 +16,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     timeout, the DETERMINISTIC analog (re-running the same input gives
   *     the same flushes), used by `StreamingPipeline.streamingRecombine`.
   *
-  * Identity of an emitted batch is (conv_id, first_turn) — unique and
-  * stable across the query lifetime. There is deliberately NO session
-  * counter in state: a batch's state exists only while it is OPEN (buffered
-  * partials awaiting a marker or timeout) and is REMOVED on every flush, so
-  * keyed state is bounded by in-flight batches, not by source cardinality.
+  * Identity of an emitted batch is (conv_id, first_turn) — unique while a
+  * source's entries arrive in order. A post-flush late retransmit can
+  * restart a batch at an already-emitted first turn_idx and repeat an
+  * identity; consumers that need an exactly-once key must include a content
+  * digest. There is deliberately NO session counter in state: a batch's
+  * state exists only while it is OPEN (buffered partials awaiting a marker
+  * or timeout) and is REMOVED on every flush, so keyed state is bounded by
+  * in-flight batches, not by source cardinality.
   *
   * The batch engine expresses the same thing as a window sessionization
   * (ParseOps.recombine); this is the continuous form. Parity on in-order
@@ -37,8 +40,12 @@ object StatefulRecombine {
     */
   case class PartTurn(conv_id: String, turn_idx: Int, text: String,
                       ts: java.sql.Timestamp = null)
+  /** `n_parts` is Long — the batch operator's count() — so the two
+    * surfaces' schemas union without a cast (they differ only in the batch
+    * side's extra session_id column).
+    */
   case class Combined(conv_id: String, first_turn: Int, last_turn: Int,
-                      n_parts: Int, combined: String)
+                      n_parts: Long, combined: String)
 
   /** Open-batch state: buffered (turn_idx, text) plus the max event time
     * seen over the batch's WHOLE life — the event-time flush deadline is
@@ -47,12 +54,28 @@ object StatefulRecombine {
     */
   case class SessionBuf(parts: List[(Int, String)], maxEvtMs: Long)
 
+  /** Duplicate-turn_idx ties break by text compared as UTF-8 BYTES, not
+    * String's UTF-16 code units: the batch operator's array_sort over
+    * struct(turn_idx, text) (ParseOps.scala:425) compares UTF8String
+    * binary, and the two orders diverge for supplementary characters
+    * (surrogates sort below U+E000..U+FFFF in UTF-16 but their UTF-8
+    * encoding sorts above).
+    */
+  private[streaming] val partOrd: Ordering[(Int, String)] =
+    new Ordering[(Int, String)] {
+      def compare(a: (Int, String), b: (Int, String)): Int = {
+        val byIdx = java.lang.Integer.compare(a._1, b._1)
+        if (byIdx != 0) byIdx
+        else java.util.Arrays.compareUnsigned(
+          a._2.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b._2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+
   def combine(parts: List[(Int, String)]): Combined = {
-    // duplicate turn_idx ties break by text — the batch operator's
-    // array_sort(struct(turn_idx, text)) ordering (ParseOps.scala:425)
-    val sorted = parts.sortBy(identity)
+    val sorted = parts.sorted(partOrd)
     Combined(conv_id = "", first_turn = sorted.head._1, last_turn = sorted.last._1,
-      n_parts = sorted.size, combined = sorted.map(_._2).mkString("\n"))
+      n_parts = sorted.size.toLong, combined = sorted.map(_._2).mkString("\n"))
   }
 
   /** Per-group state transition — extracted so the timeout paths are unit-
@@ -73,21 +96,20 @@ object StatefulRecombine {
       val maxEvtMs = arrived.foldLeft(prev.maxEvtMs) { (m, t) =>
         if (t.ts == null) m else math.max(m, t.ts.getTime)
       }
-      val out = scala.collection.mutable.ListBuffer[Combined]()
-      var buf = prev.parts
       // merged turn_idx order (ties by text) — in-order arrival then
       // matches the batch sessionization exactly
-      (buf.map(p => PartTurn(convId, p._1, p._2)) ++ arrived)
-        .sortBy(t => (t.turn_idx, t.text)) match { case merged =>
-        buf = Nil
-        merged.foreach { t =>
-          buf = buf :+ (t.turn_idx -> t.text)
-          if (t.text.startsWith("F|")) {
-            out += combine(buf).copy(conv_id = convId)
-            buf = Nil
-          }
+      val merged = (prev.parts ++ arrived.map(t => t.turn_idx -> t.text))
+        .sorted(partOrd)
+      val out = scala.collection.mutable.ListBuffer[Combined]()
+      val open = scala.collection.mutable.ListBuffer[(Int, String)]()
+      merged.foreach { p =>
+        open += p
+        if (p._2.startsWith("F|")) {
+          out += combine(open.toList).copy(conv_id = convId)
+          open.clear()
         }
       }
+      val buf = open.toList
       if (buf.isEmpty) state.remove()
       else {
         state.update(SessionBuf(buf, maxEvtMs))

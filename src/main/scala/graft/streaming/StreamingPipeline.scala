@@ -61,7 +61,7 @@ object StreamingPipeline {
         .withColumn("arrival", graft.agg.AggOps.arrivalKey)
         .groupBy(window(col("ts"), interval),
           md5(col("text")).as("body_md5"), col("role")),
-      col("window.start"))
+      col("window.start").as("window_start"), col("body_md5"), col("role"))
 
   /** Continuous metricstats (metricstatsprocessor's flushLoop interval
     * ticker, §2B/§2E): the SAME typed single-pass Aggregator the batch
@@ -75,8 +75,14 @@ object StreamingPipeline {
   def streamingMetricStats(stream: DataFrame, interval: String = "1 hour",
                            watermark: String = "2 hours"): DataFrame =
     graft.agg.AggOps.metricStatsFlush(
-      graft.agg.AggOps.metricExtract(stream)
-        .withWatermark("ts", watermark)
+      // the watermark sits on the RAW stream and the isJson gate is pinned
+      // ABOVE it (aboveWatermark), so non-metric traffic still advances
+      // event time — filtering below the watermark node would starve it
+      // (open windows never finalize) whenever only non-JSON routes keep
+      // flowing; metricExtract projects `ts` through, carrying the
+      // watermark tag
+      graft.agg.AggOps.metricExtract(stream.withWatermark("ts", watermark),
+          orKeep = col("ts").isNull)
         .groupBy(window(col("ts"), interval), col("level")),
       col("window.start"))
 
@@ -121,10 +127,16 @@ object StreamingPipeline {
       stream
         .withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
-        // the filter sits AFTER the watermark node so non-multiline traffic
-        // still advances event time (an idle multiline source must flush
-        // even when only other routes keep flowing)
-        .filter(ParseOps.isMultiline)
+        // the multiline gate must stay ABOVE the watermark node so
+        // non-multiline traffic still advances event time (an idle
+        // multiline source must force-flush even when only other routes
+        // keep flowing). Writing the filter after withWatermark is NOT
+        // enough: PushPredicateThroughNonJoin pushes any predicate that
+        // doesn't reference the watermark column below the node — OR-ing
+        // in `ts IS NULL` (never true here: ts is cast from the non-null
+        // transcript timestamp) makes it un-splittable and
+        // watermark-referencing, pinning it above
+        .filter(ParseOps.isMultiline || col("ts").isNull)
         .select(col("conv_id"), col("turn_idx"), col("text"), col("ts"))
         .as[StatefulRecombine.PartTurn],
       GroupStateTimeout.EventTimeTimeout, forceFlushTimeoutMs)

@@ -895,14 +895,11 @@ class StreamingSpec extends SparkTestBase {
       .writeStream.outputMode("append").format("memory")
       .queryName("srec").start()
     // flushed-batch identity is (conv_id, first_turn) — the streaming form
-    // deliberately has no session counter (StatefulRecombine scaladoc)
+    // deliberately has no session counter (StatefulRecombine scaladoc);
+    // ONE key function serves both surfaces: n_parts is Long on each
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[String]("conv_id"), r.getAs[Int]("first_turn"),
-        r.getAs[Int]("last_turn"), r.getAs[Int]("n_parts"),
-        r.getAs[String]("combined"))
-    def batchKey(r: org.apache.spark.sql.Row) =
-      (r.getAs[String]("conv_id"), r.getAs[Int]("first_turn"),
-        r.getAs[Int]("last_turn"), r.getAs[Long]("n_parts").toInt,
+        r.getAs[Int]("last_turn"), r.getAs[Long]("n_parts"),
         r.getAs[String]("combined"))
     try {
       val phase1 = Seq(
@@ -916,7 +913,7 @@ class StreamingSpec extends SparkTestBase {
       // marker-terminated batches emit in the SAME micro-batch — no
       // watermark latency (the reference emits on the matching entry)
       assert(spark.table("srec").collect().map(key).toSet == Set(
-        ("c1", 0, 2, 3, "P|a\nP|b\nF|c"), ("c2", 0, 0, 1, "F|solo")))
+        ("c1", 0, 2, 3L, "P|a\nP|b\nF|c"), ("c2", 0, 0, 1L, "F|solo")))
       // watermark passes c1's last entry + timeout → the OPEN batch
       // force-flushes (force_flush_timeout); c3's marker closes immediately
       val advance = part("c3", 0, "F|advance", "2024-01-01 14:00:00")
@@ -927,9 +924,9 @@ class StreamingSpec extends SparkTestBase {
       // INCLUDING the timeout-flushed partial (batch emits the trailing
       // partial session the same way)
       val batch = graft.parse.ParseOps.recombine((phase1 :+ advance).toDF())
-        .collect().map(batchKey(_)).toSet
+        .collect().map(key(_)).toSet
       assert(streamed == batch)
-      assert(streamed.contains(("c1", 3, 3, 1, "P|x")))
+      assert(streamed.contains(("c1", 3, 3, 1L, "P|x")))
       // post-flush entries start the source's NEXT batch (arrival-order
       // semantics): the deterministic batch operator would have kept P|x
       // with these in one session — the documented, intentional divergence
@@ -937,7 +934,7 @@ class StreamingSpec extends SparkTestBase {
         part("c1", 5, "F|z", "2024-01-01 14:00:06"))
       q.processAllAvailable()
       assert(spark.table("srec").collect().map(key).toSet
-        .contains(("c1", 4, 5, 2, "P|y\nF|z")))
+        .contains(("c1", 4, 5, 2L, "P|y\nF|z")))
       // bounded state, observably: state is removed on EVERY flush, so
       // with no open batch in flight the state store is empty — bounded by
       // in-flight batches, not source cardinality
@@ -948,6 +945,17 @@ class StreamingSpec extends SparkTestBase {
       val stateRows = q.recentProgress.reverse
         .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
       assert(stateRows == 0, s"no open batches => empty state, got $stateRows")
+      // NON-multiline traffic must still advance event time: the gate is
+      // pinned ABOVE the watermark node (streamingRecombine's filter), so
+      // an open batch force-flushes even when only other routes keep
+      // flowing — a plain row dropped by the filter drives the watermark
+      input.addData(part("c6", 0, "P|open", "2024-01-03 10:00:00"))
+      q.processAllAvailable()
+      input.addData(part("c7", 0, "plain non-multiline line", "2024-01-04 10:00:00"))
+      q.processAllAvailable()
+      assert(spark.table("srec").collect().map(key).toSet
+        .contains(("c6", 0, 0, 1L, "P|open")),
+        "open batch must force-flush off a filtered-out row's event time")
     } finally q.stop()
   }
 
@@ -974,7 +982,12 @@ class StreamingSpec extends SparkTestBase {
       input.addData(rows: _*)
       q.processAllAvailable()
       assert(spark.table("sms").count() == 0) // window still open
-      input.addData(m("c9", 0, 1, "info", "2024-01-01 14:00:00"))
+      // a NON-JSON row advances the watermark and finalizes the window:
+      // the watermark sits on the raw stream BELOW metricExtract's isJson
+      // filter, so non-metric traffic still drives event time (filtering
+      // first would leave this window open forever)
+      input.addData(WmTurn("c9", 0, "user", "plain non-metric line", "",
+        ts("2024-01-01 14:00:00")))
       q.processAllAvailable()
       def key(r: org.apache.spark.sql.Row) =
         (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[String]("level"),
