@@ -142,6 +142,58 @@ object StreamingPipeline {
       GroupStateTimeout.EventTimeTimeout, forceFlushTimeoutMs)
     .toDF()
 
+  /** Exactly-once streaming fan-out through the SAME durable commit plane
+    * the batch runner uses (Manifest/TableFormat — §2E checkpoint/resume):
+    * a `foreachBatch` sink whose unit of commitment is the MICRO-BATCH,
+    * the streaming analogue of PipelineRunner's per-partition commit.
+    *
+    * Structured Streaming re-delivers an uncommitted micro-batch after a
+    * restart with the SAME batchId (the reference's at-least-once exporter
+    * contract; awss3eventreceiver collapses the duplicate announcements the
+    * same way). The sink turns that into exactly-once:
+    *
+    *   - a replayed batch whose manifest entry exists is SKIPPED whole —
+    *     the ShouldParse-parity check, keyed `batch=<id>` instead of an
+    *     hour partition;
+    *   - an UNCOMMITTED replay rewrites only its own output via
+    *     dynamic-partition overwrite: batch_id is part of the physical
+    *     partition layout, so a replay can only replace ITSELF — batches
+    *     sharing an hour (or hours sharing a batch) never clobber each
+    *     other, the hazard a plain (route, hour) overwrite would have;
+    *   - the manifest entry commits AFTER the write (all-sinks-succeeded,
+    *     same contract as the batch runner), with per-sink counts taken
+    *     from the WRITTEN files — a zero-column count grouped on partition
+    *     columns, footer-bound, that also double-checks the write landed.
+    */
+  def manifestSink(spec: graft.pipeline.Pipeline.PipelineSpec,
+                   outRoot: String): (DataFrame, Long) => Unit = {
+    (df, batchId) =>
+      val spark = df.sparkSession
+      val manifest = new graft.pipeline.Manifest(s"$outRoot/_manifest")
+      val key = f"batch=$batchId%019d"
+      if (!manifest.isCommitted(key)) {
+        val t0 = System.nanoTime()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        graft.pipeline.Pipeline.compile(spec, spark)(df)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .options(graft.pipeline.PipelineRunner.WriterOptions)
+          .partitionBy("route", "year", "month", "day", "hour", "batch_id")
+          .parquet(s"$outRoot/sinks")
+        // an all-empty first batch writes no files at all — nothing to count
+        val bySink: Map[String, Long] =
+          if (!new java.io.File(s"$outRoot/sinks").exists()) Map.empty
+          else spark.read.option("basePath", s"$outRoot/sinks")
+            .parquet(s"$outRoot/sinks")
+            .filter(col("batch_id") === batchId)
+            .groupBy(col("route")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        manifest.commit(manifest.PartitionEntry(
+          key, "committed", bySink.values.sum, bySink, Seq.empty,
+          (System.nanoTime() - t0) / 1000000))
+      }
+  }
+
   /** readStream → severity/route tagging → watermarked windowed per-route
     * counts. One file per micro-batch keeps the demo deterministic.
     */

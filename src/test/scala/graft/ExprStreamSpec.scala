@@ -1037,4 +1037,59 @@ class StreamingSpec extends SparkTestBase {
       assert(batch.exists(_.contains("hello ***")))
     } finally q.stop()
   }
+
+  test("exactly-once streaming fan-out: replayed micro-batches never double-write") {
+    import graft.pipeline.Pipeline
+    val base = java.nio.file.Files.createTempDirectory("sfan").toString
+    val input = s"$base/in"
+    graft.model.Transcripts.writePartitioned(
+      graft.model.Transcripts.generate(spark, nTurns = 6000, nConvs = 20), input)
+    def routeCounts(root: String): Map[String, Long] =
+      spark.read.option("basePath", s"$root/sinks").parquet(s"$root/sinks")
+        .groupBy("route").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // integration: a real query drives the sink micro-batch by micro-batch
+    // (maxFilesPerTrigger forces several), and the result matches the batch
+    // fan-out's route counts on the same input
+    val out = s"$base/out"
+    val q = spark.readStream.schema(StreamingPipeline.TranscriptSchema)
+      .option("maxFilesPerTrigger", "2").parquet(input)
+      .writeStream
+      .foreachBatch(StreamingPipeline.manifestSink(Pipeline.Canonical, out))
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamedCounts = routeCounts(out)
+    val batchCounts = Pipeline.compile(Pipeline.Canonical, spark)(
+        spark.read.option("basePath", input).parquet(input))
+      .groupBy("route").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamedCounts == batchCounts && streamedCounts.values.sum == 6000L)
+
+    // replay semantics, driven directly (a fresh outRoot isolates them):
+    val out2 = s"$base/out2"
+    val sink = StreamingPipeline.manifestSink(Pipeline.Canonical, out2)
+    val all = spark.read.option("basePath", input).parquet(input)
+    sink(all, 0L)
+    val c0 = routeCounts(out2)
+    assert(c0 == batchCounts)
+    // 1. at-least-once re-delivery of a COMMITTED batch: skipped whole
+    sink(all, 0L)
+    assert(routeCounts(out2) == c0)
+    // 2. crash BETWEEN write and manifest commit (entry lost, data on
+    //    disk): the replay overwrites only its own batch_id partitions —
+    //    rows replaced, never duplicated
+    val entry = new java.io.File(s"$out2/_manifest/batch=${"%019d".format(0L)}.json")
+    assert(entry.exists, "batch 0 must have a manifest entry")
+    assert(entry.delete())
+    sink(all, 0L)
+    assert(routeCounts(out2) == c0)
+    // 3. a NEW batch appends alongside committed ones
+    val extra = all.filter(org.apache.spark.sql.functions.col("turn_idx") === 0)
+    val extraN = extra.count()
+    sink(extra, 1L)
+    assert(extraN > 0 && routeCounts(out2).values.sum == c0.values.sum + extraN)
+  }
 }
