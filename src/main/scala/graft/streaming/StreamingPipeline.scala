@@ -161,9 +161,10 @@ object StreamingPipeline {
     *     sharing an hour (or hours sharing a batch) never clobber each
     *     other, the hazard a plain (route, hour) overwrite would have;
     *   - the manifest entry commits AFTER the write (all-sinks-succeeded,
-    *     same contract as the batch runner), with per-sink counts taken
-    *     from the WRITTEN files — a zero-column count grouped on partition
-    *     columns, footer-bound, that also double-checks the write landed.
+    *     same contract as the batch runner), with per-sink counts from one
+    *     cached pass over the bounded micro-batch (NOT the batch runner's
+    *     written-files count: re-listing the sinks tree every micro-batch
+    *     would be O(total partitions) per batch, superlinear over a run).
     */
   def manifestSink(spec: graft.pipeline.Pipeline.PipelineSpec,
                    outRoot: String): (DataFrame, Long) => Unit = {
@@ -174,23 +175,26 @@ object StreamingPipeline {
       if (!manifest.isCommitted(key)) {
         val t0 = System.nanoTime()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        graft.pipeline.Pipeline.compile(spec, spark)(df)
+        // persist the micro-batch once for the count + the write: counting
+        // from the WRITTEN files (the batch runner's idiom) would re-list
+        // the whole sinks tree every micro-batch — O(total partitions) per
+        // batch, superlinear across a long run — while a micro-batch is
+        // bounded by the trigger, so one cached pass is the scale-safe form
+        val tagged = graft.pipeline.Pipeline.compile(spec, spark)(df)
           .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .options(graft.pipeline.PipelineRunner.WriterOptions)
-          .partitionBy("route", "year", "month", "day", "hour", "batch_id")
-          .parquet(s"$outRoot/sinks")
-        // an all-empty first batch writes no files at all — nothing to count
-        val bySink: Map[String, Long] =
-          if (!new java.io.File(s"$outRoot/sinks").exists()) Map.empty
-          else spark.read.option("basePath", s"$outRoot/sinks")
-            .parquet(s"$outRoot/sinks")
-            .filter(col("batch_id") === batchId)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val bySink: Map[String, Long] = tagged
             .groupBy(col("route")).agg(count(lit(1)).as("n"))
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        manifest.commit(manifest.PartitionEntry(
-          key, "committed", bySink.values.sum, bySink, Seq.empty,
-          (System.nanoTime() - t0) / 1000000))
+          tagged.write.mode("overwrite")
+            .options(graft.pipeline.PipelineRunner.WriterOptions)
+            .partitionBy("route", "year", "month", "day", "hour", "batch_id")
+            .parquet(s"$outRoot/sinks")
+          manifest.commit(manifest.PartitionEntry(
+            key, "committed", bySink.values.sum, bySink, Seq.empty,
+            (System.nanoTime() - t0) / 1000000))
+        } finally tagged.unpersist()
       }
   }
 
