@@ -1332,12 +1332,25 @@ object SparkEntry {
       Dedup.minHashDedupPairs(TextAnalysis.documents(s, d), portable = true)),
     "q_doc_simhash_neardups" -> ((s, d) =>
       Dedup.simHashNearDups(TextAnalysis.documents(s, d), portable = true)),
+    // transitive closure over the verified pair graph (min-label
+    // propagation) and the surviving one-rep-per-cluster corpus
+    "q_doc_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(
+        Dedup.minHashDedupPairs(TextAnalysis.documents(s, d), portable = true))),
+    "q_doc_cluster_dedup" -> ((s, d) =>
+      Dedup.clusterDedupKeep(TextAnalysis.documents(s, d), portable = true)),
+    // deterministic salted-hash train/val/test assignment
+    "q_doc_splits" -> ((s, d) =>
+      TextAnalysis.assignSplits(TextAnalysis.documents(s, d))),
     "q_embed_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Similarity.embeddings(s, d))),
     "q_embed_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Similarity.embeddings(s, d))),
     "q_embed_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Similarity.embeddings(s, d))),
+    // the FAISS-style recall dial: queries probe their 2 nearest cells
+    "q_embed_ivf_probe" -> ((s, d) =>
+      Similarity.ivfTopKProbe(Similarity.embeddings(s, d))),
     // embedding-cosine near-dup: bucketed candidates + exact verification
     "q_embed_cosine_neardups" -> ((s, d) =>
       Similarity.cosineNearDups(Similarity.embeddings(s, d))),
@@ -2911,9 +2924,17 @@ object SparkEntry {
 
       "q_doc_simhash_neardups" -> Dedup.simHashOracleSql(),
 
+      "q_doc_dup_clusters" -> Dedup.dupClustersOracleSql(),
+
+      "q_doc_cluster_dedup" -> Dedup.clusterDedupKeepOracleSql(),
+
+      "q_doc_splits" -> TextAnalysis.assignSplitsOracleSql(),
+
       "q_embed_lsh_topk" -> Similarity.lshTopkOracleSql(),
 
       "q_embed_ivf_topk" -> Similarity.ivfTopkOracleSql(),
+
+      "q_embed_ivf_probe" -> Similarity.ivfTopkProbeOracleSql(),
 
       "q_embed_cosine_neardups" -> Similarity.cosineNearDupsOracleSql(),
 

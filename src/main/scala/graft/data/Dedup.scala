@@ -237,11 +237,20 @@ object Dedup {
     * the oracle for `q_doc_minhash_pairs`.
     */
   def minHashOracleSql(k: Int = 16, bands: Int = 4, threshold: Double = 0.8,
-                       maxBucket: Int = 64): String = {
+                       maxBucket: Int = 64): String =
+    s"""WITH ${minHashPairCtes(k, bands, threshold, maxBucket)}
+       SELECT a_id, b_id, jaccard FROM dup_pairs"""
+
+  /** The CTE list reproducing the portable pipeline up to a `dup_pairs`
+    * relation (verified pairs at `threshold`) — shared by the pair oracle
+    * and the cluster oracles, so all three check the SAME pair graph.
+    */
+  def minHashPairCtes(k: Int = 16, bands: Int = 4, threshold: Double = 0.8,
+                      maxBucket: Int = 64): String = {
     val r = k / bands
     val aLit = hashA(k).mkString("[", ",", "]")
     val bLit = hashB(k).mkString("[", ",", "]")
-    s"""WITH d AS ($plantedSql),
+    s"""d AS ($plantedSql),
        sh AS (SELECT doc_id, ${shinglesSql("text")} AS s FROM d),
        hs AS (SELECT doc_id, list_transform(s, x -> ${md5Hash64Sql("x")} % $P) AS hv FROM sh),
        sig AS (SELECT doc_id,
@@ -251,16 +260,145 @@ object Dedup {
        banded AS (SELECT doc_id, CAST(b.range AS INT) AS band,
          array_to_string(sg[CAST(b.range AS INT)*$r+1 : CAST(b.range AS INT)*$r+$r], ',') AS bucket
          FROM sig, range($bands) b),
-       ${candidatePairsSql(maxBucket)}
-       SELECT a_id, b_id, jaccard FROM (
-         SELECT p.a_id, p.b_id,
-           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-             len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
-         FROM pairs p
-         JOIN sh sa ON sa.doc_id = p.a_id
-         JOIN sh sb ON sb.doc_id = p.b_id
-       ) WHERE jaccard >= $threshold"""
+       ${candidatePairsSql(maxBucket)},
+       dup_pairs AS (
+         SELECT a_id, b_id, jaccard FROM (
+           SELECT p.a_id, p.b_id,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.a_id
+           JOIN sh sb ON sb.doc_id = p.b_id
+         ) WHERE jaccard >= $threshold
+       )"""
   }
+
+  // -------------------------------------------------------------------
+  // Near-dup clusters: connected components over the verified pair graph
+  // -------------------------------------------------------------------
+
+  /** Connected components over a near-dup pair graph — the step after pair
+    * generation in a corpus-dedup pipeline: pairs only say two docs match;
+    * keeping one survivor per GROUP needs the transitive closure (A~B and
+    * B~C put all three in one cluster even if A~C was never a candidate).
+    *
+    * Algorithm: min-label propagation (the "hash-to-min" scheme of
+    * Rastogi et al., "Finding Connected Components in Map-Reduce", ICDE'13)
+    * accelerated by pointer jumping: every node starts labeled with its own
+    * id; each round every node takes the min label among itself and its
+    * neighbors, then shortcuts label := label(label) (path doubling), so
+    * label distance-to-root HALVES per round on top of the one-hop
+    * propagation — O(log diameter) rounds, not O(diameter). Each round is
+    * two shuffle joins keyed on the id plus a map-side-combined min
+    * aggregate; the convergence check is a driver-side COUNT (bounded
+    * state: one long), capped at `maxIter` (12 covers diameters into the
+    * thousands). Labels only ever decrease, so `changed` counting
+    * strictly-smaller labels is exact.
+    *
+    * Iterative-lineage discipline: each round's label relation is
+    * `localCheckpoint()`ed — persist alone does NOT truncate the logical
+    * plan, and a loop that references the prior round twice doubles the
+    * plan tree per round (2^rounds nodes; Catalyst chokes stringifying,
+    * optimizing, and codegen-ing it long before the data is big). On a
+    * real cluster with lost-executor risk, swap for reliable
+    * `checkpoint()` against the checkpoint dir — same contract.
+    *
+    * Input: (a_id, b_id) pair rows. Output: (doc_id, cluster_id,
+    * cluster_size) for every doc appearing in ≥1 pair (singletons form no
+    * cluster and are not rows). cluster_id = min doc_id of the component —
+    * deterministic, engine-independent.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIter) {
+      // 1-hop neighbor min
+      val prop = edges.join(labels, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+        .unionByName(labels.select(col("doc_id"), col("cluster_id")))
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      // pointer jump: label := label(label)
+      val ptr = prop.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lab"))
+      val next = prop.join(ptr, col("cluster_id") === col("p_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("p_lab"), col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
+        .filter(col("cluster_id") < col("prev")).count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    // window over the converged label relation: cardinality = clustered
+    // docs (bounded by 2×pairs), and it sits above the groupBy agg boundary
+    val w = Window.partitionBy(col("cluster_id"))
+    labels.withColumn("cluster_size", count(lit(1)).over(w))
+  }
+
+  /** The corpus after cluster-level dedup: exactly one representative (the
+    * min doc_id — the cluster label) survives per near-dup cluster;
+    * singletons survive untouched. `n_merged` = docs the surviving row
+    * absorbed (1 for singletons). The cluster map is pair-bounded (small),
+    * so the enrichment join back onto the corpus broadcasts.
+    */
+  def clusterDedupKeep(docs: DataFrame, threshold: Double = 0.8,
+                       portable: Boolean = false): DataFrame = {
+    val clusters = dupClusters(minHashDedupPairs(docs, threshold, portable))
+    withPlantedDups(docs)
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), coalesce(col("cluster_size"), lit(1L)).as("n_merged"))
+  }
+
+  /** DuckDB CTEs computing the transitive closure of `dup_pairs` and the
+    * per-component min-label map — the oracle-side mirror of
+    * [[dupClusters]] (a recursive CTE reaches the same fixpoint the
+    * propagation loop does).
+    */
+  private val closureCtes: String =
+    """edges AS (SELECT a_id AS src, b_id AS dst FROM dup_pairs
+                 UNION ALL SELECT b_id, a_id FROM dup_pairs),
+       closure AS (
+         SELECT DISTINCT src, src AS dst FROM edges
+         UNION
+         SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+       ),
+       comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                FROM closure GROUP BY src)"""
+
+  /** Full DuckDB replication of [[dupClusters]] over the portable MinHash
+    * pair graph — the oracle for `q_doc_dup_clusters`.
+    */
+  def dupClustersOracleSql(k: Int = 16, bands: Int = 4, threshold: Double = 0.8,
+                           maxBucket: Int = 64): String =
+    s"""WITH RECURSIVE ${minHashPairCtes(k, bands, threshold, maxBucket)},
+       $closureCtes
+       SELECT comp.doc_id, comp.cluster_id, sz.cluster_size
+       FROM comp JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+                       FROM comp GROUP BY cluster_id) sz USING (cluster_id)"""
+
+  /** Full DuckDB replication of [[clusterDedupKeep]] — the oracle for
+    * `q_doc_cluster_dedup`.
+    */
+  def clusterDedupKeepOracleSql(k: Int = 16, bands: Int = 4,
+                                threshold: Double = 0.8,
+                                maxBucket: Int = 64): String =
+    s"""WITH RECURSIVE ${minHashPairCtes(k, bands, threshold, maxBucket)},
+       $closureCtes,
+       sz AS (SELECT cluster_id, COUNT(*) AS n_merged FROM comp GROUP BY cluster_id)
+       SELECT d.doc_id, COALESCE(sz.n_merged, 1) AS n_merged
+       FROM d
+       LEFT JOIN comp ON comp.doc_id = d.doc_id
+       LEFT JOIN sz ON sz.cluster_id = comp.cluster_id
+       WHERE comp.doc_id IS NULL OR comp.cluster_id = d.doc_id"""
 
   // -------------------------------------------------------------------
   // SimHash: 64-bit sign-of-weighted-bit-sums over token hashes

@@ -80,4 +80,47 @@ object TextAnalysis {
       (acc, w) => pmod(acc * 31 + length(w) * 17 + ascii(w), lit(1000000007L)))
     docs.select(col("doc_id"), fp.as("fingerprint"))
   }
+
+  // -------------------------------------------------------------------
+  // Deterministic train/val/test splits: salted-hash bucketing
+  // -------------------------------------------------------------------
+  /** Split assignment for training corpora. Each doc's split is a pure
+    * function of (doc_id, salt): bucket = portable-md5-hash(doc_id‖salt)
+    * mod 1000, split = first weight range the bucket falls in. Properties
+    * a per-row hash gives that `sample()`/RNG approaches do not:
+    *  - STABLE under corpus growth/reorder — a doc's split never depends
+    *    on other rows, so incremental corpus refreshes don't churn splits
+    *    (critical at 100 TB: re-splitting means re-materializing all three
+    *    outputs and invalidating downstream caches);
+    *  - reproducible in any engine with md5 (exact DuckDB oracle);
+    *  - changing the salt re-rolls every assignment in lockstep.
+    * Narrow map-only plan: no shuffle, no state, codegen'd.
+    *
+    * `weights` are per-mille (must sum to 1000): default 800/100/100.
+    */
+  def assignSplits(docs: DataFrame,
+                   weights: Seq[(String, Int)] =
+                     Seq("train" -> 800, "val" -> 100, "test" -> 100),
+                   salt: String = "graft-split-v1"): DataFrame = {
+    require(weights.map(_._2).sum == 1000, "split weights must sum to 1000")
+    val bucket = Dedup.md5Hash64(concat(col("doc_id").cast("string"), lit(salt))) % 1000
+    val cuts = weights.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val split = weights.zip(cuts).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), hi)) => coalesce(acc, when(bucket < hi, name))
+    }
+    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"), split.as("split"))
+  }
+
+  /** DuckDB mirror of [[assignSplits]] — the oracle for `q_doc_splits`. */
+  def assignSplitsOracleSql(weights: Seq[(String, Int)] =
+                              Seq("train" -> 800, "val" -> 100, "test" -> 100),
+                            salt: String = "graft-split-v1"): String = {
+    val bucket = Dedup.md5Hash64Sql(s"CAST(doc_id AS VARCHAR) || '$salt'") + " % 1000"
+    val cuts = weights.scanLeft(0)(_ + _._2).tail
+    val cases = weights.zip(cuts)
+      .map { case ((name, _), hi) => s"WHEN bucket < $hi THEN '$name'" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang, bucket, CASE $cases END AS split
+       FROM (SELECT doc_id, lang, $bucket AS bucket FROM documents)"""
+  }
 }

@@ -103,6 +103,58 @@ class DedupSpec extends SparkTestBase {
       .map(id => (id, id + 100000)).toSet
     assert((plantedPairs -- near).isEmpty)
   }
+
+  test("dupClusters: labels are the transitive-closure min, not the pair min") {
+    // 1-2, 2-3, 3-4: a chain whose closure needs multiple propagation
+    // rounds; 10-11 a separate component; 4-2 a redundant back edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (2L, 4L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.dupClusters(pairs)
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
+  test("dupClusters: a long chain converges within the iteration cap") {
+    val chain = (1L to 30L).sliding(2).map(w => (w.head, w.last)).toSeq
+      .toDF("a_id", "b_id")
+    val labels = Dedup.dupClusters(chain)
+      .select($"cluster_id").distinct().as[Long].collect()
+    assert(labels.toSeq == Seq(1L)) // one component, labeled by its min
+  }
+
+  test("clusterDedupKeep: one survivor per cluster, n_merged partitions the corpus") {
+    val kept = Dedup.clusterDedupKeep(docs, portable = true).cache()
+    val clusters = Dedup.dupClusters(
+      Dedup.minHashDedupPairs(docs, portable = true)).cache()
+    val planted = Dedup.withPlantedDups(docs).count()
+    // every cluster member except its representative was dropped
+    assert(kept.count() == planted - clusters.filter($"doc_id" =!= $"cluster_id").count())
+    // the survivors' merge counts add back up to the full corpus
+    assert(kept.agg(sum($"n_merged")).as[Long].head() == planted)
+    // a representative survives for every cluster
+    val reps = clusters.filter($"doc_id" === $"cluster_id").count()
+    assert(kept.filter($"n_merged" > 1).count() == reps)
+  }
+
+  test("assignSplits: deterministic, exhaustive, and stable under subsetting") {
+    import graft.data.TextAnalysis
+    val s1 = TextAnalysis.assignSplits(docs)
+    assert(s1.filter($"split".isNull).count() == 0)
+    val m1 = s1.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // per-mille weights roughly hold (hash-uniform; loose band)
+    val train = m1.values.count(_ == "train").toDouble / m1.size
+    assert(train > 0.7 && train < 0.9)
+    // subsetting the corpus does not move any doc's split (row-pure hash)
+    val m2 = TextAnalysis.assignSplits(docs.filter($"doc_id" % 3 === 0))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(m2.forall { case (id, sp) => m1(id) == sp })
+    // a different salt re-rolls at least some assignments
+    val m3 = TextAnalysis.assignSplits(docs, salt = "other-salt")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(m3.exists { case (id, sp) => m1(id) != sp })
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
@@ -138,6 +190,18 @@ class SimilaritySpec extends SparkTestBase {
         .maxBy(n => (cos(vecs(q), vecs(n)), -n))
       assert(spark1(q) == best, s"query $q")
     }
+  }
+
+  test("ivf nprobe=1 equals the argmax-cell search; nprobe=nlist equals brute force") {
+    val one = Similarity.ivfTopKProbe(emb, nprobe = 1)
+      .as[(Long, Int, Long)].collect().toSet
+    val argmax = Similarity.ivfTopK(emb).as[(Long, Int, Long)].collect().toSet
+    assert(one == argmax)
+    val nlist = Similarity.ivfCentroids(emb).size
+    val all = Similarity.ivfTopKProbe(emb, nprobe = nlist)
+      .as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb).as[(Long, Int, Long)].collect().toSet
+    assert(all == brute) // probing every cell = the exact search
   }
 
   test("cosine near-dups find every planted exact and nudged pair") {
