@@ -110,13 +110,19 @@ object Similarity {
     * Ties break to the smallest centroid id (fold visits centroids in
     * ascending id order and replaces only on a strictly better score).
     */
+  /** The coarse quantizer itself: every `stride`-th vector, collected once.
+    * Bounded driver/broadcast state (nlist rows — a trained FAISS index
+    * analog), never corpus-scale.
+    */
+  def ivfCentroids(emb: DataFrame, stride: Int = 31): Seq[(Long, Seq[Long])] =
+    emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").cast("long"), quantized(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+      .sortBy(_._1).toSeq
+
   def ivfCells(emb: DataFrame, stride: Int = 31): DataFrame = {
-    val centroids: Seq[(Long, Seq[Long])] =
-      emb.filter(col("vec_id") % stride === 0)
-        .select(col("vec_id").cast("long"), quantized(col("embedding")))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
-        .sortBy(_._1).toSeq
+    val centroids = ivfCentroids(emb, stride)
     val vecs = emb.select(col("vec_id"), quantized(col("embedding")).as("v"))
     // codegen argmax expression: tight long[] double loop, zero allocation —
     // an interpreted HOF fold here measured ~10× slower at ~200 centroids
@@ -137,6 +143,42 @@ object Similarity {
     val d = dot(col("q_vec"), col("n_vec"))
     val n2 = dot(col("n_vec"), col("n_vec"))
     val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosineRankScore(d, n2).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"))
+  }
+
+  /** IVF top-k with nprobe > 1: corpus vectors stay in exactly ONE cell
+    * (so no candidate appears twice), queries probe their `nprobe`
+    * highest-dot centroids — the standard recall/latency dial (FAISS
+    * `nprobe`). Probe-set construction is query-side only: nQueries ×
+    * nlist dot products over the broadcast centroid literal — never a
+    * corpus-side pass, so raising nprobe costs only candidate volume.
+    * With nprobe ≥ nlist the candidate set is the whole corpus and the
+    * result equals [[bruteForceTopK]] exactly (locked by a test).
+    */
+  def ivfTopKProbe(emb: DataFrame, k: Int = 3, nQueries: Int = 10,
+                   nprobe: Int = 2, stride: Int = 31): DataFrame = {
+    val centroids = ivfCentroids(emb, stride)
+    val cenLit = array(centroids.map { case (id, v) =>
+      struct(lit(id).as("c_id"), typedlit(v).as("c_vec")) }: _*)
+    val probes = emb.filter(col("vec_id") < nQueries).limit(nQueries)
+      .select(col("vec_id").as("q_id"), quantized(col("embedding")).as("q_vec"),
+        explode(cenLit).as("c"))
+      .select(col("q_id"), col("q_vec"), col("c.c_id").as("cell"),
+        dot(col("q_vec"), col("c.c_vec")).as("cs"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("cell"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+    val c = ivfCells(emb, stride)
+      .select(col("vec_id").as("n_id"), col("v").as("n_vec"), col("cell"))
+    val d = dot(col("q_vec"), col("n_vec"))
+    val n2 = dot(col("n_vec"), col("n_vec"))
+    val scored = c.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), cosineRankScore(d, n2).as("score"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
@@ -196,6 +238,28 @@ object Similarity {
          CAST(list_sum(list_transform(range(64), i -> q_vec[i+1] * c2.v[i+1])) AS BIGINT) AS dd,
          CAST(list_sum(list_transform(range(64), i -> c2.v[i+1] * c2.v[i+1])) AS BIGINT) AS n2
          FROM cells c2 JOIN q USING (cell) WHERE c2.vec_id <> q_id)
+       ${rankSql(k)}"""
+
+  /** Oracle for `q_embed_ivf_probe`: same cells, queries probe their
+    * `nprobe` highest-dot centroids.
+    */
+  def ivfTopkProbeOracleSql(k: Int = 3, nQueries: Int = 10, nprobe: Int = 2,
+                            stride: Int = 31): String =
+    s"""WITH e AS ($quantizedSql),
+       c AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id % $stride = 0),
+       scoredc AS (SELECT e.vec_id, e.v, c.c_id,
+         CAST(list_sum(list_transform(range(64), j -> e.v[j+1] * c.c_vec[j+1])) AS BIGINT) AS cs
+         FROM e, c),
+       cells AS (SELECT vec_id, v, c_id AS cell FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+         FROM scoredc) WHERE rn = 1),
+       probes AS (SELECT vec_id AS q_id, v AS q_vec, c_id AS cell FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+         FROM scoredc WHERE vec_id < $nQueries) WHERE rn <= $nprobe),
+       s AS (SELECT q_id, c2.vec_id AS n_id,
+         CAST(list_sum(list_transform(range(64), i -> q_vec[i+1] * c2.v[i+1])) AS BIGINT) AS dd,
+         CAST(list_sum(list_transform(range(64), i -> c2.v[i+1] * c2.v[i+1])) AS BIGINT) AS n2
+         FROM cells c2 JOIN probes USING (cell) WHERE c2.vec_id <> q_id)
        ${rankSql(k)}"""
 
   // -------------------------------------------------------------------
