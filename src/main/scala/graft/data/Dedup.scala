@@ -309,12 +309,18 @@ object Dedup {
     * deterministic, engine-independent.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist(MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // materialize the pair list ONCE before iterating: the upstream pair
+    // pipeline (LSH + verify, with its own persisted stages) must not sit
+    // under every loop action — a checkpointed edge list makes each round's
+    // lineage start from an in-memory relation
+    val fixed = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    val edges = fixed.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(fixed.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // seed with the 1-hop neighbor min (edges carry both directions, so one
+    // groupBy gives label(x) = min(x, neighbors(x)) — round 0 for free)
+    var labels = edges
+      .select(col("src").as("doc_id"), least(col("src"), col("dst")).as("cluster_id"))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
       .localCheckpoint()
     var it = 0
     var changed = 1L
@@ -324,19 +330,18 @@ object Dedup {
         .select(col("dst").as("doc_id"), col("cluster_id"))
         .unionByName(labels.select(col("doc_id"), col("cluster_id")))
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-      // pointer jump: label := label(label)
+      // pointer jump: label := label(label); carry the previous label so
+      // the convergence count is a scan of the cached relation, not a join
       val ptr = prop.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lab"))
       val next = prop.join(ptr, col("cluster_id") === col("p_id"), "left")
+        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), Seq("doc_id"))
         .select(col("doc_id"),
-          coalesce(col("p_lab"), col("cluster_id")).as("cluster_id"))
+          coalesce(col("p_lab"), col("cluster_id")).as("cluster_id"), col("prev"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
-        .filter(col("cluster_id") < col("prev")).count()
-      labels = next
+      changed = next.filter(col("cluster_id") < col("prev")).count()
+      labels = next.select(col("doc_id"), col("cluster_id"))
       it += 1
     }
-    edges.unpersist()
     // window over the converged label relation: cardinality = clustered
     // docs (bounded by 2×pairs), and it sits above the groupBy agg boundary
     val w = Window.partitionBy(col("cluster_id"))
