@@ -302,6 +302,11 @@ object Dedup {
     * optimizing, and codegen-ing it long before the data is big). On a
     * real cluster with lost-executor risk, swap for reliable
     * `checkpoint()` against the checkpoint dir — same contract.
+    * Checkpoint lifecycle: superseded rounds' blocks have no explicit
+    * unpersist API; the loop drops every reference as it advances (and the
+    * returned plan reads only the LAST round's RDD), so the ContextCleaner
+    * reclaims them after GC — cached-footprint ~2 label relations, not
+    * rounds×labels. The pair-list cache IS explicit (persist/unpersist).
     *
     * Input: (a_id, b_id) pair rows. Output: (doc_id, cluster_id,
     * cluster_size) for every doc appearing in ≥1 pair (singletons form no
@@ -311,9 +316,10 @@ object Dedup {
   def dupClusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
     // materialize the pair list ONCE before iterating: the upstream pair
     // pipeline (LSH + verify, with its own persisted stages) must not sit
-    // under every loop action — a checkpointed edge list makes each round's
-    // lineage start from an in-memory relation
-    val fixed = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    // under every loop action. persist (not checkpoint): the pair plan has
+    // constant depth, and persist gives an explicit unpersist at exit.
+    val fixed = pairs.select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = fixed.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(fixed.select(col("b_id").as("src"), col("a_id").as("dst")))
     // seed with the 1-hop neighbor min (edges carry both directions, so one
@@ -342,6 +348,12 @@ object Dedup {
       labels = next.select(col("doc_id"), col("cluster_id"))
       it += 1
     }
+    fixed.unpersist()
+    // a silently-unconverged result would be WRONG (labels not yet the
+    // component min), so refuse it — raise maxIter for pathological graphs
+    // (hop+jump covers diameters ~2^maxIter, far past any real dup chain)
+    require(changed == 0,
+      s"dupClusters did not converge in $maxIter rounds; raise maxIter")
     // window over the converged label relation: cardinality = clustered
     // docs (bounded by 2×pairs), and it sits above the groupBy agg boundary
     val w = Window.partitionBy(col("cluster_id"))

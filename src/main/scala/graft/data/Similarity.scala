@@ -98,21 +98,10 @@ object Similarity {
   // -------------------------------------------------------------------
   // IVF (inverted-file) ANN: coarse quantizer cells instead of hash buckets
   // -------------------------------------------------------------------
-  /** Deterministic coarse quantizer: every `stride`-th vector is a centroid
-    * (k-means would refine these; the partition/probe plumbing is identical).
-    *
-    * Scale shape: an IVF coarse quantizer is bounded driver/broadcast state
-    * (nlist centroids, like a trained FAISS index), so the centroid table is
-    * collected ONCE and shipped as a single array literal; cell assignment is
-    * a per-row argmax fold over that array — zero joins, zero shuffles, one
-    * narrow codegen pass over the corpus. (The previous cross-join shape
-    * shuffled |corpus|·|centroids| rows — a disguised cartesian product.)
-    * Ties break to the smallest centroid id (fold visits centroids in
-    * ascending id order and replaces only on a strictly better score).
-    */
-  /** The coarse quantizer itself: every `stride`-th vector, collected once.
+  /** The coarse quantizer: every `stride`-th vector, collected once.
     * Bounded driver/broadcast state (nlist rows — a trained FAISS index
-    * analog), never corpus-scale.
+    * analog; k-means would refine these, the partition/probe plumbing is
+    * identical), never corpus-scale.
     */
   def ivfCentroids(emb: DataFrame, stride: Int = 31): Seq[(Long, Seq[Long])] =
     emb.filter(col("vec_id") % stride === 0)
@@ -121,8 +110,17 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
       .sortBy(_._1).toSeq
 
-  def ivfCells(emb: DataFrame, stride: Int = 31): DataFrame = {
-    val centroids = ivfCentroids(emb, stride)
+  /** Cell assignment over a pre-collected quantizer.
+    *
+    * Scale shape: the centroid table is bounded driver/broadcast state, so
+    * it ships as a single array literal; cell assignment is a per-row
+    * argmax fold over that array — zero joins, zero shuffles, one narrow
+    * codegen pass over the corpus. (The previous cross-join shape shuffled
+    * |corpus|·|centroids| rows — a disguised cartesian product.)
+    * Ties break to the smallest centroid id (fold visits centroids in
+    * ascending id order and replaces only on a strictly better score).
+    */
+  def ivfCells(emb: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame = {
     val vecs = emb.select(col("vec_id"), quantized(col("embedding")).as("v"))
     // codegen argmax expression: tight long[] double loop, zero allocation —
     // an interpreted HOF fold here measured ~10× slower at ~200 centroids
@@ -130,6 +128,9 @@ object Similarity {
       centroids.map(_._1), centroids.map(_._2))
     vecs.select(col("vec_id"), cell.as("cell"), col("v"))
   }
+
+  def ivfCells(emb: DataFrame, stride: Int = 31): DataFrame =
+    ivfCells(emb, ivfCentroids(emb, stride))
 
   /** IVF top-k with nprobe=1: query searches only its own cell — the
     * candidate set shrinks by ~|cells|×, trading recall for a full-corpus
@@ -174,7 +175,7 @@ object Similarity {
         Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("cell"))))
       .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("cell"))
-    val c = ivfCells(emb, stride)
+    val c = ivfCells(emb, centroids)
       .select(col("vec_id").as("n_id"), col("v").as("n_vec"), col("cell"))
     val d = dot(col("q_vec"), col("n_vec"))
     val n2 = dot(col("n_vec"), col("n_vec"))
@@ -224,15 +225,22 @@ object Similarity {
   /** Oracle for `q_embed_ivf_topk`: stride centroids, argmax cell
     * assignment (ties → smallest centroid id), nprobe=1 search.
     */
-  def ivfTopkOracleSql(k: Int = 3, nQueries: Int = 10, stride: Int = 31): String =
-    s"""WITH e AS ($quantizedSql),
+  /** Shared CTE block: quantize, stride centroids, centroid scoring, and
+    * argmax cell assignment (ties → smallest centroid id) — both IVF
+    * oracles read these, so cell semantics cannot desynchronize.
+    */
+  private def ivfCellCtes(stride: Int): String =
+    s"""e AS ($quantizedSql),
        c AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id % $stride = 0),
        scoredc AS (SELECT e.vec_id, e.v, c.c_id,
          CAST(list_sum(list_transform(range(64), j -> e.v[j+1] * c.c_vec[j+1])) AS BIGINT) AS cs
          FROM e, c),
        cells AS (SELECT vec_id, v, c_id AS cell FROM (
          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
-         FROM scoredc) WHERE rn = 1),
+         FROM scoredc) WHERE rn = 1)"""
+
+  def ivfTopkOracleSql(k: Int = 3, nQueries: Int = 10, stride: Int = 31): String =
+    s"""WITH ${ivfCellCtes(stride)},
        q AS (SELECT vec_id AS q_id, v AS q_vec, cell FROM cells WHERE vec_id < $nQueries),
        s AS (SELECT q_id, c2.vec_id AS n_id,
          CAST(list_sum(list_transform(range(64), i -> q_vec[i+1] * c2.v[i+1])) AS BIGINT) AS dd,
@@ -245,14 +253,7 @@ object Similarity {
     */
   def ivfTopkProbeOracleSql(k: Int = 3, nQueries: Int = 10, nprobe: Int = 2,
                             stride: Int = 31): String =
-    s"""WITH e AS ($quantizedSql),
-       c AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id % $stride = 0),
-       scoredc AS (SELECT e.vec_id, e.v, c.c_id,
-         CAST(list_sum(list_transform(range(64), j -> e.v[j+1] * c.c_vec[j+1])) AS BIGINT) AS cs
-         FROM e, c),
-       cells AS (SELECT vec_id, v, c_id AS cell FROM (
-         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
-         FROM scoredc) WHERE rn = 1),
+    s"""WITH ${ivfCellCtes(stride)},
        probes AS (SELECT vec_id AS q_id, v AS q_vec, c_id AS cell FROM (
          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
          FROM scoredc WHERE vec_id < $nQueries) WHERE rn <= $nprobe),

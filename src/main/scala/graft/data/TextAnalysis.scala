@@ -115,10 +115,13 @@ object TextAnalysis {
   def assignSplitsOracleSql(weights: Seq[(String, Int)] =
                               Seq("train" -> 800, "val" -> 100, "test" -> 100),
                             salt: String = "graft-split-v1"): String = {
-    val bucket = Dedup.md5Hash64Sql(s"CAST(doc_id AS VARCHAR) || '$salt'") + " % 1000"
+    // SQL string-literal escape: a quote in the salt/name must not break
+    // (or worse, rewrite) the generated oracle
+    def q(s: String): String = s.replace("'", "''")
+    val bucket = Dedup.md5Hash64Sql(s"CAST(doc_id AS VARCHAR) || '${q(salt)}'") + " % 1000"
     val cuts = weights.scanLeft(0)(_ + _._2).tail
     val cases = weights.zip(cuts)
-      .map { case ((name, _), hi) => s"WHEN bucket < $hi THEN '$name'" }
+      .map { case ((name, _), hi) => s"WHEN bucket < $hi THEN '${q(name)}'" }
       .mkString(" ")
     s"""SELECT doc_id, lang, bucket, CASE $cases END AS split
        FROM (SELECT doc_id, lang, $bucket AS bucket FROM documents)"""
