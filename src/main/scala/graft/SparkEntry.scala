@@ -1342,6 +1342,12 @@ object SparkEntry {
     // deterministic salted-hash train/val/test assignment
     "q_doc_splits" -> ((s, d) =>
       TextAnalysis.assignSplits(TextAnalysis.documents(s, d))),
+    // benchmark-contamination gate: corpus docs sharing n-grams with the
+    // (broadcast) eval carve-out
+    "q_doc_contamination" -> ((s, d) => {
+      val (train, eval) = Dedup.contaminationEvalSplit(TextAnalysis.documents(s, d))
+      Dedup.contamination(train, eval, portable = true)
+    }),
     "q_embed_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Similarity.embeddings(s, d))),
     "q_embed_lsh_topk" -> ((s, d) =>
@@ -2929,6 +2935,8 @@ object SparkEntry {
       "q_doc_cluster_dedup" -> Dedup.clusterDedupKeepOracleSql(),
 
       "q_doc_splits" -> TextAnalysis.assignSplitsOracleSql(),
+
+      "q_doc_contamination" -> Dedup.contaminationOracleSql(),
 
       "q_embed_lsh_topk" -> Similarity.lshTopkOracleSql(),
 

@@ -89,6 +89,48 @@ object Dedup {
        range(greatest(len(string_split($c, ' ')) - $n, 0) + 1),
        i -> array_to_string(string_split($c, ' ')[i+1:i+$n], ' ')))"""
 
+  /** Hashed n-grams WITHOUT materializing shingle strings: one hash per
+    * WORD, then a bounded Horner combination per n-gram — at corpus scale
+    * the n-gram string build (slice + join + allocate per position)
+    * dominates the scan, while this is pure long arithmetic over a
+    * once-hashed word array. All operands < P < 2^30, every product
+    * < 2^47 — ANSI-safe. Missing trailing words (docs shorter than n)
+    * hash as 0 on both engines. portable=true uses the md5 word-hash
+    * family the DuckDB oracle reproduces bit-for-bit.
+    */
+  val ShingleA = 104729L
+
+  /** One bounded hash per word. MUST be materialized as its own column
+    * (its own projection) before [[shingleHashesFromWords]] reads it — a
+    * lambda that references this expression through element_at re-evaluates
+    * the ENTIRE word-hash transform per element (n× per shingle position:
+    * quadratic md5 work; measured 2.5 s → 50 s at sf0.1).
+    */
+  def wordHashes(text: Column, portable: Boolean = false): Column =
+    transform(split(text, " "),
+      w => pmod(if (portable) md5Hash64(w) else xxhash64(w), lit(P)))
+
+  /** Bounded-Horner n-gram hashes over a MATERIALIZED word-hash column. */
+  def shingleHashesFromWords(wh: Column, n: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(wh) - n, lit(0))),
+      i => (0 until n).foldLeft(lit(0L): Column)((acc, k) =>
+        pmod(acc * ShingleA + coalesce(element_at(wh, i + k + 1), lit(0L)), lit(P)))))
+
+  /** DuckDB mirror of [[shingleHashes]] (portable family) given a word-hash
+    * list column named `wh`.
+    */
+  def shingleHashesSql(n: Int = 3): String = {
+    val horner = (0 until n).foldLeft("CAST(0 AS BIGINT)")((acc, k) =>
+      s"(($acc) * $ShingleA + COALESCE(wh[CAST(i AS INT)+${k + 1}], 0)) % $P")
+    s"""list_distinct(list_transform(
+       range(greatest(len(wh) - $n, 0) + 1), i -> $horner))"""
+  }
+
+  /** The word-hash list feeding [[shingleHashesSql]], for column `c`. */
+  def wordHashesSql(c: String): String =
+    s"list_transform(string_split($c, ' '), w -> ${md5Hash64Sql("w")} % $P)"
+
   /** Jaccard similarity of planted near-dup pairs (candidates here come
     * from the planted id mapping; at scale candidates come from the LSH
     * bucketing below). Integer sizes + one exact division → no
@@ -150,6 +192,69 @@ object Dedup {
          SELECT rep AS a_id, doc_id AS b_id FROM sized
          WHERE bsz > $maxBucket AND doc_id <> rep
        )"""
+
+  // -------------------------------------------------------------------
+  // Eval-set contamination: n-gram overlap between corpus and eval docs
+  // -------------------------------------------------------------------
+  /** Benchmark-contamination check — the pre-training gate that finds
+    * training docs sharing verbatim n-grams with an eval/benchmark set.
+    *
+    * Scale shape: the EVAL side is small by construction (benchmarks are
+    * thousands of docs, the corpus is billions), so its exploded shingle
+    * table broadcasts; the corpus side is ONE scan + explode + broadcast
+    * hash join — no corpus-wide shuffle. The only exchange is the final
+    * (doc, eval) pair aggregate, whose cardinality is bounded by actual
+    * contamination, not corpus size. Counts count DISTINCT shared shingles
+    * (shingles() already dedups per doc, so a plain count is distinct).
+    *
+    * Output: (doc_id, eval_id, n_shared) for pairs sharing ≥ `minShared`
+    * n-grams.
+    */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                    minShared: Int = 2, portable: Boolean = false): DataFrame = {
+    // join on hashed n-grams ([[shingleHashes]]): the corpus probe side
+    // carries 8 bytes/row instead of n-gram text, the broadcast table
+    // hashes longs, and no shingle string is ever built. The hash IS the
+    // n-gram identity here (mod-P collisions conflate a pair's grams with
+    // probability ~|grams|²/P per pair) — the portable family makes the
+    // oracle replicate the identical hash math, so the check is exact.
+    val corpus = docs
+      .select(col("doc_id"), wordHashes(col("text"), portable).as("wh"))
+      .select(col("doc_id"), explode(shingleHashesFromWords(col("wh"), n)).as("sh"))
+    val eval = evalDocs
+      .select(col("doc_id").as("eval_id"), wordHashes(col("text"), portable).as("wh"))
+      .select(col("eval_id"), explode(shingleHashesFromWords(col("wh"), n)).as("sh"))
+    corpus.join(broadcast(eval), Seq("sh"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The deterministic eval-set carve-out used by `q_doc_contamination`:
+    * every 97th doc plays the benchmark (ids are disjoint from the planted
+    * +100k/+200k dup ranges, so overlaps are genuine text overlaps).
+    */
+  def contaminationEvalSplit(docs: DataFrame): (DataFrame, DataFrame) = {
+    val eval = docs.filter(col("doc_id") % 97 === 3)
+    val train = withPlantedDups(docs).join(eval.select("doc_id"), Seq("doc_id"), "left_anti")
+    (train, eval)
+  }
+
+  /** DuckDB replication of the contamination check over the same carve-out
+    * — the oracle for `q_doc_contamination`.
+    */
+  def contaminationOracleSql(n: Int = 3, minShared: Int = 2): String =
+    s"""WITH planted AS ($plantedSql),
+       ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
+       train AS (SELECT * FROM planted WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+       cwh AS (SELECT doc_id, ${wordHashesSql("text")} AS wh FROM train),
+       ewh AS (SELECT doc_id AS eval_id, ${wordHashesSql("text")} AS wh FROM ev),
+       csh AS (SELECT doc_id, UNNEST(${shingleHashesSql(n)}) AS sh FROM cwh),
+       esh AS (SELECT eval_id, UNNEST(${shingleHashesSql(n)}) AS sh FROM ewh)
+       SELECT c.doc_id, e.eval_id, COUNT(*) AS n_shared
+       FROM csh c JOIN esh e USING (sh)
+       GROUP BY c.doc_id, e.eval_id
+       HAVING COUNT(*) >= $minShared"""
 
   // -------------------------------------------------------------------
   // MinHash + LSH: shingle → k minhashes → b bands → bucket-join

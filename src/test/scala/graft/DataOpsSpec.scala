@@ -138,6 +138,23 @@ class DedupSpec extends SparkTestBase {
     assert(kept.filter($"n_merged" > 1).count() == reps)
   }
 
+  test("contamination: planted eval copies are caught; eval side broadcasts") {
+    val (train, eval) = Dedup.contaminationEvalSplit(docs)
+    val hits = Dedup.contamination(train, eval)
+    // exact planted copies of eval docs (base id %97==3 and %10==0 → its
+    // +100000 twin stays in train) must surface with full shingle overlap
+    val copied = eval.filter($"doc_id" % 10 === 0)
+      .select($"doc_id").as[Long].collect().toSet
+    val found = hits.filter($"n_shared" >= 3)
+      .select($"doc_id", $"eval_id").as[(Long, Long)].collect()
+    copied.foreach { id =>
+      assert(found.contains((id + 100000, id)), s"missed planted copy of eval doc $id")
+    }
+    // scale shape: the eval shingle side must broadcast, never shuffle the corpus
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
   test("assignSplits: deterministic, exhaustive, and stable under subsetting") {
     import graft.data.TextAnalysis
     val s1 = TextAnalysis.assignSplits(docs)
