@@ -116,6 +116,30 @@ class DedupSpec extends SparkTestBase {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("dupClusters matches a union-find cross-check on a pseudorandom graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = (1 to 400).map { _ =>
+      val a = rnd.nextInt(300).toLong; val b = rnd.nextInt(300).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    // reference union-find: larger root always points at smaller root, so
+    // find() yields the component min — dupClusters' label contract
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => (x, find(x))).toSet
+    val got = Dedup.dupClusters(pairs.toDF("a_id", "b_id"))
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("dupClusters: a long chain converges within the iteration cap") {
     val chain = (1L to 30L).sliding(2).map(w => (w.head, w.last)).toSeq
       .toDF("a_id", "b_id")
