@@ -527,6 +527,24 @@ object SparkEntry {
     // ------------------------- route plane -------------------------
     "q_route_counts" -> ((s, d) =>
       Router.tagged(t(s, d)).groupBy(col("route")).agg(count(lit(1)).as("n"))),
+    // topologyprocessor (topology.go:78-83, processor.go:105-146): request
+    // headers ride the relation as h_* columns; the route table keeps the
+    // LAST event time per distinct upstream gateway, and a row missing ANY
+    // of the four headers (or carrying an empty one) upserts nothing
+    "q_topology_routes" -> ((s, d) => {
+      val ch = Dedup.md5Hash64(col("conv_id")) // portable gateway-id source
+      val hdrs = t(s, d).select(col("ts"),
+        when(pmod(col("turn_idx"), lit(7)) =!= 0,
+          concat(lit("org-"), pmod(ch, lit(3)))).as("h_organization_id"),
+        when(pmod(col("turn_idx"), lit(11)) =!= 1,
+          concat(lit("acct-"), pmod(ch, lit(5)))).as("h_account_id"),
+        when(pmod(col("turn_idx"), lit(13)) === 2, lit(""))
+          .otherwise(concat(lit("cfg-"), pmod(ch, lit(2)))).as("h_configuration"),
+        when(col("role") === "tool", concat(lit("gw-"), col("tool")))
+          .otherwise(lit("gw-agent")).as("h_resource_name"))
+      Router.topologyRoutes(hdrs,
+        Router.GatewayInfo("org-self", "acct-self", "cfg-self", "gw-self"))
+    }),
     "q_route_errors_rows" -> ((s, d) =>
       Router.tagged(t(s, d)).filter(col("route") === "sink_errors")
         .select(col("conv_id"), col("turn_idx"), col("text"),
@@ -1963,6 +1981,28 @@ object SparkEntry {
 
       "q_route_counts" -> withTagged(
         "SELECT route, COUNT(*) AS n FROM tagged GROUP BY route"),
+
+      "q_topology_routes" -> Transcripts.withT(
+        """SELECT 'org-self' AS source_organization_id,
+           'acct-self' AS source_account_id,
+           'cfg-self' AS source_configuration,
+           'gw-self' AS source_gateway_id,
+           h_organization_id AS dest_organization_id,
+           h_account_id AS dest_account_id,
+           h_configuration AS dest_configuration,
+           h_resource_name AS dest_gateway_id,
+           max(ts) AS last_updated
+           FROM (SELECT ts,
+             CASE WHEN turn_idx % 7 <> 0 THEN 'org-' || (ch % 3) END AS h_organization_id,
+             CASE WHEN turn_idx % 11 <> 1 THEN 'acct-' || (ch % 5) END AS h_account_id,
+             CASE WHEN turn_idx % 13 = 2 THEN '' ELSE 'cfg-' || (ch % 2) END AS h_configuration,
+             CASE WHEN role = 'tool' THEN 'gw-' || tool ELSE 'gw-agent' END AS h_resource_name
+             FROM (SELECT *, CAST('0x' || substr(md5(conv_id), 1, 15) AS BIGINT) AS ch FROM t))
+           WHERE h_organization_id IS NOT NULL AND h_organization_id <> ''
+             AND h_account_id IS NOT NULL AND h_account_id <> ''
+             AND h_configuration IS NOT NULL AND h_configuration <> ''
+             AND h_resource_name IS NOT NULL AND h_resource_name <> ''
+           GROUP BY 5, 6, 7, 8"""),
 
       "q_route_errors_rows" -> withTagged(
         """SELECT conv_id, turn_idx, text, severity_number, severity_text

@@ -223,4 +223,54 @@ object Router {
     t.withColumn("host", coalesce(
       when(col("role") === "tool", concat(lit("tool-"), col("tool"))),
       lit(default)))
+
+  // -------------------------------------------------------------------
+  // topologyprocessor — gateway route table from request headers
+  // (processor/topologyprocessor/topology.go:33-83 TopoState/UpsertRoute,
+  //  processor.go:105-146 processTopologyHeaders)
+  // -------------------------------------------------------------------
+
+  /** A bindplane gateway source or destination (topology.go:42-51). */
+  case class GatewayInfo(organizationId: String, accountId: String,
+                         configuration: String, gatewayId: String)
+
+  /** The topology route table: each processor instance carries a static
+    * gateway SOURCE (its configuration's org/account/configuration plus its
+    * component id, processor.go:49-54) and upserts one route-table entry per
+    * DISTINCT upstream gateway seen in request headers — keyed by the
+    * four-header tuple, valued by the LAST time a message carrying ALL FOUR
+    * topology headers arrived (UpsertRoute stamps per arrival; the map key
+    * dedups). Rows missing any header — or carrying an empty one — are
+    * ignored entirely (processor.go:110-134: each absent header early-returns,
+    * and the upsert itself requires all four non-empty).
+    *
+    * Batch analog: headers ride the relation as `h_*` columns (the same
+    * modeling as the S3 notification plane), and "last detected" is the max
+    * EVENT time instead of the reference's wall-clock time.Now() — the
+    * deterministic analog, same deviation FIXTURES.md documents for the
+    * telemetry generator. One filter + one partial-agg groupBy whose
+    * cardinality is the distinct-gateway count (bounded control-plane state,
+    * exactly like the reference's in-memory RouteTable).
+    */
+  def topologyRoutes(headers: DataFrame, source: GatewayInfo): DataFrame = {
+    val all = Seq("h_organization_id", "h_account_id", "h_configuration",
+      "h_resource_name")
+      .map(c => col(c).isNotNull && col(c) =!= "")
+      .reduce(_ && _)
+    headers.filter(all)
+      .groupBy(
+        col("h_organization_id").as("dest_organization_id"),
+        col("h_account_id").as("dest_account_id"),
+        col("h_configuration").as("dest_configuration"),
+        col("h_resource_name").as("dest_gateway_id"))
+      .agg(max(col("ts")).as("last_updated"))
+      .select(
+        lit(source.organizationId).as("source_organization_id"),
+        lit(source.accountId).as("source_account_id"),
+        lit(source.configuration).as("source_configuration"),
+        lit(source.gatewayId).as("source_gateway_id"),
+        col("dest_organization_id"), col("dest_account_id"),
+        col("dest_configuration"), col("dest_gateway_id"),
+        col("last_updated"))
+  }
 }

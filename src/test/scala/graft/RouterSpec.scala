@@ -87,4 +87,27 @@ class RouterSpec extends SparkTestBase {
     assert(counts.values.sum == turns.size)
     Bench.deleteRec(out)
   }
+
+  test("topology routes: all-four-headers gate, last-seen wins per gateway") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val rows = Seq(
+      // same gateway seen twice → ONE row, max ts (UpsertRoute map-key dedup)
+      (ts(10), "o1", "a1", "c1", "g1"),
+      (ts(20), "o1", "a1", "c1", "g1"),
+      // a second gateway
+      (ts(15), "o2", "a2", "c2", "g2"),
+      // each of the four headers absent or empty → ignored entirely
+      (ts(99), null, "a1", "c1", "g1"),
+      (ts(99), "o1", "", "c1", "g1"),
+      (ts(99), "o1", "a1", null, "g1"),
+      (ts(99), "o1", "a1", "c1", ""))
+      .toDF("ts", "h_organization_id", "h_account_id", "h_configuration",
+        "h_resource_name")
+    val got = Router.topologyRoutes(rows,
+      Router.GatewayInfo("org", "acct", "cfg", "gw"))
+      .select($"dest_organization_id", $"dest_gateway_id", $"last_updated")
+      .as[(String, String, Timestamp)].collect().toSet
+    assert(got == Set(("o1", "g1", ts(20)), ("o2", "g2", ts(15))))
+  }
 }
