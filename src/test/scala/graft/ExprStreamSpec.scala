@@ -849,6 +849,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("contamination gate streams: stream-static broadcast join, batch parity") {
+    import graft.data.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("stream_contam").toString
+    val docs = TextAnalysis.documents(spark, sfDir)
+    val (train, eval) = Dedup.contaminationEvalSplit(docs)
+    val batch = Dedup.contamination(train, eval)
+      .as[(Long, Long, Long)].collect().toSet
+    // the corpus arrives as a stream; the eval set stays a static broadcast
+    // side — the canonical stream-static join, no stream-side state
+    train.write.parquet(base + "/in")
+    val streamTrain = spark.readStream.schema(train.schema).parquet(base + "/in")
+    val q = Dedup.contamination(streamTrain, eval)
+      .writeStream.format("memory").queryName("contam_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("contam_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally {
+      q.stop()
+      Bench.deleteRec(base)
+    }
+  }
+
   test("typed datapoint count: watermarked windows finalize per metric_type") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
