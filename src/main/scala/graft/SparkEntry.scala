@@ -1983,7 +1983,7 @@ object SparkEntry {
         "SELECT route, COUNT(*) AS n FROM tagged GROUP BY route"),
 
       "q_topology_routes" -> Transcripts.withT(
-        """SELECT 'org-self' AS source_organization_id,
+        s"""SELECT 'org-self' AS source_organization_id,
            'acct-self' AS source_account_id,
            'cfg-self' AS source_configuration,
            'gw-self' AS source_gateway_id,
@@ -1997,7 +1997,7 @@ object SparkEntry {
              CASE WHEN turn_idx % 11 <> 1 THEN 'acct-' || (ch % 5) END AS h_account_id,
              CASE WHEN turn_idx % 13 = 2 THEN '' ELSE 'cfg-' || (ch % 2) END AS h_configuration,
              CASE WHEN role = 'tool' THEN 'gw-' || tool ELSE 'gw-agent' END AS h_resource_name
-             FROM (SELECT *, CAST('0x' || substr(md5(conv_id), 1, 15) AS BIGINT) AS ch FROM t))
+             FROM (SELECT *, ${Dedup.md5Hash64Sql("conv_id")} AS ch FROM t))
            WHERE h_organization_id IS NOT NULL AND h_organization_id <> ''
              AND h_account_id IS NOT NULL AND h_account_id <> ''
              AND h_configuration IS NOT NULL AND h_configuration <> ''

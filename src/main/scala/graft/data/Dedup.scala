@@ -94,9 +94,11 @@ object Dedup {
     * the n-gram string build (slice + join + allocate per position)
     * dominates the scan, while this is pure long arithmetic over a
     * once-hashed word array. All operands < P < 2^30, every product
-    * < 2^47 — ANSI-safe. Missing trailing words (docs shorter than n)
-    * hash as 0 on both engines. portable=true uses the md5 word-hash
-    * family the DuckDB oracle reproduces bit-for-bit.
+    * < 2^47 — ANSI-safe. Missing trailing words (docs shorter than n) hash
+    * as 0 on both engines — via `get()` (0-based, null past the end), NOT
+    * `element_at`, which THROWS out-of-bounds under Spark 4's default ANSI
+    * mode before coalesce ever sees a null. portable=true uses the md5
+    * word-hash family the DuckDB oracle reproduces bit-for-bit.
     */
   val ShingleA = 104729L
 
@@ -115,7 +117,7 @@ object Dedup {
     array_distinct(transform(
       sequence(lit(0), greatest(size(wh) - n, lit(0))),
       i => (0 until n).foldLeft(lit(0L): Column)((acc, k) =>
-        pmod(acc * ShingleA + coalesce(element_at(wh, i + k + 1), lit(0L)), lit(P)))))
+        pmod(acc * ShingleA + coalesce(get(wh, i + k), lit(0L)), lit(P)))))
 
   /** DuckDB mirror of [[shingleHashes]] (portable family) given a word-hash
     * list column named `wh`.

@@ -174,9 +174,23 @@ class DedupSpec extends SparkTestBase {
     copied.foreach { id =>
       assert(found.contains((id + 100000, id)), s"missed planted copy of eval doc $id")
     }
-    // scale shape: the eval shingle side must broadcast, never shuffle the corpus
+    // scale shape: the eval shingle side must broadcast, never shuffle the
+    // corpus — the train-side anti-join also broadcasts, so a positive
+    // BroadcastHashJoin match alone could mask a shingle-join regression;
+    // additionally require that NO join in the plan sort-merges
     val plan = hits.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(500))
+  }
+
+  test("shingle hashes: docs shorter than n hash without error (ANSI get() path)") {
+    val tiny = Seq((1L, "solo"), (2L, "two words"), (3L, "three word doc"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.wordHashes($"text", portable = true).as("wh"))
+      .select($"doc_id", Dedup.shingleHashesFromWords($"wh").as("sh"))
+    val got = tiny.as[(Long, Seq[Long])].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.forall(s => s.nonEmpty && s.forall(h => h >= 0 && h < Dedup.P)))
   }
 
   test("assignSplits: deterministic, exhaustive, and stable under subsetting") {
