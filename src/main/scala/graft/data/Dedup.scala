@@ -119,8 +119,8 @@ object Dedup {
       i => (0 until n).foldLeft(lit(0L): Column)((acc, k) =>
         pmod(acc * ShingleA + coalesce(get(wh, i + k), lit(0L)), lit(P)))))
 
-  /** DuckDB mirror of [[shingleHashes]] (portable family) given a word-hash
-    * list column named `wh`.
+  /** DuckDB mirror of [[shingleHashesFromWords]] (portable family) given a
+    * word-hash list column named `wh`.
     */
   def shingleHashesSql(n: Int = 3): String = {
     val horner = (0 until n).foldLeft("CAST(0 AS BIGINT)")((acc, k) =>
@@ -423,10 +423,12 @@ object Dedup {
   def dupClusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
     // materialize the pair list ONCE before iterating: the upstream pair
     // pipeline (LSH + verify, with its own persisted stages) must not sit
-    // under every loop action. persist (not checkpoint): the pair plan has
-    // constant depth, and persist gives an explicit unpersist at exit.
-    val fixed = pairs.select(col("a_id"), col("b_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // under every loop action. localCheckpoint, NOT persist: persist caches
+    // the DATA but every loop action still re-analyzes and re-optimizes the
+    // full upstream plan (measured 3-4× slower loop); the checkpoint cuts
+    // the plan to a leaf. Lifecycle matches the loop relations (reclaimed
+    // by the ContextCleaner once the returned plan drops the reference).
+    val fixed = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
     val edges = fixed.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(fixed.select(col("b_id").as("src"), col("a_id").as("dst")))
     // seed with the 1-hop neighbor min (edges carry both directions, so one
@@ -455,7 +457,7 @@ object Dedup {
       labels = next.select(col("doc_id"), col("cluster_id"))
       it += 1
     }
-    fixed.unpersist()
+
     // a silently-unconverged result would be WRONG (labels not yet the
     // component min), so refuse it — raise maxIter for pathological graphs
     // (hop+jump covers diameters ~2^maxIter, far past any real dup chain)
