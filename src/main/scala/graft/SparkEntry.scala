@@ -531,6 +531,17 @@ object SparkEntry {
     // headers ride the relation as h_* columns; the route table keeps the
     // LAST event time per distinct upstream gateway, and a row missing ANY
     // of the four headers (or carrying an empty one) upserts nothing
+    // randomfailureprocessor (processor.go:48-67): the deterministic
+    // failure schedule itself — which consume batches would error at
+    // failure_rate 0.25 (2^58/2^60 exactly), seed "graft", attempt 0.
+    // The retry-resilience behavior is locked by ResumeSpec.
+    "q_random_failure" -> ((s, d) => {
+      val thr = 288230376151711744L // 2^58 = 0.25 × 2^60, exact in double
+      val pid = date_format(col("ts").cast("timestamp"), "yyyy-MM-dd-HH")
+      t(s, d).select(pid.as("batch_id")).distinct()
+        .withColumn("would_fail",
+          Dedup.md5Hash64(concat(lit("graft|"), col("batch_id"), lit("|0"))) < thr)
+    }),
     "q_topology_routes" -> ((s, d) => {
       val ch = Dedup.md5Hash64(col("conv_id")) // portable gateway-id source
       val hdrs = t(s, d).select(col("ts"),
@@ -1981,6 +1992,12 @@ object SparkEntry {
 
       "q_route_counts" -> withTagged(
         "SELECT route, COUNT(*) AS n FROM tagged GROUP BY route"),
+
+      "q_random_failure" -> Transcripts.withT(
+        s"""SELECT batch_id,
+           (${Dedup.md5Hash64Sql("'graft|' || batch_id || '|0'")}
+             < 288230376151711744) AS would_fail
+           FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d-%H') AS batch_id FROM t)"""),
 
       "q_topology_routes" -> Transcripts.withT(
         s"""SELECT 'org-self' AS source_organization_id,

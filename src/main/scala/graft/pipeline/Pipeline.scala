@@ -215,7 +215,8 @@ object PipelineRunner {
   def run(spark: SparkSession, spec: Pipeline.PipelineSpec,
           inputPath: String, outRoot: String,
           groupSize: Int = 24, strategy: String = "partitioned",
-          maxRecordsPerFile: Long = 5000000L): RunReport = {
+          maxRecordsPerFile: Long = 5000000L,
+          failure: Option[RandomFailure] = None, attempt: Int = 0): RunReport = {
     // batchprocessor send_batch_size analogue (manifest.yaml:86): output
     // batches are bounded by capping records per written file
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -243,6 +244,10 @@ object PipelineRunner {
     }
 
     todo.grouped(groupSize).foreach { group =>
+      // randomfailureprocessor injection point: per consume call (= per
+      // batch group here), BEFORE any work — a failed draw aborts the run
+      // with committed state intact, and the caller's retry re-draws
+      failure.foreach(_.check(group.mkString(","), attempt))
       val t0 = System.nanoTime()
       // one pruned scan for the whole group
       val paths = group.map(p => s"$inputPath/$p")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.model.Transcripts
-import graft.pipeline.{Manifest, Pipeline, PipelineRunner}
+import graft.pipeline.{Manifest, Pipeline, PipelineRunner, RandomFailure}
 
 class PipelineSpec extends SparkTestBase {
   import Pipeline._
@@ -198,6 +198,60 @@ class ResumeSpec extends SparkTestBase {
     }.toMap
     assert(sinkRows.values.sum == resumed.rowsIn)
     assert(resumed.rowsIn < fullCounts.values.sum)
+    Bench.deleteRec(base)
+  }
+
+  test("random failure: config validation, deterministic schedule, retry re-draws") {
+    intercept[IllegalArgumentException](RandomFailure(failureRate = 1.5))
+    intercept[IllegalArgumentException](RandomFailure(errorMessage = ""))
+    val rf = RandomFailure(0.25, seed = "graft")
+    // frequency ≈ rate over many batch ids (hash-uniform; loose band)
+    val hits = (1 to 2000).count(i => rf.draw(s"b$i") < 0.25)
+    assert(hits > 380 && hits < 620, s"got $hits")
+    // deterministic per (batch, attempt); retries RE-DRAW
+    assert(rf.draw("b1", 0) == rf.draw("b1", 0))
+    assert((1 to 20).exists(a => (rf.draw("b1", a) < 0.25) != (rf.draw("b1", 0) < 0.25)))
+    // rate 0 never throws; rate 1 always does
+    RandomFailure(0.0).check("x")
+    intercept[RuntimeException](RandomFailure(1.0).check("x"))
+    // the Scala draw and the q_random_failure threshold compare agree
+    // (2^58 is 0.25 × 2^60 exactly, so double and long compares coincide)
+    (1 to 100).foreach { i =>
+      val id = s"2024-01-01-$i"
+      assert((rf.draw(id, 0) < 0.25) ==
+        (RandomFailure.hash60(s"graft|$id|0") < 288230376151711744L))
+    }
+  }
+
+  test("random failure: retries through the manifest plane complete the run, no double-writes") {
+    val base = java.nio.file.Files.createTempDirectory("rfail").toString
+    val input = s"$base/in"
+    Transcripts.writePartitioned(
+      Transcripts.generate(spark, nTurns = 20000, nConvs = 50), input)
+    // baseline without injection
+    val full = PipelineRunner.run(spark, Pipeline.Canonical, input, s"$base/ref",
+      groupSize = 2)
+    // injected: each attempt fails at the first unlucky group; committed
+    // groups survive, the retry resumes past them and re-draws
+    val rf = RandomFailure(0.5, seed = "retry-test")
+    var attempt = 0
+    var done: Option[PipelineRunner.RunReport] = None
+    var failures = 0
+    while (done.isEmpty && attempt < 60) {
+      try done = Some(PipelineRunner.run(spark, Pipeline.Canonical, input,
+        s"$base/out", groupSize = 2, failure = Some(rf), attempt = attempt))
+      catch {
+        case e: RuntimeException if e.getMessage == "random failure" =>
+          failures += 1; attempt += 1
+      }
+    }
+    assert(done.nonEmpty, s"never completed after $attempt attempts")
+    assert(failures > 0, "fixture must exercise at least one injected failure")
+    val refRows = Pipeline.Canonical.sinks.map(s =>
+      spark.read.parquet(PipelineRunner.sinkPath(s"$base/ref", s)).count()).sum
+    val outRows = Pipeline.Canonical.sinks.map(s =>
+      spark.read.parquet(PipelineRunner.sinkPath(s"$base/out", s)).count()).sum
+    assert(outRows == refRows) // exactly-once across all failed attempts
     Bench.deleteRec(base)
   }
 
