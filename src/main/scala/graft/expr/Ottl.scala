@@ -65,7 +65,7 @@ object Ottl {
     (s.take(open).trim, s.substring(open + 1, close), cond)
   }
 
-  private def splitArgs(s: String): Seq[String] = {
+  private[graft] def splitArgs(s: String): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer[String]()
     var depth = 0; var quote: Char = 0; val cur = new StringBuilder
     s.foreach { c =>
@@ -86,7 +86,7 @@ object Ottl {
   /** OTTL glob patterns (replace_match family): `*` and `?` wildcards over
     * the WHOLE value — anchored, everything else literal.
     */
-  private def globToRegex(glob: String): String =
+  private[graft] def globToRegex(glob: String): String =
     "^" + glob.flatMap {
       case '*' => ".*"
       case '?' => "."

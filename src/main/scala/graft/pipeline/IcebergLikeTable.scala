@@ -63,10 +63,10 @@ class IcebergLikeTable(root: String) extends TableFormat {
   // inside a partition name would keep the metadata line from ever
   // re-matching FieldRe (Java '.' excludes \n), bricking every later read,
   // and would split a manifest entry in two
-  private def esc(s: String): String =
+  private[graft] def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                 case '\n' => "\\n"; case '\r' => "\\r"; case c => c.toString }
-  private def unesc(s: String): String =
+  private[graft] def unesc(s: String): String =
     """\\(.)""".r.replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement(m.group(1) match {
         case "n" => "\n"; case "r" => "\r"; case other => other
