@@ -197,11 +197,14 @@ object ParseOps {
           case None => throw new IllegalArgumentException(
             s"unsupported strptime directive '$d' in: $layout")
         }
-      } else if (layout(i).isLetter) {
-        // quote the whole literal run (see gotimeToJava note)
+      } else if (layout(i).isLetter || layout(i) == '\'') {
+        // quote the whole literal run (see gotimeToJava note); quotes are
+        // part of the run — emitting them as separate atoms would merge
+        // with an adjacent quoted section and miscount
         var end = i + 1
-        while (end < layout.length && layout(end).isLetter) end += 1
-        out ++= "'" + layout.substring(i, end) + "'"
+        while (end < layout.length &&
+          (layout(end).isLetter || layout(end) == '\'')) end += 1
+        out ++= "'" + layout.substring(i, end).replace("'", "''") + "'"
         i = end
       } else { out += layout(i); i += 1 }
     }
@@ -239,14 +242,20 @@ object ParseOps {
         case Some((tok, pat)) => out ++= pat; i += tok.length
         case None =>
           val c = layout(i)
-          if (c.isLetter) {
+          if (c.isLetter || c == '\'') {
             // quote the whole literal run ('UTC', not 'U''T''C' — adjacent
-            // quoted sections read '' as an ESCAPED quote character)
+            // quoted sections read '' as an ESCAPED quote character).
+            // Literal quotes (no escaping exists in Go layouts) join the
+            // run and double inside the ONE quoted section — a bare quote
+            // would open a section and swallow the following tokens, and
+            // separately-emitted quote atoms merge with a neighboring
+            // section and miscount
             var end = i + 1
-            while (end < layout.length && layout(end).isLetter &&
+            while (end < layout.length &&
+              (layout(end).isLetter || layout(end) == '\'') &&
               GotimeTokens.forall { case (tok, _) => !layout.startsWith(tok, end) })
               end += 1
-            out ++= "'" + layout.substring(i, end) + "'"
+            out ++= "'" + layout.substring(i, end).replace("'", "''") + "'"
             i = end
           } else { out += c; i += 1 }
       }

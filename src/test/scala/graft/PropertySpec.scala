@@ -106,6 +106,62 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // --- gotime layout translation ----------------------------------------
+
+  // independent Go-side formatter for the reference instant: pure token
+  // substitution over the SAME reference-time notation, so the property
+  // cross-checks gotimeToJava rather than sharing its table
+  private val RefInstant = java.time.LocalDateTime.of(2024, 3, 7, 9, 8, 6)
+  private val GoSubst = Seq(
+    "2006" -> "2024", "Jan" -> "Mar", "Mon" -> "Thu",
+    "15" -> "09", "01" -> "03", "02" -> "07", "04" -> "08", "05" -> "06")
+  private def goFormat(layout: String): String = {
+    val out = new StringBuilder; var i = 0
+    while (i < layout.length) {
+      GoSubst.find { case (tok, _) => layout.startsWith(tok, i) } match {
+        case Some((tok, v)) => out ++= v; i += tok.length
+        case None => out += layout(i); i += 1
+      }
+    }
+    out.result()
+  }
+
+  // literal letters that start no Go token and merge into no token;
+  // separators exclude digits (would fuse with digit tokens)
+  private val litRun: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf('T', 'a', 't', 'k', 'x', 'q', 'w', 'e'))
+      .map(_.take(4).mkString)
+  private val sep: Gen[String] = Gen.oneOf(
+    Gen.oneOf("-", "/", ".", ",", ":", " ", "'", "' '", "@"), litRun)
+  private val goLayout: Gen[String] = for {
+    s <- Gen.listOfN(7, sep)
+  } yield List("2006", "01", "02", "15", "04", "05")
+    .zip(s).map { case (t, x) => t + x }.mkString + s.last
+
+  test("gotimeToJava parses Go-formatted output back to the instant") {
+    // NoShrink: shrinking mutates the string outside the generator's
+    // token invariants (an empty layout is not a valid case)
+    check("gotime round-trip", Prop.forAllNoShrink(goLayout) { layout =>
+      val f = java.time.format.DateTimeFormatter
+        .ofPattern(graft.parse.ParseOps.gotimeToJava(layout),
+          java.util.Locale.US)
+      java.time.LocalDateTime.parse(goFormat(layout), f) == RefInstant
+    })
+  }
+
+  test("literal quotes in gotime/strptime layouts escape, not quote-start") {
+    // the probe case that found the bug: 2006'01'02 must parse month DIGITS
+    // between literal quotes, not the literal text "MM"
+    val f = java.time.format.DateTimeFormatter
+      .ofPattern(graft.parse.ParseOps.gotimeToJava("2006'01'02"))
+    assert(java.time.LocalDate.parse("2024'03'07", f) ==
+      java.time.LocalDate.of(2024, 3, 7))
+    val g = java.time.format.DateTimeFormatter
+      .ofPattern(graft.parse.ParseOps.strptimeToJava("%Y'%m'%d"))
+    assert(java.time.LocalDate.parse("2024'03'07", g) ==
+      java.time.LocalDate.of(2024, 3, 7))
+  }
+
   // --- RandomFailure Bernoulli hash ------------------------------------
 
   test("hash60 stays in [0, 2^60) and draw in [0, 1) for any input") {
