@@ -149,6 +149,39 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  private val StrptimeSubst = Seq(
+    "%Y" -> "2024", "%m" -> "03", "%d" -> "07",
+    "%H" -> "09", "%M" -> "08", "%S" -> "06")
+  private def strptimeFormat(layout: String): String = {
+    val out = new StringBuilder; var i = 0
+    while (i < layout.length) {
+      StrptimeSubst.find { case (d, _) => layout.startsWith(d, i) } match {
+        case Some((d, v)) => out ++= v; i += d.length
+        case None => out += layout(i); i += 1
+      }
+    }
+    out.result()
+  }
+  // strptime literal runs may use any letter except a directive following
+  // '%' — the generator never emits '%', so the whole letter space is safe
+  private val strpLit: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaChar).map(_.take(4).mkString)
+  private val strpSep: Gen[String] = Gen.oneOf(
+    Gen.oneOf("-", "/", ".", ",", ":", " ", "'", "' '", "T"), strpLit)
+  private val strpLayout: Gen[String] = for {
+    s <- Gen.listOfN(7, strpSep)
+  } yield List("%Y", "%m", "%d", "%H", "%M", "%S")
+    .zip(s).map { case (t, x) => t + x }.mkString + s.last
+
+  test("strptimeToJava parses strptime-formatted output back to the instant") {
+    check("strptime round-trip", Prop.forAllNoShrink(strpLayout) { layout =>
+      val f = java.time.format.DateTimeFormatter
+        .ofPattern(graft.parse.ParseOps.strptimeToJava(layout),
+          java.util.Locale.US)
+      java.time.LocalDateTime.parse(strptimeFormat(layout), f) == RefInstant
+    })
+  }
+
   test("literal quotes in gotime/strptime layouts escape, not quote-start") {
     // the probe case that found the bug: 2006'01'02 must parse month DIGITS
     // between literal quotes, not the literal text "MM"
