@@ -214,3 +214,83 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 }
+
+/** Random linear operator chains through `ExprLang.valueExpr` against an
+  * independent two-level precedence evaluator — the oracle corpus pins
+  * fixed expressions (q_expr_arithmetic); this pins the precedence and
+  * associativity RULES across the operator space. All samples evaluate in
+  * one Spark query over a single row, so the suite stays cheap.
+  */
+class ExprArithmeticPropertySpec extends SparkTestBase {
+  import graft.expr.ExprLang
+
+  private def render(lits: Seq[Long], ops: Seq[String]): String =
+    lits.head.toString + ops.zip(lits.tail).map { case (o, l) =>
+      s" $o $l" // a negative literal renders as unary minus: "3 - -4"
+    }.mkString
+
+  /** Reference eval: one left-to-right pass folding the tight level
+    * (* % /), then a second pass over the loose level (+ -). `/` promotes
+    * to double (expr-lang float division); everything else stays in the
+    * operands' reached type — exactly the documented engine semantics.
+    */
+  private def reference(lits: Seq[Long], ops: Seq[String]): Any = {
+    val vs = scala.collection.mutable.ArrayBuffer[Any](lits.head)
+    val loose = scala.collection.mutable.ArrayBuffer[String]()
+    def num(a: Any): Double = a match {
+      case l: Long => l.toDouble; case d: Double => d
+    }
+    ops.zip(lits.tail).foreach { case (o, r) =>
+      o match {
+        case "*" => vs(vs.length - 1) = vs.last match {
+          case l: Long => l * r; case d: Double => d * r
+        }
+        case "%" => vs(vs.length - 1) = vs.last match {
+          case l: Long => l % r; case d: Double => d % r
+        }
+        case "/" => vs(vs.length - 1) = num(vs.last) / r
+        case o2 => loose += o2; vs += r
+      }
+    }
+    var acc = vs.head
+    loose.indices.foreach { i =>
+      val r = vs(i + 1)
+      acc = (acc, r, loose(i)) match {
+        case (a: Long, b: Long, "+") => a + b
+        case (a: Long, b: Long, "-") => a - b
+        case (a, b, "+") => num(a) + num(b)
+        case (a, b, "-") => num(a) - num(b)
+      }
+    }
+    acc
+  }
+
+  private def runChains(opSet: Array[String], seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val samples = (1 to 150).map { _ =>
+      val n = 2 + rnd.nextInt(7)
+      val lits = Seq.fill(n)(
+        (if (rnd.nextInt(4) == 0) -1L else 1L) * (1 + rnd.nextInt(9)))
+      val ops = Seq.fill(n - 1)(opSet(rnd.nextInt(opSet.length)))
+      (render(lits, ops), reference(lits, ops))
+    }
+    val cols = samples.zipWithIndex.map { case ((src, _), i) =>
+      ExprLang.valueExpr(src, Set.empty).as(s"e$i")
+    }
+    val row = spark.range(1).select(cols: _*).head()
+    samples.zipWithIndex.foreach { case ((src, expect), i) =>
+      val got = row.get(i)
+      assert(got == expect,
+        s"'$src': engine=$got (${got.getClass.getSimpleName}) " +
+          s"reference=$expect (${expect.getClass.getSimpleName})")
+    }
+  }
+
+  test("int chains (+ - * %) match the reference evaluator exactly") {
+    runChains(Array("+", "-", "*", "%"), seed = 42)
+  }
+
+  test("float-division chains (+ - * /) match bit-for-bit") {
+    runChains(Array("+", "-", "*", "/"), seed = 7)
+  }
+}
