@@ -293,4 +293,46 @@ class ExprArithmeticPropertySpec extends SparkTestBase {
   test("float-division chains (+ - * /) match bit-for-bit") {
     runChains(Array("+", "-", "*", "/"), seed = 7)
   }
+
+  test("boolean chains (not > and > or, comparison atoms) match") {
+    // atoms are integer comparisons with optional '!'/'not' prefixes,
+    // joined by a random and/or chain; reference: one pass folding the
+    // and-level, then the or-level (left-assoc, as expr-lang)
+    val rnd = new scala.util.Random(11)
+    val cmps = Array("==", "!=", "<", "<=", ">", ">=")
+    val samples = (1 to 150).map { _ =>
+      val n = 1 + rnd.nextInt(5)
+      val atoms = Seq.fill(n) {
+        val (a, b) = (rnd.nextInt(4), rnd.nextInt(4))
+        val c = cmps(rnd.nextInt(cmps.length))
+        val neg = rnd.nextInt(3) == 0
+        val v = c match {
+          case "==" => a == b; case "!=" => a != b; case "<" => a < b
+          case "<=" => a <= b; case ">" => a > b; case ">=" => a >= b
+        }
+        val negTok = if (rnd.nextBoolean()) "!" else "not "
+        ((if (neg) negTok else "") + s"$a $c $b", if (neg) !v else v)
+      }
+      val joins = Seq.fill(n - 1)(
+        if (rnd.nextBoolean()) ("&&", "and") else ("||", "or"))
+      val src = atoms.head._1 + joins.zip(atoms.tail).map { case (j, a) =>
+        s" ${if (rnd.nextBoolean()) j._1 else j._2} ${a._1}"
+      }.mkString
+      // fold ands first, then ors
+      val vs = scala.collection.mutable.ArrayBuffer(atoms.head._2)
+      val ors = scala.collection.mutable.ArrayBuffer[Unit]()
+      joins.map(_._1).zip(atoms.tail.map(_._2)).foreach {
+        case ("&&", v) => vs(vs.length - 1) = vs.last && v
+        case (_, v) => ors += (()); vs += v
+      }
+      (src, vs.reduce(_ || _))
+    }
+    val cols = samples.zipWithIndex.map { case ((src, _), i) =>
+      ExprLang.boolExpr(src, Set.empty).as(s"b$i")
+    }
+    val row = spark.range(1).select(cols: _*).head()
+    samples.zipWithIndex.foreach { case ((src, expect), i) =>
+      assert(row.getBoolean(i) == expect, s"'$src': expected $expect")
+    }
+  }
 }
