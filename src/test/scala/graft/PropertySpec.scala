@@ -294,6 +294,79 @@ class ExprArithmeticPropertySpec extends SparkTestBase {
     runChains(Array("+", "-", "*", "/"), seed = 7)
   }
 
+  test("OCSF coercion round-trips (SURVEY §5's coercion property plan)") {
+    import graft.enrich.EnrichOps
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(13)
+    // value-level round-trip inputs (canonical string form is the engine's
+    // documented representation choice; the VALUE must survive) plus the
+    // cast-or-original edges: overflow digits and garbage pass unchanged
+    val longs = Seq.fill(40)(rnd.nextLong().toString) ++
+      Seq(Long.MaxValue.toString, Long.MinValue.toString)
+    val overflow = Seq.fill(10)(
+      (if (rnd.nextBoolean()) "-" else "") +
+        Seq.fill(20)(rnd.nextInt(9) + 1).mkString)
+    val garbage = Seq.fill(10)(
+      Seq.fill(6)(('a' + rnd.nextInt(26)).toChar).mkString)
+    val doubles = Seq.fill(40)(
+      s"${rnd.nextInt(100000)}.${1 + rnd.nextInt(999)}")
+    val bools = Seq("1", "t", "T", "TRUE", "true", "True",
+      "0", "f", "F", "FALSE", "false", "False")
+    val epochSec = Seq.fill(30)(math.abs(rnd.nextLong()) % 2000000000L)
+    val goodTs = epochSec.map(s => java.time.LocalDateTime
+      .ofEpochSecond(s, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
+    val badTs = Seq("2024-13-99T00:00:00", "2024-02-30T10:00:00",
+      "9999-99-99T99:99:99")
+
+    import spark.implicits._
+    val df = (longs ++ overflow ++ garbage).toDF("v").select(
+      col("v"), EnrichOps.coerceOcsf(col("v"), "long").as("c"))
+    df.collect().foreach { r =>
+      val (v, c) = (r.getString(0), r.getString(1))
+      if (v.matches("-?\\d{1,19}") && scala.util.Try(v.toLong).isSuccess)
+        assert(c.toLong == v.toLong, s"long value lost: $v -> $c")
+      else assert(c == v, s"unparseable must pass through: $v -> $c")
+    }
+    doubles.toDF("v")
+      .select(col("v"), EnrichOps.coerceOcsf(col("v"), "float").as("c"))
+      .collect().foreach { r =>
+        assert(r.getString(1).toDouble == r.getString(0).toDouble,
+          s"double value lost: ${r.getString(0)} -> ${r.getString(1)}")
+      }
+    bools.toDF("v")
+      .select(col("v"), EnrichOps.coerceOcsf(col("v"), "boolean").as("c"))
+      .collect().foreach { r =>
+        val expect = if (Seq("1", "t", "T", "TRUE", "true", "True")
+          .contains(r.getString(0))) "true" else "false"
+        assert(r.getString(1) == expect)
+      }
+    goodTs.zip(epochSec).toDF("v", "sec")
+      .select(col("sec"), EnrichOps.coerceOcsf(col("v"), "timestamp").as("c"))
+      .collect().foreach { r =>
+        assert(r.getString(1).toLong == r.getLong(0) * 1000L,
+          s"epoch mismatch: ${r.getLong(0)} -> ${r.getString(1)}")
+      }
+    badTs.toDF("v")
+      .select(col("v"), EnrichOps.coerceOcsf(col("v"), "timestamp").as("c"))
+      .collect().foreach { r =>
+        // shape-valid but non-calendar strings take the try guard home
+        assert(r.getString(1) == r.getString(0))
+      }
+    // datetime: second-aligned epoch millis render RFC3339 and round-trip
+    epochSec.map(s => (s * 1000L).toString).toDF("v")
+      .select(col("v"), EnrichOps.coerceOcsf(col("v"), "datetime").as("c"))
+      .collect().zip(epochSec).foreach { case (r, sec) =>
+        val expect = java.time.LocalDateTime
+          .ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss")) + "Z"
+        assert(r.getString(1) == expect,
+          s"rfc3339 mismatch: ${r.getString(0)} -> ${r.getString(1)}")
+      }
+  }
+
   test("boolean chains (not > and > or, comparison atoms) match") {
     // atoms are integer comparisons with optional '!'/'not' prefixes,
     // joined by a random and/or chain; reference: one pass folding the
