@@ -215,13 +215,13 @@ class PropertySpec extends AnyFunSuite {
   }
 }
 
-/** Random linear operator chains through `ExprLang.valueExpr` against an
+/** Session-backed properties: random linear operator chains through `ExprLang.valueExpr` against an
   * independent two-level precedence evaluator — the oracle corpus pins
   * fixed expressions (q_expr_arithmetic); this pins the precedence and
   * associativity RULES across the operator space. All samples evaluate in
   * one Spark query over a single row, so the suite stays cheap.
   */
-class ExprArithmeticPropertySpec extends SparkTestBase {
+class SparkPropertySpec extends SparkTestBase {
   import graft.expr.ExprLang
 
   private def render(lits: Seq[Long], ops: Seq[String]): String =
@@ -292,6 +292,24 @@ class ExprArithmeticPropertySpec extends SparkTestBase {
 
   test("float-division chains (+ - * /) match bit-for-bit") {
     runChains(Array("+", "-", "*", "/"), seed = 7)
+  }
+
+  test("RandomFailure.hash60 equals Dedup.md5Hash64 on the Spark plane") {
+    // the 'SQL-replicable failure schedule' claim rests on the JVM-side
+    // Bernoulli draw (PipelineRunner's consume check) and the Spark/DuckDB
+    // md5 family computing the SAME number — lock the parity directly
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val inputs = Seq.fill(60)(rnd.alphanumeric.take(1 + rnd.nextInt(24))
+      .mkString) ++ Seq("", "graft|2024-01-01-05|0", "δοκιμή|☃")
+    val rows = inputs.toDF("v")
+      .select(col("v"), graft.data.Dedup.md5Hash64(col("v")).as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == RandomFailure.hash60(r.getString(0)),
+        s"hash family split on '${r.getString(0)}'")
+    }
   }
 
   test("OCSF coercion round-trips (SURVEY §5's coercion property plan)") {
