@@ -352,10 +352,12 @@ object Bench {
     // adjudication; the full line lives in the repo alongside BASELINE.md.
     // Only the driver-shape sf0.1 run writes it — local smoke runs at
     // other scale factors have twice clobbered the committed closing
-    // artifact with numbers BASELINE.md doesn't describe
-    if (sfDir.contains("sf0.1"))
+    // artifact with numbers BASELINE.md doesn't describe. Basename
+    // equality, not substring: "sf0.15" must not slip through
+    if (new java.io.File(sfDir).getName == "sf0.1")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), line + "\n")
       catch { case _: Exception => } // bench result must still print if RO
+    else System.err.println(s"[bench] sidecar not written (sf dir $sfDir is not the driver-shape sf0.1 run)")
   }
 }

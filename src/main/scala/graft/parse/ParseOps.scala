@@ -198,17 +198,28 @@ object ParseOps {
             s"unsupported strptime directive '$d' in: $layout")
         }
       } else if (layout(i).isLetter || layout(i) == '\'') {
-        // quote the whole literal run (see gotimeToJava note); quotes are
-        // part of the run — emitting them as separate atoms would merge
-        // with an adjacent quoted section and miscount
-        var end = i + 1
-        while (end < layout.length &&
-          (layout(end).isLetter || layout(end) == '\'')) end += 1
-        out ++= "'" + layout.substring(i, end).replace("'", "''") + "'"
-        i = end
+        i = quoteLiteralRun(layout, i, out, _ => false)
       } else { out += layout(i); i += 1 }
     }
     out.toString
+  }
+
+  /** Emit a maximal letter/quote literal run starting at `from` as ONE
+    * DateTimeFormatter quoted section with internal quotes doubled, and
+    * return the index past the run. The single-section form is load-
+    * bearing twice over: a bare quote would open a section and swallow the
+    * following pattern letters, and quote atoms emitted SEPARATELY from an
+    * adjacent section merge into it and miscount the literals (the JDK's
+    * pattern scanner treats '' inside a section as one escaped quote).
+    * `stopAt` lets the caller end the run where a layout token begins.
+    */
+  private def quoteLiteralRun(layout: String, from: Int, out: StringBuilder,
+                              stopAt: Int => Boolean): Int = {
+    var end = from + 1
+    while (end < layout.length &&
+      (layout(end).isLetter || layout(end) == '\'') && !stopAt(end)) end += 1
+    out ++= "'" + layout.substring(from, end).replace("'", "''") + "'"
+    end
   }
 
   /** Go reference-time token → DateTimeFormatter letter table, longest
@@ -243,20 +254,11 @@ object ParseOps {
         case None =>
           val c = layout(i)
           if (c.isLetter || c == '\'') {
-            // quote the whole literal run ('UTC', not 'U''T''C' — adjacent
-            // quoted sections read '' as an ESCAPED quote character).
-            // Literal quotes (no escaping exists in Go layouts) join the
-            // run and double inside the ONE quoted section — a bare quote
-            // would open a section and swallow the following tokens, and
-            // separately-emitted quote atoms merge with a neighboring
-            // section and miscount
-            var end = i + 1
-            while (end < layout.length &&
-              (layout(end).isLetter || layout(end) == '\'') &&
-              GotimeTokens.forall { case (tok, _) => !layout.startsWith(tok, end) })
-              end += 1
-            out ++= "'" + layout.substring(i, end).replace("'", "''") + "'"
-            i = end
+            // one quoted section per run ('UTC', not 'U''T''C'; literal
+            // quotes — Go layouts have no escaping — double inside it);
+            // see quoteLiteralRun. The run stops where any token begins
+            i = quoteLiteralRun(layout, i, out, end =>
+              GotimeTokens.exists { case (tok, _) => layout.startsWith(tok, end) })
           } else { out += c; i += 1 }
       }
     }

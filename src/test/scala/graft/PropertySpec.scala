@@ -409,12 +409,12 @@ class SparkPropertySpec extends SparkTestBase {
       val src = atoms.head._1 + joins.zip(atoms.tail).map { case (j, a) =>
         s" ${if (rnd.nextBoolean()) j._1 else j._2} ${a._1}"
       }.mkString
-      // fold ands first, then ors
+      // fold ands first; the or-level is then a plain disjunction of the
+      // and-group results
       val vs = scala.collection.mutable.ArrayBuffer(atoms.head._2)
-      val ors = scala.collection.mutable.ArrayBuffer[Unit]()
       joins.map(_._1).zip(atoms.tail.map(_._2)).foreach {
         case ("&&", v) => vs(vs.length - 1) = vs.last && v
-        case (_, v) => ors += (()); vs += v
+        case (_, v) => vs += v
       }
       (src, vs.reduce(_ || _))
     }
