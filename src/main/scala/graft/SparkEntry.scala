@@ -544,15 +544,21 @@ object SparkEntry {
     }),
     "q_topology_routes" -> ((s, d) => {
       val ch = Dedup.md5Hash64(col("conv_id")) // portable gateway-id source
+      // OptBarrier on the md5-derived headers: topologyRoutes' all-four-
+      // headers gate otherwise pushes below this projection and the
+      // substitution re-runs the md5 chain per predicate reference
+      // (~9 md5 evaluations per row measured); fenced, the projection
+      // computes each header once and the md5 subexpression CSEs
+      val fence = graft.functions.OptBarrier.of _
       val hdrs = t(s, d).select(col("ts"),
-        when(pmod(col("turn_idx"), lit(7)) =!= 0,
-          concat(lit("org-"), pmod(ch, lit(3)))).as("h_organization_id"),
-        when(pmod(col("turn_idx"), lit(11)) =!= 1,
-          concat(lit("acct-"), pmod(ch, lit(5)))).as("h_account_id"),
-        when(pmod(col("turn_idx"), lit(13)) === 2, lit(""))
-          .otherwise(concat(lit("cfg-"), pmod(ch, lit(2)))).as("h_configuration"),
-        when(col("role") === "tool", concat(lit("gw-"), col("tool")))
-          .otherwise(lit("gw-agent")).as("h_resource_name"))
+        fence(when(pmod(col("turn_idx"), lit(7)) =!= 0,
+          concat(lit("org-"), pmod(ch, lit(3))))).as("h_organization_id"),
+        fence(when(pmod(col("turn_idx"), lit(11)) =!= 1,
+          concat(lit("acct-"), pmod(ch, lit(5))))).as("h_account_id"),
+        fence(when(pmod(col("turn_idx"), lit(13)) === 2, lit(""))
+          .otherwise(concat(lit("cfg-"), pmod(ch, lit(2))))).as("h_configuration"),
+        fence(when(col("role") === "tool", concat(lit("gw-"), col("tool")))
+          .otherwise(lit("gw-agent"))).as("h_resource_name"))
       Router.topologyRoutes(hdrs,
         Router.GatewayInfo("org-self", "acct-self", "cfg-self", "gw-self"))
     }),
@@ -1432,8 +1438,15 @@ object SparkEntry {
     // year=/month=/day=/hour= partitioned table and prove every row landed
     // in its correct hour directory (round-trip counts per partition)
     "q_partitioned_layout" -> ((s, d) => {
+      // scratch root: tmpfs when available (the write is the measured work
+      // and its output is a throwaway round-trip fixture — same convention
+      // as Bench's /dev/shm outRoot; guide §6: don't let a slow disk time
+      // a layout-correctness check), else java.io.tmpdir
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val root = if (java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       // per-process dir: concurrent sessions must not overwrite each other
-      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      val out = root.resolve(
         "graft_layout_" + d.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + java.lang.ProcessHandle.current.pid).toString
       // a 2-day window bounds the directory fan-out (the check is about

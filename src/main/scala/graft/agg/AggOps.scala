@@ -395,10 +395,15 @@ object AggOps {
     */
   def logDedupExcluding(t: DataFrame, excludeFields: Seq[String],
                         interval: String = "1 hour"): DataFrame = {
-    val identityBody = excludeFields.foldLeft(col("text")) { (c, f) =>
-      // a JSON member of any scalar shape, with its trailing comma
-      regexp_replace(c, "\"" + f + "\":(\"[^\"]*\"|[0-9.]+|true|false|null),?", "")
-    }
+    // ONE regex pass with a field-name alternation instead of one
+    // regexp_replace per excluded field (N passes over every body):
+    // members are disjoint non-overlapping matches, so the single
+    // alternation removes exactly the set the sequential folds removed
+    val identityBody =
+      if (excludeFields.isEmpty) col("text")
+      else regexp_replace(col("text"),
+        "\"(?:" + excludeFields.mkString("|") +
+          ")\":(\"[^\"]*\"|[0-9.]+|true|false|null),?", "")
     dedupFlush(
       t.withColumn("arrival", arrivalKey)
         .groupBy(
@@ -574,7 +579,11 @@ object AggOps {
     *    out), assistant→server (it serves the reply), user→consumer,
     *    system→internal; the five reference kind strings (span.go:29-36)
     *  - trace_status_code: HTTP status → ok(<400) / unset(4xx, no explicit
-    *    status set) / error(5xx) per spanStatusCodeToString's value set
+    *    status set) / error(5xx) per spanStatusCodeToString's value set.
+    *    Deliberate modeling deviation: an absent/null JSON status maps to
+    *    'ok' (the `.otherwise` arm), whereas the reference's pcommon default
+    *    span status is 'unset' — the oracle mirrors 'ok', so parity holds;
+    *    flagged here so the deviation is visible, not accidental
     *  - trace_status_message: the body msg field
     */
   def spanView(t: DataFrame): DataFrame =

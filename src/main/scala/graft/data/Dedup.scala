@@ -76,12 +76,12 @@ object Dedup {
   // -------------------------------------------------------------------
   // n-gram Jaccard: 3-word shingles, set intersection/union
   // -------------------------------------------------------------------
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(words) - n, lit(0))),
-      i => array_join(slice(words, i + 1, lit(n)), " ")))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    // codegen n-gram loop (graft.functions.NGramJoin): element-identical to
+    // array_distinct(transform(sequence(0, greatest(size-n, 0)),
+    //   i => array_join(slice(words, i+1, n), " "))) — the interpreted HOF
+    // chain was the single largest cost of the MinHash signature pass
+    graft.functions.NGramJoin.of(split(text, " "), n)
 
   /** DuckDB expression producing the identical shingle list for column `c`. */
   def shinglesSql(c: String, n: Int = 3): String =
@@ -226,7 +226,18 @@ object Dedup {
     val eval = evalDocs
       .select(col("doc_id").as("eval_id"), wordHashes(col("text"), portable).as("wh"))
       .select(col("eval_id"), explode(shingleHashesFromWords(col("wh"), n)).as("sh"))
-    corpus.join(broadcast(eval), Seq("sh"))
+    // broadcast gate: eval sets are benchmark-sized BY CONTRACT, but the
+    // hint must not be unconditional — a caller handing a corpus-
+    // proportional "eval" relation (contaminationEvalSplit is exactly
+    // that demo wiring) would force a driver/executor OOM at scale where
+    // a shuffle join degrades gracefully. Gate on the planner's size
+    // estimate of the un-exploded eval relation (free — no extra job):
+    // under the cap, pin the broadcast (estimates after filters are
+    // unreliable and the map-side join is the whole point); over it,
+    // leave the strategy to AQE's runtime sizes.
+    val evalBytes = evalDocs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val evalSide = if (evalBytes <= BigInt(256L << 20)) broadcast(eval) else eval
+    corpus.join(evalSide, Seq("sh"))
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -268,14 +279,11 @@ object Dedup {
     */
   def minHashSignature(text: Column, k: Int, portable: Boolean = false): Column =
     if (portable) {
-      // ONE md5 per shingle (the input array of the fold is evaluated once
-      // per row); k affine variants inside the fold are cheap arithmetic
+      // ONE md5 per shingle; the k-minima fold is the codegen MinHashSig
+      // expression (the HOF fold rebuilt a k-element accumulator array per
+      // shingle, interpreted) — identical affine-family math, oracle-locked
       val hs = transform(shingles(text), s => pmod(md5Hash64(s), lit(P)))
-      val a = typedlit(hashA(k)); val b = typedlit(hashB(k))
-      aggregate(hs, array_repeat(lit(Long.MaxValue), k),
-        (acc, h) => transform(sequence(lit(0), lit(k - 1)),
-          i => least(element_at(acc, i + 1),
-            pmod(element_at(a, i + 1) * h + element_at(b, i + 1), lit(P)))))
+      graft.functions.MinHashSig.of(hs, hashA(k), hashB(k), P)
     } else {
       // ONE fold over the shingle array maintaining all k minima — shingling
       // runs once per row (k separate aggregates would re-shingle k times)
@@ -403,12 +411,14 @@ object Dedup {
     * strictly-smaller labels is exact.
     *
     * Iterative-lineage discipline: each round's label relation is
-    * `localCheckpoint()`ed — persist alone does NOT truncate the logical
+    * checkpointed — persist alone does NOT truncate the logical
     * plan, and a loop that references the prior round twice doubles the
     * plan tree per round (2^rounds nodes; Catalyst chokes stringifying,
-    * optimizing, and codegen-ing it long before the data is big). On a
-    * real cluster with lost-executor risk, swap for reliable
-    * `checkpoint()` against the checkpoint dir — same contract.
+    * optimizing, and codegen-ing it long before the data is big).
+    * `checkpointDir = None` (default) uses `localCheckpoint()` — fastest,
+    * right for local mode; on a real cluster with lost-executor risk pass
+    * a durable dir and the loop uses reliable `checkpoint()` instead —
+    * same contract, identical output (test-locked).
     * Checkpoint lifecycle: superseded rounds' blocks have no explicit
     * unpersist API; the loop drops every reference as it advances (and the
     * returned plan reads only the LAST round's RDD), so the ContextCleaner
@@ -420,23 +430,30 @@ object Dedup {
     * cluster and are not rows). cluster_id = min doc_id of the component —
     * deterministic, engine-independent.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 12,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    // iterative-lineage checkpoints: local (executor blocks — fastest, the
+    // local-mode default) or RELIABLE against `checkpointDir` — on a real
+    // cluster a lost executor kills a localCheckpoint'ed fixpoint job, so
+    // deployments pass a durable dir instead of editing source
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // materialize the pair list ONCE before iterating: the upstream pair
     // pipeline (LSH + verify, with its own persisted stages) must not sit
-    // under every loop action. localCheckpoint, NOT persist: persist caches
+    // under every loop action. Checkpoint, NOT persist: persist caches
     // the DATA but every loop action still re-analyzes and re-optimizes the
     // full upstream plan (measured 3-4× slower loop); the checkpoint cuts
     // the plan to a leaf. Lifecycle matches the loop relations (reclaimed
     // by the ContextCleaner once the returned plan drops the reference).
-    val fixed = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    val fixed = cp(pairs.select(col("a_id"), col("b_id")))
     val edges = fixed.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(fixed.select(col("b_id").as("src"), col("a_id").as("dst")))
     // seed with the 1-hop neighbor min (edges carry both directions, so one
     // groupBy gives label(x) = min(x, neighbors(x)) — round 0 for free)
-    var labels = edges
+    var labels = cp(edges
       .select(col("src").as("doc_id"), least(col("src"), col("dst")).as("cluster_id"))
-      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-      .localCheckpoint()
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")))
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIter) {
@@ -448,11 +465,10 @@ object Dedup {
       // pointer jump: label := label(label); carry the previous label so
       // the convergence count is a scan of the cached relation, not a join
       val ptr = prop.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lab"))
-      val next = prop.join(ptr, col("cluster_id") === col("p_id"), "left")
+      val next = cp(prop.join(ptr, col("cluster_id") === col("p_id"), "left")
         .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), Seq("doc_id"))
         .select(col("doc_id"),
-          coalesce(col("p_lab"), col("cluster_id")).as("cluster_id"), col("prev"))
-        .localCheckpoint()
+          coalesce(col("p_lab"), col("cluster_id")).as("cluster_id"), col("prev")))
       changed = next.filter(col("cluster_id") < col("prev")).count()
       labels = next.select(col("doc_id"), col("cluster_id"))
       it += 1
@@ -463,23 +479,34 @@ object Dedup {
     // (hop+jump covers diameters ~2^maxIter, far past any real dup chain)
     require(changed == 0,
       s"dupClusters did not converge in $maxIter rounds; raise maxIter")
-    // window over the converged label relation: cardinality = clustered
-    // docs (bounded by 2×pairs), and it sits above the groupBy agg boundary
-    val w = Window.partitionBy(col("cluster_id"))
-    labels.withColumn("cluster_size", count(lit(1)).over(w))
+    // cluster sizes via map-side-combined groupBy + join, NOT a
+    // Window.partitionBy(cluster_id): the window shipped a mega-cluster's
+    // ENTIRE membership to one reducer (the boilerplate-corpus scenario
+    // candidatePairs' star fallback exists for), while the partial-agg
+    // count never concentrates rows and the join back is AQE-skew-
+    // splittable (guide §2.5: AQE splits skewed JOIN partitions, never
+    // window partitions). Same rows, same column order.
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
   /** The corpus after cluster-level dedup: exactly one representative (the
     * min doc_id — the cluster label) survives per near-dup cluster;
     * singletons survive untouched. `n_merged` = docs the surviving row
-    * absorbed (1 for singletons). The cluster map is pair-bounded (small),
-    * so the enrichment join back onto the corpus broadcasts.
+    * absorbed (1 for singletons). The cluster map grows LINEARLY with the
+    * corpus (near-dup clusters cover 20-40% of documents on real web-scale
+    * corpora), so the enrichment join is a plain equi-join — NO forced
+    * broadcast hint: AQE broadcasts when the map actually fits and
+    * degrades to a (skew-splittable) shuffle join when it does not,
+    * instead of OOMing the driver on a hint it can never override.
     */
   def clusterDedupKeep(docs: DataFrame, threshold: Double = 0.8,
                        portable: Boolean = false): DataFrame = {
     val clusters = dupClusters(minHashDedupPairs(docs, threshold, portable))
     withPlantedDups(docs)
-      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .select(col("doc_id"), coalesce(col("cluster_size"), lit(1L)).as("n_merged"))
   }
@@ -530,45 +557,25 @@ object Dedup {
   // SimHash: 64-bit sign-of-weighted-bit-sums over token hashes
   // (Charikar '02); near-dups have small hamming distance.
   // -------------------------------------------------------------------
-  /** Per-bit vote counts over token hashes. IMPORTANT perf shape: token
-    * hashes are materialized once (`transform` → one hash per token),
-    * and callers must materialize this column BEFORE folding it into the
-    * 64-bit signature — referencing an aggregate HOF from inside another
-    * fold would re-evaluate the entire token loop per bit (64×).
+  /** 64-bit signature over the row's token hashes: one hash per token
+    * (`transform`), then the codegen SimHashBits vote-and-sign fold — the
+    * previous two-stage HOF (per-bit vote array rebuilt per token, then a
+    * 64-element sign fold) was interpreted and allocated per element;
+    * identical bit math (shiftRightUnsigned votes, >0 sign), oracle-locked.
     */
-  private def simHashBitCounts(text: Column, portable: Boolean): Column = {
-    import graft.functions.BitOps
+  private def simHashSig(text: Column, portable: Boolean): Column = {
     val hashes =
       if (portable) transform(split(text, " "), tok => md5Hash64(tok))
       else transform(split(text, " "), tok => xxhash64(tok))
-    aggregate(hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => transform(sequence(lit(0), lit(63)),
-        b => element_at(acc, b + 1) +
-          when(BitOps.shiftRU(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
-  }
-
-  /** Fold the 64 vote counts into the sign-bit signature. `bits` is the
-    * INPUT ARRAY of the fold (zip with positions), so it is evaluated once
-    * per row even after CollapseProject inlines it — never once per bit.
-    */
-  private def simHashFromBits(bits: Column): Column = {
-    import graft.functions.BitOps
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(63)),
-        (v, b) => struct(v.as("v"), b.as("b"))),
-      lit(0L),
-      (acc, e) => when(e.getField("v") > 0,
-        acc.bitwiseOR(BitOps.shiftL(lit(1L), e.getField("b")))).otherwise(acc))
+    graft.functions.SimHashBits.of(hashes)
   }
 
   def simHashes(docs: DataFrame, portable: Boolean = false): DataFrame =
     withPlantedDups(docs)
-      .select(col("doc_id"),
-        simHashFromBits(simHashBitCounts(col("text"), portable)).as("simhash"))
+      .select(col("doc_id"), simHashSig(col("text"), portable).as("simhash"))
 
   /** Column API kept for single-expression use in tests. */
-  def simHash(text: Column): Column = simHashFromBits(simHashBitCounts(text, portable = false))
+  def simHash(text: Column): Column = simHashSig(text, portable = false)
 
   /** Candidate pairs by 16-bit chunk bucketing (hamming ≤ 3 pairs must share
     * at least one of 4 chunks), verified by bit_count(xor). Bucket pair

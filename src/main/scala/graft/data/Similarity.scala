@@ -21,8 +21,13 @@ object Similarity {
   def quantized(e: Column): Column =
     transform(e, x => round(x.cast("double") * 1000).cast("long"))
 
+  /** Codegen int64 dot product (graft.functions.DotProduct) — the HOF form
+    * `aggregate(zip_with(a, b, _*_), 0L, _+_)` is CodegenFallback and paid
+    * lambda dispatch + boxing per element on every scored candidate; the
+    * expression is the identical exact-integer math (oracle-locked).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.DotProduct.of(a, b)
 
   /** Signed comparable cosine proxy: sign(dot)·dot²/|b|² — monotone in
     * cosine for a fixed query (|a| constant per query group), exact-int
@@ -76,16 +81,11 @@ object Similarity {
     * not a cross join. (IVF-style coarse quantization swaps the projection
     * for k-means centroids; the plumbing is identical.)
     */
-  def hyperplaneBucket(vec: Column, nPlanes: Int = 8, dims: Int = 64): Column = {
-    val pl = planes(nPlanes, dims)
-    val planeDots = (0 until nPlanes).map { p =>
-      val contrib = zip_with(vec, typedlit(pl(p)), (x, h) => x * h)
-      aggregate(contrib, lit(0L), (acc, x) => acc + x)
-    }
-    planeDots.zipWithIndex.foldLeft(lit(0L)) { case (acc, (pd, i)) =>
-      acc.bitwiseOR(when(pd > 0, lit(1L << i)).otherwise(lit(0L)))
-    }
-  }
+  def hyperplaneBucket(vec: Column, nPlanes: Int = 8, dims: Int = 64): Column =
+    // one codegen double loop over the plane table (bit p set iff
+    // dot(vec, plane_p) > 0) — replaces nPlanes interpreted 64-element
+    // fold chains per row; identical sign math, oracle-locked
+    graft.functions.PlaneSignBits.of(vec, planes(nPlanes, dims))
 
   def lshBuckets(emb: DataFrame, nPlanes: Int = 8): DataFrame =
     emb.select(col("vec_id"), quantized(col("embedding")).as("v"))

@@ -20,12 +20,19 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * and replacement requires a strictly better score).
   */
 case class DotArgmax(child: Expression,
-                     centroidIds: Array[Long],
-                     centroidVecs: Array[Array[Long]])
+                     centroidIds: Seq[Long],
+                     centroidVecs: Seq[Seq[Long]])
     extends UnaryExpression {
 
   require(centroidIds.length == centroidVecs.length && centroidIds.nonEmpty,
     "DotArgmax needs a non-empty id-aligned centroid table")
+
+  // Seq fields, not Array: Array's reference equality breaks canonicalized
+  // plan equality between two constructions of the same query (and with it
+  // cache/exchange reuse); eval and codegen use the lazy Array mirrors
+  @transient private lazy val idArr: Array[Long] = centroidIds.toArray
+  @transient private lazy val vecArr: Array[Array[Long]] =
+    centroidVecs.map(_.toArray).toArray
 
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
@@ -36,21 +43,21 @@ case class DotArgmax(child: Expression,
     var bestScore = Long.MinValue
     var bestId = -1L
     var c = 0
-    while (c < centroidVecs.length) {
-      val cv = centroidVecs(c)
+    while (c < vecArr.length) {
+      val cv = vecArr(c)
       val n = math.min(v.length, cv.length)
       var dot = 0L
       var i = 0
       while (i < n) { dot += v(i) * cv(i); i += 1 }
-      if (dot > bestScore) { bestScore = dot; bestId = centroidIds(c) }
+      if (dot > bestScore) { bestScore = dot; bestId = idArr(c) }
       c += 1
     }
     bestId
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val idsRef = ctx.addReferenceObj("centroidIds", centroidIds, "long[]")
-    val vecsRef = ctx.addReferenceObj("centroidVecs", centroidVecs, "long[][]")
+    val idsRef = ctx.addReferenceObj("centroidIds", idArr, "long[]")
+    val vecsRef = ctx.addReferenceObj("centroidVecs", vecArr, "long[][]")
     nullSafeCodeGen(ctx, ev, input => {
       val v = ctx.freshName("vec")
       val best = ctx.freshName("best")
@@ -84,5 +91,5 @@ object DotArgmax {
   /** Column API: cell id of the best-matching centroid for each vector. */
   def of(vec: Column, ids: Seq[Long], vecs: Seq[Seq[Long]]): Column =
     GraftBridge.column(DotArgmax(GraftBridge.expression(vec),
-      ids.toArray, vecs.map(_.toArray).toArray))
+      ids.toVector, vecs.map(_.toVector).toVector))
 }

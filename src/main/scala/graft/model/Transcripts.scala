@@ -371,7 +371,12 @@ object Transcripts {
     * on the rehydration listing path.
     */
   def entityParsed(path: Column): Column =
-    graft.functions.RegexExtractStruct.of(path, EntityPathPattern, EntityFields)
+    // OptBarrier: rehydration consumers range-filter on entity_time — a
+    // field DERIVED from this struct — and filter pushdown would otherwise
+    // substitute the whole regex into the predicate per referenced group
+    // (measured 10 regex runs per row; see OptBarrier scaladoc)
+    graft.functions.OptBarrier.of(
+      graft.functions.RegexExtractStruct.of(path, EntityPathPattern, EntityFields))
 
   /** Path-embedded entity timestamp from the parsed struct; missing minute
     * defaults to 00.

@@ -17,12 +17,16 @@ import graft.functions.RegexExtractStruct
 object ParseOps {
 
   // --- scenario discriminators over the transcripts `text` column ---------
-  val isNginx: Column = col("text").rlike("^10\\.")
+  // anchored-literal classes use startsWith, not rlike: same selection,
+  // but StartsWith pushes to the parquet scan (PushedFilters row-group
+  // skipping) and codegens to a byte compare instead of a regex matcher
+  val isNginx: Column = col("text").startsWith("10.")
   val isJson: Column = col("text").startsWith("{")
   val isCsv: Column = col("text").rlike("^\\d{2}/")
   val isKv: Column = col("text").startsWith("level=")
   val isSyslog: Column = col("text").startsWith("<")
-  val isMultiline: Column = col("text").rlike("^[PF]\\|")
+  val isMultiline: Column =
+    col("text").startsWith("P|") || col("text").startsWith("F|")
 
   // -------------------------------------------------------------------
   // regex_parser (plugins/nginx_logs.yaml:95-106) — nginx combined format
@@ -62,7 +66,12 @@ object ParseOps {
 
   def parseJson(t: DataFrame): DataFrame =
     t.filter(isJson)
-      .withColumn("p", from_json(col("text"), JsonBodySchema))
+      // OptBarrier: downstream validation filters (the OCSF class gates
+      // especially) otherwise push below this projection and re-run the
+      // JSON parse once per substituted field reference (measured ~40
+      // from_json calls per row in q_ocsf_multiclass's pushed filter)
+      .withColumn("p", graft.functions.OptBarrier.of(
+        from_json(col("text"), JsonBodySchema)))
       .select(col("conv_id"), col("turn_idx"),
         col("p.level").as("level"), col("p.status").as("status"),
         col("p.path").as("path"), col("p.latency_ms").as("latency_ms"),

@@ -122,10 +122,17 @@ class IcebergLikeTable(root: String) extends TableFormat {
       (parent +: files.map(esc)).mkString("\n"))
 
   private def readManifestChain(name: String): Seq[String] = {
-    // walk child -> root, then restore commit order (root first)
+    // walk child -> root, then restore commit order (root first).
+    // Cycle guard: a corrupted manifest whose parent pointer loops would
+    // otherwise hang this walk forever — corrupt metadata must FAIL LOUDLY
+    // (readEntry's contract), never spin
     val rev = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    val visited = scala.collection.mutable.HashSet[String]()
     var cur = name
     while (cur != "-") {
+      if (!visited.add(cur))
+        throw new IllegalStateException(
+          s"corrupt manifest chain: cycle at '$cur'")
       val lines = Files.readString(metaDir.resolve(cur)).split("\n", -1).toSeq
       rev += lines.drop(1).filter(_.nonEmpty).map(unesc)
       cur = lines.head

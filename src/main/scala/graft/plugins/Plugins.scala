@@ -14,6 +14,17 @@ import graft.parse.ParseOps
   */
 object Plugins {
 
+  /** Fenced one-pass grok: RegexExtractStruct behind an OptBarrier. Plugin
+    * pipelines filter on PARSED fields (on_error drops, severity gates,
+    * data_flow filters), and `PushPredicateThroughNonJoin` substitutes the
+    * whole regex into each pushed predicate — every such filter re-ran the
+    * pattern per row (2x regex per row measured across the plugin corpus).
+    * The fence pins filters above the projection; the regex runs once.
+    */
+  private[plugins] def grok(c: Column, pattern: String,
+                            fields: Seq[String]): Column =
+    graft.functions.OptBarrier.of(RegexExtractStruct.of(c, pattern, fields))
+
   case class PluginParam(name: String, default: Option[String],
                          supported: Seq[String] = Seq.empty)
 
@@ -53,7 +64,7 @@ object Plugins {
 
     protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
       val parsed = input.filter(ParseOps.isNginx)
-        .withColumn("g", RegexExtractStruct.of(col("text"),
+        .withColumn("g", grok(col("text"),
           ParseOps.NginxPattern, ParseOps.NginxFields))
         .select(
           col("conv_id"), col("turn_idx"), col("tool"),
@@ -97,7 +108,7 @@ object Plugins {
       else {
         val parsed =
           if (p("protocol") == "rfc3164")
-            lines.withColumn("g", RegexExtractStruct.of(col("text"),
+            lines.withColumn("g", grok(col("text"),
                 ParseOps.SyslogPattern, ParseOps.SyslogFields))
               .select(col("conv_id"), col("turn_idx"),
                 col("g.pri").cast(IntegerType).as("priority"),
@@ -107,7 +118,7 @@ object Plugins {
                 col("g.message").as("message"),
                 col("text"))
           else // rfc5424: on_error send — fixture 3164 lines yield nulls
-            lines.withColumn("g", RegexExtractStruct.of(col("text"),
+            lines.withColumn("g", grok(col("text"),
                 ParseOps.Syslog5424Pattern, ParseOps.Syslog5424Fields))
               .select(col("conv_id"), col("turn_idx"),
                 col("g.pri").cast(IntegerType).as("priority"),
@@ -264,7 +275,7 @@ object Plugins {
 
     protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
       val parsed = input
-        .withColumn("g", RegexExtractStruct.of(col("line"), LinePattern, LineFields))
+        .withColumn("g", grok(col("line"), LinePattern, LineFields))
         .filter(col("g").isNotNull)
         .select(col("conv_id"), col("turn_idx"),
           col("g.tid").cast(LongType).as("tid"),
@@ -339,7 +350,7 @@ object Plugins {
 
     protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
       input.filter(ParseOps.isNginx)
-        .withColumn("g", RegexExtractStruct.of(col("text"),
+        .withColumn("g", grok(col("text"),
           ParseOps.NginxPattern, ParseOps.NginxFields))
         .select(col("conv_id"), col("turn_idx"),
           col("g.remote_addr").as("remote_addr"),
@@ -394,7 +405,7 @@ object Plugins {
       * Prefix-less lines (bare CEF:) keep null event_ts/hostname.
       */
     protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
-      val pre = RegexExtractStruct.of(col("line"),
+      val pre = grok(col("line"),
         """^(?:(\w{3}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})\s+(?:([^\s]+)\s+)?)?(CEF:.*)$""",
         Seq("timestamp", "hostname", "cef_headers"))
       val h = split(col("__cef"), "\\|")
@@ -432,7 +443,7 @@ object Plugins {
     val Fields = Seq("time", "severity", "message")
 
     protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
-      input.withColumn("g", RegexExtractStruct.of(col("line"), Pattern, Fields))
+      input.withColumn("g", grok(col("line"), Pattern, Fields))
         .filter(col("g").isNotNull)
         .select(col("conv_id"), col("turn_idx"),
           col("g.time").as("time"),
@@ -454,7 +465,7 @@ object Plugins {
     val Fields = Seq("pid", "role", "timestamp", "level", "message")
 
     protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
-      input.withColumn("g", RegexExtractStruct.of(col("line"), Pattern, Fields))
+      input.withColumn("g", grok(col("line"), Pattern, Fields))
         .filter(col("g").isNotNull)
         .select(col("conv_id"), col("turn_idx"),
           col("g.pid").cast(LongType).as("pid"),
@@ -477,7 +488,7 @@ object Plugins {
     val Fields = Seq("timestamp", "tid", "command", "message")
 
     protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
-      input.withColumn("g", RegexExtractStruct.of(col("line"), Pattern, Fields))
+      input.withColumn("g", grok(col("line"), Pattern, Fields))
         .filter(col("g").isNotNull)
         .select(col("conv_id"), col("turn_idx"),
           col("g.timestamp").as("timestamp"),
@@ -535,7 +546,7 @@ object Plugins {
           lit(p("log_type")).as("log_type"))
       else {
         val parsed = input
-          .withColumn("g", RegexExtractStruct.of(col("line"), d.pattern, d.fields))
+          .withColumn("g", grok(col("line"), d.pattern, d.fields))
           .filter(col("g").isNotNull) // regex_parser on_error: drop
           .select(Seq(col("conv_id"), col("turn_idx")) ++
             d.fields.map { f =>

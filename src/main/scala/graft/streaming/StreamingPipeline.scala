@@ -105,9 +105,9 @@ object StreamingPipeline {
     *   - an OPEN batch flushes when the event-time watermark passes its last
     *     entry's timestamp + `forceFlushTimeoutMs` (force_flush_timeout: the
     *     reference flushes on wall-clock idleness; event time is the
-    *     deterministic streaming analog), and an idle source's state is
-    *     REMOVED one further timeout after that — bounded state without the
-    *     reference's max_sources eviction cliff;
+    *     deterministic streaming analog); the timeout flush emits the
+    *     buffered batch and removes the key's state in the same event —
+    *     bounded state without the reference's max_sources eviction cliff;
     *   - entries sort by turn_idx within the buffer, so in-order arrival
     *     matches the batch operator exactly; an entry arriving AFTER its
     *     batch flushed joins the source's next batch (arrival-order

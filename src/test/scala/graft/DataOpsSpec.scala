@@ -162,6 +162,39 @@ class DedupSpec extends SparkTestBase {
     assert(kept.filter($"n_merged" > 1).count() == reps)
   }
 
+  test("dupClusters: reliable-checkpoint path produces identical output") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val local = Dedup.dupClusters(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    val reliable = Dedup.dupClusters(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(local == reliable)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0,
+      "reliable path wrote nothing to the checkpoint dir")
+  }
+
+  test("clusterDedupKeep: planted giant cluster (>10x maxBucket), no forced broadcast") {
+    // 1000 identical docs + their planted copies: one mega-cluster far past
+    // the 64-member bucket cap — the boilerplate-corpus scenario. The
+    // cluster map join must be a PLAIN equi-join (no broadcast hint an
+    // optimizer could never override at corpus scale).
+    val giant = spark.range(1000).select(
+      ($"id" + 500000).as("doc_id"),
+      lit("giant boilerplate body repeated across the corpus verbatim").as("text"),
+      lit("en").as("lang"), lit("synthetic").as("source"), lit(59).as("n_chars"))
+    val kept = Dedup.clusterDedupKeep(giant, portable = true)
+    assert(!kept.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "cluster map join carries a forced hint")
+    val rows = kept.as[(Long, Long)].collect()
+    val total = Dedup.withPlantedDups(giant).count()
+    // every doc is in some near-dup cluster: few survivors, counts reconcile
+    assert(rows.map(_._2).sum == total)
+    assert(rows.length <= 2, s"expected <=2 survivors, got ${rows.length}")
+    assert(rows.map(_._2).max >= 1100, "giant cluster did not form")
+  }
+
   test("contamination: planted eval copies are caught; eval side broadcasts") {
     val (train, eval) = Dedup.contaminationEvalSplit(docs)
     val hits = Dedup.contamination(train, eval)
@@ -191,6 +224,49 @@ class DedupSpec extends SparkTestBase {
     val got = tiny.as[(Long, Seq[Long])].collect().toMap
     assert(got.keySet == Set(1L, 2L, 3L))
     assert(got.values.forall(s => s.nonEmpty && s.forall(h => h >= 0 && h < Dedup.P)))
+  }
+
+  test("NGramJoin shingles are element-identical to the HOF reference form") {
+    def ref(c: org.apache.spark.sql.Column) = {
+      val words = split(c, " ")
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(words) - 3, lit(0))),
+        i => array_join(slice(words, i + 1, lit(3)), " ")))
+    }
+    val mismatched = Dedup.withPlantedDups(docs)
+      .select(Dedup.shingles($"text").as("got"), ref($"text").as("want"))
+      .filter(not($"got" <=> $"want"))
+    assert(mismatched.count() == 0)
+    // edge shapes: docs shorter than n, repeated shingles (distinct order)
+    val tiny = Seq("solo", "two words", "a b c", "a b c d",
+      "x x x x x", "", "a  b").toDF("text")
+    val tinyBad = tiny
+      .select(Dedup.shingles($"text").as("got"), ref($"text").as("want"))
+      .filter(not($"got" <=> $"want"))
+    assert(tinyBad.count() == 0)
+  }
+
+  test("constant-table expressions compare by value across query constructions") {
+    // two independent constructions of the same query must canonicalize
+    // equal — CacheManager matches persisted relations (and ReuseExchange
+    // matches shuffles) via sameResult, so an expression whose constants
+    // compare by REFERENCE (e.g. an Array field) silently defeats every
+    // cross-query cache share the bench's related queries rely on
+    // (measured: the minhash family re-derived its persisted banded
+    // relation per query, ~3x the family's cost)
+    val b1 = Dedup.minHashBanded(docs, portable = true)
+    val b2 = Dedup.minHashBanded(docs, portable = true)
+    assert(b1.queryExecution.analyzed.sameResult(b2.queryExecution.analyzed),
+      "MinHashSig constructions do not canonicalize equal")
+    val e = Similarity.embeddings(spark, sfDir)
+    val l1 = Similarity.lshBuckets(e)
+    val l2 = Similarity.lshBuckets(e)
+    assert(l1.queryExecution.analyzed.sameResult(l2.queryExecution.analyzed),
+      "PlaneSignBits constructions do not canonicalize equal")
+    val c1 = Similarity.ivfCells(e)
+    val c2 = Similarity.ivfCells(e)
+    assert(c1.queryExecution.analyzed.sameResult(c2.queryExecution.analyzed),
+      "DotArgmax constructions do not canonicalize equal")
   }
 
   test("assignSplits: deterministic, exhaustive, and stable under subsetting") {

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 import graft.pipeline.{Manifest, TableFormat}
 
@@ -135,6 +136,31 @@ class IcebergLikeTableSpec extends SparkTestBase {
     assert(new IcebergLikeTable(root).currentSnapshot() == 2L)
     java.nio.file.Files.writeString(hint, "junk") // unparseable: scans from 0
     assert(new IcebergLikeTable(root).currentSnapshot() == 2L)
+  }
+
+  test("corrupt manifest-chain cycle fails loudly instead of hanging") {
+    val root = java.nio.file.Files.createTempDirectory("icb_cycle").toString
+    val t = new IcebergLikeTable(root)
+    t.commitPartition("p1", 1L, Seq("f1"))
+    t.commitPartition("p2", 1L, Seq("f2"))
+    val metaDir = java.nio.file.Paths.get(root, "metadata")
+    def manifestOf(prefix: String): java.nio.file.Path = {
+      val s = java.nio.file.Files.list(metaDir)
+      try s.iterator().asScala.find(
+        _.getFileName.toString.startsWith(prefix)).get
+      finally s.close()
+    }
+    val m1 = manifestOf("snap-1-"); val m2 = manifestOf("snap-2-")
+    // corrupt snap-1's parent pointer to point at its own child: the
+    // child->root walk becomes snap-2 -> snap-1 -> snap-2 -> ...
+    val lines = java.nio.file.Files.readString(m1).split("\n", -1)
+    java.nio.file.Files.writeString(m1,
+      (m2.getFileName.toString +: lines.drop(1).toSeq).mkString("\n"))
+    val fresh = new IcebergLikeTable(root)
+    val ex = intercept[IllegalStateException] {
+      fresh.dataFilesAsOf(fresh.currentSnapshot())
+    }
+    assert(ex.getMessage.contains("cycle"))
   }
 
   test("partition names and file paths with quotes/backslashes/newlines round-trip") {
