@@ -112,12 +112,14 @@ object Dedup {
     transform(split(text, " "),
       w => pmod(if (portable) md5Hash64(w) else xxhash64(w), lit(P)))
 
-  /** Bounded-Horner n-gram hashes over a MATERIALIZED word-hash column. */
+  /** Bounded-Horner n-gram hashes over a MATERIALIZED word-hash column —
+    * the codegen NGramHash loop; element-identical to
+    * `array_distinct(transform(sequence(0, greatest(size(wh)-n, 0)),
+    * i => fold (acc*ShingleA + coalesce(get(wh,i+k), 0)) % P))`
+    * (equivalence test-locked, and the DuckDB oracle replicates the list).
+    */
   def shingleHashesFromWords(wh: Column, n: Int = 3): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(wh) - n, lit(0))),
-      i => (0 until n).foldLeft(lit(0L): Column)((acc, k) =>
-        pmod(acc * ShingleA + coalesce(get(wh, i + k), lit(0L)), lit(P)))))
+    graft.functions.NGramHash.of(wh, n, ShingleA, P)
 
   /** DuckDB mirror of [[shingleHashesFromWords]] (portable family) given a
     * word-hash list column named `wh`.

@@ -164,13 +164,16 @@ object Similarity {
   def ivfTopKProbe(emb: DataFrame, k: Int = 3, nQueries: Int = 10,
                    nprobe: Int = 2, stride: Int = 31): DataFrame = {
     val centroids = ivfCentroids(emb, stride)
-    val cenLit = array(centroids.map { case (id, v) =>
-      struct(lit(id).as("c_id"), typedlit(v).as("c_vec")) }: _*)
+    // ONE typed literal for the whole centroid table: the previous
+    // array(struct(lit, typedlit)...) built a ~10k-node expression tree
+    // (nlist × dims literals) that the analyzer/optimizer re-walked on
+    // every construction — pure driver-side plan-time cost
+    val cenLit = typedlit(centroids.map { case (id, v) => (id, v) })
     val probes = emb.filter(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("q_id"), quantized(col("embedding")).as("q_vec"),
         explode(cenLit).as("c"))
-      .select(col("q_id"), col("q_vec"), col("c.c_id").as("cell"),
-        dot(col("q_vec"), col("c.c_vec")).as("cs"))
+      .select(col("q_id"), col("q_vec"), col("c._1").as("cell"),
+        dot(col("q_vec"), col("c._2")).as("cs"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("cell"))))
       .filter(col("rn") <= nprobe)

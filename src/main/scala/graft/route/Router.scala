@@ -141,11 +141,11 @@ object Router {
     * window, modeling the upstream payload boundary); the chunk's entry
     * list is collected ONCE PER CHUNK (bounded ≤ chunkEntries — never a
     * group-scale collect) and every entry descends the fixed tree to the
-    * first ancestor segment under the cap via a RUNTIME HOF fold —
-    * `aggregate(sequence(1, levels), state, step)`, ≤10 iterations —
-    * because statically unrolling the descent inlines each level's state
-    * struct into the next and the expression tree grows exponentially (no
-    * UDFs). The r7 restructure: the previous shape attached the chunk's
+    * first ancestor segment under the cap inside ONE codegen expression
+    * (MidpointBatches — a Scala-side unrolled when-tree would grow
+    * ≈6^levels nodes and OOM the optimizer; the earlier runtime HOF fold
+    * avoided that but paid interpreted struct rebuilds per level per
+    * entry). The r7 restructure: the previous shape attached the chunk's
     * prefix-sum array to EVERY ROW by a full-frame window (collect_list +
     * array_sort + transform per row — O(chunkEntries) array work per
     * row, O(chunkEntries²) per chunk); collecting per CHUNK does that
@@ -176,48 +176,18 @@ object Router {
       .orderBy(col("cidx"))
     // ONE row per request chunk: the sorted (cidx, cum, sz) entry list
     // (≤ chunkEntries elements). The groupBy reuses the window's hash
-    // partitioning — no second exchange. pfx/cnt are materialized as their
-    // own projections so the descent's element_at references stay
-    // attribute reads (CollapseProject must not inline the transform into
-    // the fold — same discipline as Dedup.wordHashes).
+    // partitioning — no second exchange.
     val grouped = idxed.withColumn("cum", sum(col("sz")).over(wChunk))
       .groupBy(col("log_type"), col("namespace"), col("hour"), col("chunk"))
       .agg(array_sort(collect_list(
         struct(col("cidx"), col("cum"), col("sz")))).as("entries"))
-      .withColumn("pfx", transform(col("entries"), e => e.getField("cum")))
-      .withColumn("cnt", size(col("entries")))
-    // midpoint descent: P is 1-indexed via element_at; bytes of
-    // [lo,hi) = P[hi] - (lo == 0 ? 0 : P[lo])
-    def segBytes(lo: Column, hi: Column): Column =
-      element_at(col("pfx"), hi) -
-        when(lo === 0, 0L).otherwise(element_at(col("pfx"), lo))
     val levels = (math.ceil(math.log(chunkEntries.toDouble) / math.log(2.0))
       .toInt + 1)
-    // per entry, the descent is a RUNTIME fold (aggregate over a sequence),
-    // not a Scala-side foldLeft of nested whens: statically unrolling
-    // inlines each level's state into the next and the expression tree
-    // grows exponentially (≈6^levels nodes — the optimizer OOMs the
-    // driver). The 4-arg finish projects the segment exactly once (a
-    // two-reference select would run the whole descent twice per entry).
-    val segs = transform(col("entries"), e =>
-      aggregate(
-        sequence(lit(1), lit(levels)),
-        struct(lit(0).as("lo"), col("cnt").as("hi"), lit(false).as("done")),
-        (st, _) => {
-          val lo = st.getField("lo"); val hi = st.getField("hi")
-          val fits = segBytes(lo, hi) <= capBytes
-          val terminal = st.getField("done") || fits || (hi - lo) <= 1
-          // Column `/` is float division — truncate back to the int midpoint
-          val mid = (lo + (hi - lo) / 2).cast("int")
-          when(terminal, struct(lo.as("lo"), hi.as("hi"),
-              (st.getField("done") || fits).as("done")))
-            .otherwise(when(e.getField("cidx") < mid,
-              struct(lo.as("lo"), mid.as("hi"), lit(false).as("done")))
-              .otherwise(struct(mid.as("lo"), hi.as("hi"), lit(false).as("done"))))
-        },
-        st => struct(st.getField("lo").as("batch_lo"),
-          // a singleton segment still over the cap is the dropped-entry case
-          (!st.getField("done")).as("dropped"), e.getField("sz").as("sz"))))
+    // per-entry count-midpoint descent as ONE codegen loop over the
+    // chunk's entry list (graft.functions.MidpointBatches) — the previous
+    // per-entry HOF fold rebuilt a state struct per level, interpreted;
+    // semantics identical (see the expression's scaladoc), oracle-locked
+    val segs = graft.functions.MidpointBatches.of(col("entries"), capBytes, levels)
     grouped.select(col("log_type"), col("namespace"), col("hour"), col("chunk"),
         explode(segs).as("s"))
       .select(col("log_type"), col("namespace"), col("hour"), col("chunk"),

@@ -246,6 +246,28 @@ class DedupSpec extends SparkTestBase {
     assert(tinyBad.count() == 0)
   }
 
+  test("NGramHash shingle hashes are element-identical to the HOF reference form") {
+    def ref(wh: org.apache.spark.sql.Column, n: Int) =
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(wh) - n, lit(0))),
+        i => (0 until n).foldLeft(lit(0L): org.apache.spark.sql.Column)((acc, k) =>
+          pmod(acc * Dedup.ShingleA + coalesce(get(wh, i + k), lit(0L)),
+            lit(Dedup.P)))))
+    val whCol = Dedup.wordHashes($"text", portable = true)
+    val mismatched = Dedup.withPlantedDups(docs)
+      .select(whCol.as("wh"))
+      .select(Dedup.shingleHashesFromWords($"wh").as("got"),
+        ref($"wh", 3).as("want"))
+      .filter(not($"got" <=> $"want"))
+    assert(mismatched.count() == 0)
+    val tiny = Seq("solo", "two words", "a b c d", "x x x x x").toDF("text")
+      .select(Dedup.wordHashes($"text", portable = true).as("wh"))
+      .select(Dedup.shingleHashesFromWords($"wh").as("got"),
+        ref($"wh", 3).as("want"))
+      .filter(not($"got" <=> $"want"))
+    assert(tiny.count() == 0)
+  }
+
   test("constant-table expressions compare by value across query constructions") {
     // two independent constructions of the same query must canonicalize
     // equal — CacheManager matches persisted relations (and ReuseExchange

@@ -110,4 +110,26 @@ class RouterSpec extends SparkTestBase {
       .as[(String, String, Timestamp)].collect().toSet
     assert(got == Set(("o1", "g1", ts(20)), ("o2", "g2", ts(15))))
   }
+
+  test("chronicle request batches: size-cap and drop invariants hold") {
+    val t = Transcripts.fromEvents(spark, sfDir)
+    val cap = 16384L
+    val batches = Router.chronicleRequestBatches(t, capBytes = cap)
+      .select($"n_entries", $"batch_bytes", $"dropped")
+      .as[(Long, Long, Boolean)].collect()
+    assert(batches.nonEmpty)
+    // every batch is a partition of its chunk's entries
+    assert(batches.map(_._1).sum == t.count())
+    // marshal.go:487-515 parity: a kept request fits the cap; a dropped
+    // "request" is a singleton entry that can never fit
+    batches.foreach { case (n, bytes, dropped) =>
+      if (dropped) assert(n == 1 && bytes > cap,
+        s"dropped batch must be an over-cap singleton, got n=$n bytes=$bytes")
+      else assert(bytes <= cap,
+        s"kept batch over the cap: n=$n bytes=$bytes")
+    }
+    // the synthetic oversized entries exist in the fixture → the drop
+    // path is actually exercised
+    assert(batches.exists(_._3))
+  }
 }
