@@ -982,7 +982,10 @@ object Plugins {
       StructField("event_id", IntegerType),
       StructField("message", StringType)))
     protected def build(spark: SparkSession, p: Map[String, String]) = { input =>
-      val j = input.withColumn("b", from_json(col("line"), WinEventSchema))
+      // fenced like the grok sites: the provider-name router filter below
+      // otherwise pushes past this projection and re-runs the JSON parse
+      val j = input.withColumn("b", graft.functions.OptBarrier.of(
+        from_json(col("line"), WinEventSchema)))
       val routed =
         if (p("parse").toBoolean)
           // the template's router expr is `body.provider.name matches
