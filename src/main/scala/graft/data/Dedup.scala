@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 2^60-bounded integer hash computable identically in Spark and DuckDB. */
-  def md5Hash64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 2^60-bounded integer hash computable identically in Spark and DuckDB.
+    * Spark side: the codegen Md5Long (digest bytes → long, no hex-string
+    * round-trip; bit-identical to `conv(substring(md5(c),1,15),16,10)`,
+    * equivalence test-locked); the oracle keeps the SQL form below.
+    */
+  def md5Hash64(c: Column): Column = graft.functions.Md5Long.of(c)
 
   def md5Hash64Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"

@@ -226,6 +226,17 @@ class DedupSpec extends SparkTestBase {
     assert(got.values.forall(s => s.nonEmpty && s.forall(h => h >= 0 && h < Dedup.P)))
   }
 
+  test("Md5Long equals the conv(substring(md5)) reference form bit-for-bit") {
+    val ref = conv(substring(md5($"s"), 1, 15), 16, 10).cast("long")
+    val fixture = Dedup.withPlantedDups(docs).select($"text".as("s"))
+      .unionByName(Seq("", " ", "a", "é ünïcode ✓", "0123456789abcdef",
+        "x" * 1000).toDF("s"))
+    val mismatched = fixture
+      .select(Dedup.md5Hash64($"s").as("got"), ref.as("want"))
+      .filter(not($"got" <=> $"want"))
+    assert(mismatched.count() == 0)
+  }
+
   test("NGramJoin shingles are element-identical to the HOF reference form") {
     def ref(c: org.apache.spark.sql.Column) = {
       val words = split(c, " ")
